@@ -1,0 +1,105 @@
+"""Integer storage formats for quantized kernels.
+
+TPU-native replacement for the reference's host-side pack/permute pipeline
+(``mxmoe/kernels/src/include/quantize.cuh:289-475``). On TPU there is no
+``ldmatrix`` layout to permute for: XLA/Mosaic handle tiling, so packing is
+just (a) integer codes in a native narrow dtype (int8, or int4 for <=4 bits
+— storage-only; the MXU computes int8/bf16), and (b) scale/zp laid out so a
+Pallas kernel can index them per (k-group, column).
+
+Conventions (all kernels use A[M,K] @ B[K,N]):
+  weights      B stored [.., K, N]; scales/zp [.., K//g, N]  (g=-1 -> [.., 1, N])
+  activations  A stored [M, K];     scales/zp [M, K//g]      (g=-1 -> [M, 1])
+
+Asymmetric codes are re-centred to signed storage: q' = q - 2^(b-1) with
+zp' = zp + 2^(b-1) * scale, so int4/int8 hold them natively and
+``dequant = q' * scale + zp'`` still holds exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rtn import quantize
+from .schemes import QLinearConfig
+
+
+class PackedTensor(NamedTuple):
+    values: jax.Array  # int8 or int4 codes
+    scale: jax.Array   # float32
+    zp: jax.Array      # float32 (zeros when symmetric)
+    bits: int
+    gsize: int
+    sym: bool
+
+    @property
+    def storage_dtype(self):
+        return self.values.dtype
+
+
+def storage_dtype_for(bits: float) -> jnp.dtype:
+    if bits <= 4:
+        return jnp.int4
+    if bits <= 8:
+        return jnp.int8
+    raise ValueError(f"no integer storage for {bits}-bit")
+
+
+def _to_signed_storage(codes: jax.Array, scale: jax.Array, zp: jax.Array,
+                       bits: float, sym: bool):
+    dtype = storage_dtype_for(bits)
+    if sym or bits == 1.5:
+        return codes.astype(jnp.int8).astype(dtype), scale, zp
+    shift = float(1 << (int(bits) - 1)) if bits >= 2 else 1.0
+    new_zp = zp + shift * scale
+    signed = codes - shift
+    return signed.astype(jnp.int8).astype(dtype), scale, new_zp
+
+
+def quantize_act(a: jax.Array, cfg: QLinearConfig) -> PackedTensor:
+    """Per-token (grouped) activation quantization -> signed codes.
+
+    a: [M, K] (or any leading dims + K). Groups along K.
+    """
+    q = quantize(a, cfg.a_bits, cfg.a_gsize, cfg.a_sym, cfg.a_clip)
+    values, scale, zp = _to_signed_storage(q.codes, q.scale, q.zp, cfg.a_bits, cfg.a_sym or cfg.a_bits == 1.5)
+    g = a.shape[-1] if cfg.a_gsize == -1 else cfg.a_gsize
+    return PackedTensor(values, scale, zp, int(cfg.a_bits), g, cfg.a_sym)
+
+
+def quantize_weight_kn(w_kn: jax.Array, cfg: QLinearConfig) -> PackedTensor:
+    """Quantize a weight stored [.., K, N] with groups along K per column.
+
+    Equivalent grouping to the reference (rows of the [N, K] weight grouped
+    along K, ``quant.py:319-359``), transposed into the kernel's B layout.
+    scale/zp come out [.., K//g, N].
+    """
+    w_nk = jnp.swapaxes(w_kn, -1, -2)  # [.., N, K]
+    q = quantize(w_nk, cfg.w_bits, cfg.w_gsize, cfg.w_sym, cfg.w_clip)
+    eff_sym = cfg.w_sym or cfg.w_bits == 1.5
+    values, scale, zp = _to_signed_storage(q.codes, q.scale, q.zp, cfg.w_bits, eff_sym)
+    values = jnp.swapaxes(values, -1, -2)          # [.., K, N]
+    scale = jnp.swapaxes(scale, -1, -2)            # [.., K//g, N]
+    zp = jnp.swapaxes(zp, -1, -2)
+    g = w_kn.shape[-2] if cfg.w_gsize == -1 else cfg.w_gsize
+    return PackedTensor(values, scale, zp, int(cfg.w_bits), g, cfg.w_sym)
+
+
+def dequantize_act(p: PackedTensor) -> jax.Array:
+    m_shape = p.values.shape
+    k = m_shape[-1]
+    cg = p.values.astype(jnp.float32).reshape(*m_shape[:-1], k // p.gsize, p.gsize)
+    out = cg * p.scale[..., None] + p.zp[..., None]
+    return out.reshape(m_shape)
+
+
+def dequantize_weight_kn(p: PackedTensor) -> jax.Array:
+    """[.., K, N] codes + [.., K//g, N] params -> float32 [.., K, N]."""
+    v = p.values.astype(jnp.float32)
+    k, n = v.shape[-2], v.shape[-1]
+    vg = v.reshape(*v.shape[:-2], k // p.gsize, p.gsize, n)
+    out = vg * p.scale[..., :, None, :] + p.zp[..., :, None, :]
+    return out.reshape(*v.shape[:-2], k, n)

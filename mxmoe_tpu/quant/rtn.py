@@ -1,0 +1,136 @@
+"""Round-to-nearest (RTN) min-max quantization, functional JAX.
+
+Semantics match the reference's dynamic quantizer (``mxmoe/quant/
+quant.py:40-109``): grouped along the last axis (gsize=-1 -> one group =
+whole row: per-output-channel for weights, per-token for activations),
+symmetric (signed, zero zp) or asymmetric (unsigned codes, zp = group min),
+optional clip ratios on the asymmetric min/max, and the special widths
+1.5 (ternary) and 1 (binary).
+
+Everything is pure-functional and jit/vmap-friendly: no in-place module
+mutation, no hooks — fake quantization of a whole model is a pytree map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .schemes import QLinearConfig
+
+
+class QuantResult(NamedTuple):
+    """Quantized codes plus dequant parameters.
+
+    codes: same shape as the input, float32, holding integer code values
+           (sym: [-upper, upper]; asym: [0, upper]).
+    scale: (..., n_groups) float32
+    zp:    (..., n_groups) float32 (0 for symmetric)
+    """
+
+    codes: jax.Array
+    scale: jax.Array
+    zp: jax.Array
+
+
+def _group_reshape(t: jax.Array, gsize: int) -> tuple[jax.Array, int]:
+    k = t.shape[-1]
+    g = k if gsize == -1 else gsize
+    if k % g != 0:
+        raise ValueError(f"last dim {k} not divisible by gsize {g}")
+    return t.reshape(*t.shape[:-1], k // g, g), g
+
+
+def quant_ranges(bits: float, sym: bool) -> tuple[float, float, bool]:
+    """(upper, lower, effective_sym) for a bitwidth, incl. 1.5/1-bit cases
+    (``quant.py:62-69``)."""
+    if bits == 1.5:  # ternary
+        return 1.0, -1.0, True
+    if bits == 1:  # binary
+        return 1.0, 0.0, False
+    b = int(bits)
+    if sym:
+        upper = float((1 << (b - 1)) - 1)
+        return upper, -upper, True
+    upper = float((1 << b) - 1)
+    return upper, 0.0, False
+
+
+def quantize(
+    t: jax.Array,
+    bits: float,
+    gsize: int,
+    sym: bool,
+    clip: tuple[float, float] = (1.0, 1.0),
+) -> QuantResult:
+    """Grouped min-max quantization along the last axis (``quant.py:40-84``).
+
+    Returns integer codes (as float32) with per-group scale/zp such that
+    ``dequant = codes * scale + zp``.
+    """
+    if bits >= 16:
+        g = t.shape[-1] if gsize == -1 else gsize
+        ngroups = t.shape[-1] // g
+        ones = jnp.ones((*t.shape[:-1], ngroups), jnp.float32)
+        return QuantResult(t.astype(jnp.float32), ones, jnp.zeros_like(ones))
+
+    upper, lower, eff_sym = quant_ranges(bits, sym)
+    tg, g = _group_reshape(t.astype(jnp.float32), gsize)
+
+    if eff_sym:
+        gmax = jnp.max(jnp.abs(tg), axis=-1)
+        scale = gmax / upper
+        zp = jnp.zeros_like(scale)
+    else:
+        gmin = jnp.min(tg, axis=-1) * clip[0]
+        gmax = jnp.max(tg, axis=-1) * clip[1]
+        scale = (gmax - gmin) / upper
+        zp = gmin
+
+    # Guard all-zero groups (reference would emit NaNs there; zero-weight
+    # groups dequantize to exactly zero with this guard).
+    safe_scale = jnp.where(scale == 0, 1.0, scale)
+    codes = jnp.round(
+        jnp.clip((tg - zp[..., None]) / safe_scale[..., None], lower, upper)
+    )
+    return QuantResult(codes.reshape(t.shape), scale, zp)
+
+
+def dequantize(codes: jax.Array, scale: jax.Array, zp: jax.Array, gsize: int) -> jax.Array:
+    """Inverse of :func:`quantize`: ``codes * scale + zp`` per group."""
+    g = codes.shape[-1] if gsize == -1 else gsize
+    cg = codes.reshape(*codes.shape[:-1], codes.shape[-1] // g, g)
+    out = cg.astype(jnp.float32) * scale[..., None] + zp[..., None]
+    return out.reshape(codes.shape)
+
+
+def fake_quant(
+    t: jax.Array,
+    bits: float,
+    gsize: int,
+    sym: bool,
+    clip: tuple[float, float] = (1.0, 1.0),
+) -> jax.Array:
+    """Quantize-dequantize in one shot, output dtype follows the input."""
+    if bits >= 16:
+        return t
+    q = quantize(t, bits, gsize, sym, clip)
+    return dequantize(q.codes, q.scale, q.zp, gsize).astype(t.dtype)
+
+
+def fake_quant_weight(t: jax.Array, cfg: QLinearConfig) -> jax.Array:
+    return fake_quant(t, cfg.w_bits, cfg.w_gsize, cfg.w_sym, cfg.w_clip)
+
+
+def fake_quant_act(t: jax.Array, cfg: QLinearConfig) -> jax.Array:
+    """Per-token activation fake-quant, the functional analog of the
+    reference's forward-pre-hook (``quant.py:126-131``)."""
+    return fake_quant(t, cfg.a_bits, cfg.a_gsize, cfg.a_sym, cfg.a_clip)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "gsize", "sym", "clip"))
+def fake_quant_jit(t, bits, gsize, sym, clip=(1.0, 1.0)):
+    return fake_quant(t, bits, gsize, sym, clip)
