@@ -1,0 +1,197 @@
+"""Functional transformer building blocks (RMSNorm, RoPE, GQA attention,
+MoE FFN) for the supported decoder families.
+
+Everything is a pure function of (params, inputs): quantization, rotation
+and calibration become pytree transforms instead of module surgery + hooks
+(the reference's approach, ``quant.py:126-131``, ``rotation.py:435-469``).
+
+Weight layout convention: all matmul weights are stored **[in, out]** so a
+projection is ``x @ w`` (HF checkpoints hold [out, in]; the loader
+transposes). MoE expert weights are stacked [E, in, out] and gate/up are
+fused into one [E, H, 2N] operand — the same fused gate_up GEMM the
+reference benchmarks (``gen_workload.py:95``: shapes [M, 2N, K]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .configs import MoEConfig
+from ..ops.dispatch import route_topk, make_dispatch, gather_tokens, combine_tokens
+from ..ops import gmm as gmm_ops
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * weight
+
+
+def rope_frequencies(head_dim: int, theta: float, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables [S, head_dim] in the HF half-rotation convention."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [S, hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, nH, hd]; cos/sin: [S, hd] (HF rotate_half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def attention(
+    q: jax.Array,       # [B, S, nH, hd]
+    k: jax.Array,       # [B, S, nKV, hd]
+    v: jax.Array,       # [B, S, nKV, hd]
+    causal: bool = True,
+) -> jax.Array:
+    """GQA attention; keys/values broadcast across query groups.
+
+    Plain-XLA implementation (flash-style fused attention on TPU comes via
+    XLA; a Pallas splash kernel is not needed for the MoE-focused bench).
+    """
+    b, s, n_h, hd = q.shape
+    n_kv = k.shape[2]
+    groups = n_h // n_kv
+    qg = q.reshape(b, s, n_kv, groups, hd)
+    scores = jnp.einsum("bsngh,btnh->bngst", qg, k).astype(jnp.float32)
+    scores = scores / jnp.sqrt(float(hd))
+    if causal:
+        t = k.shape[1]
+        mask = jnp.tril(jnp.ones((s, t), dtype=bool), k=t - s)
+        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bngst,btnh->bsngh", probs, v)
+    return out.reshape(b, s, n_h, hd)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEImpl:
+    """How the expert FFN is executed.
+
+    kind:
+      'dense'  — every expert runs on every token (einsum, tiny tests only)
+      'ragged' — sort + grouped matmul (jax.lax.ragged_dot or Pallas gmm)
+    """
+
+    kind: str = "ragged"
+    gmm_backend: str = "ragged_dot"  # 'ragged_dot' | 'pallas'
+
+
+def silu_mul(gate_up: jax.Array) -> jax.Array:
+    """Fused SwiGLU activation on a [.., 2N] gate_up projection."""
+    n = gate_up.shape[-1] // 2
+    gate, up = gate_up[..., :n], gate_up[..., n:]
+    return jax.nn.silu(gate) * up
+
+
+def moe_ffn_dense(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
+    """Reference-fidelity O(E) dense MoE execution (test oracle)."""
+    logits = x2d @ layer_params["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    gate_up = layer_params["expert_gate_up"]  # [E, H, 2N]
+    down = layer_params["expert_down"]        # [E, N, H]
+    h = jnp.einsum("th,ehn->etn", x2d, gate_up)
+    h = silu_mul(h)
+    out_all = jnp.einsum("etn,enh->eth", h, down)  # [E, T, H]
+    one_hot = jax.nn.one_hot(routing.expert_ids, cfg.num_experts, dtype=x2d.dtype)  # [T,k,E]
+    w = (routing.weights.astype(x2d.dtype)[..., None] * one_hot).sum(1)  # [T, E]
+    return jnp.einsum("eth,te->th", out_all, w)
+
+
+def moe_ffn_ragged(
+    x2d: jax.Array,
+    layer_params: dict,
+    cfg: MoEConfig,
+    impl: MoEImpl,
+) -> jax.Array:
+    """Production path: sort tokens by expert, two grouped matmuls, combine."""
+    logits = x2d @ layer_params["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x2d, disp)                                   # [T*k, H]
+    h = gmm_ops.gmm(xs, layer_params["expert_gate_up"], disp.group_sizes,
+                    backend=impl.gmm_backend)                       # [T*k, 2N]
+    h = silu_mul(h)
+    out = gmm_ops.gmm(h, layer_params["expert_down"], disp.group_sizes,
+                      backend=impl.gmm_backend)                     # [T*k, H]
+    return combine_tokens(out, disp, x2d.shape[0])
+
+
+def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
+    h = silu_mul(x2d @ layer_params["shared_gate_up"])
+    out = h @ layer_params["shared_down"]
+    if cfg.has_shared_expert_gate:
+        gate = jax.nn.sigmoid(x2d @ layer_params["shared_gate"])  # [T, 1]
+        out = out * gate.astype(out.dtype)
+    return out
+
+
+def moe_block(
+    x: jax.Array,                # [B, S, H]
+    layer_params: dict,
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+) -> jax.Array:
+    b, s, h = x.shape
+    x2d = x.reshape(-1, h)
+    if impl.kind == "dense":
+        y = moe_ffn_dense(x2d, layer_params, cfg)
+    else:
+        y = moe_ffn_ragged(x2d, layer_params, cfg, impl)
+    if cfg.shared_expert_intermediate_size > 0:
+        y = y + shared_expert_ffn(x2d, layer_params, cfg)
+    return y.reshape(b, s, h)
+
+
+def attention_block(
+    x: jax.Array,               # [B, S, H]
+    layer_params: dict,
+    cfg: MoEConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+) -> jax.Array:
+    b, s, _ = x.shape
+    q = x @ layer_params["wq"]
+    k = x @ layer_params["wk"]
+    v = x @ layer_params["wv"]
+    if cfg.attention_bias:
+        q = q + layer_params["bq"]
+        k = k + layer_params["bk"]
+        v = v + layer_params["bv"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = attention(q, k, v, causal=True)
+    return out.reshape(b, s, -1) @ layer_params["wo"]
+
+
+def decoder_layer(
+    x: jax.Array,
+    layer_params: dict,
+    cfg: MoEConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    impl: MoEImpl = MoEImpl(),
+) -> jax.Array:
+    h = x + attention_block(
+        rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
+        layer_params, cfg, cos, sin,
+    )
+    return h + moe_block(
+        rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps),
+        layer_params, cfg, impl,
+    )

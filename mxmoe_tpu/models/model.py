@@ -1,0 +1,117 @@
+"""Full causal-LM forward for the MoE decoder families.
+
+Parameters live in a dict pytree with per-layer tensors **stacked along a
+leading L axis** so the layer loop is a ``jax.lax.scan`` — one compiled
+layer body regardless of depth (compile-time win over unrolled loops).
+
+Layout (see ``init_params``):
+  embed        [V, H]
+  layers/...   each [L, ...]  (attention, norms, router, experts, shared)
+  final_norm   [H]
+  lm_head      [H, V]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .configs import MoEConfig
+from .layers import MoEImpl, decoder_layer, rms_norm, rope_frequencies
+
+
+def layer_param_shapes(cfg: MoEConfig) -> dict[str, tuple]:
+    h = cfg.hidden_size
+    n = cfg.moe_intermediate_size
+    ns = cfg.shared_expert_intermediate_size
+    shapes = {
+        "wq": (h, cfg.q_dim),
+        "wk": (h, cfg.kv_dim),
+        "wv": (h, cfg.kv_dim),
+        "wo": (cfg.q_dim, h),
+        "input_norm": (h,),
+        "post_attn_norm": (h,),
+        "router": (h, cfg.num_experts),
+        "expert_gate_up": (cfg.num_experts, h, 2 * n),
+        "expert_down": (cfg.num_experts, n, h),
+    }
+    if cfg.attention_bias:
+        shapes.update({"bq": (cfg.q_dim,), "bk": (cfg.kv_dim,), "bv": (cfg.kv_dim,)})
+    if ns > 0:
+        shapes.update({
+            "shared_gate_up": (h, 2 * ns),
+            "shared_down": (ns, h),
+        })
+        if cfg.has_shared_expert_gate:
+            shapes["shared_gate"] = (h, 1)
+    return shapes
+
+
+def init_params(cfg: MoEConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (for tests; real weights via hf_loader)."""
+    keys = jax.random.split(key, 4)
+    l = cfg.num_layers
+    shapes = layer_param_shapes(cfg)
+
+    layers = {}
+    lkeys = jax.random.split(keys[0], len(shapes))
+    for i, (name, shape) in enumerate(shapes.items()):
+        full_shape = (l, *shape)
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        if len(shape) == 1:
+            val = jnp.ones(full_shape, dtype) if "norm" in name else jnp.zeros(full_shape, dtype)
+        else:
+            val = (jax.random.normal(lkeys[i], full_shape, jnp.float32) * (0.4 / fan_in**0.5)).astype(dtype)
+        layers[name] = val
+
+    return {
+        "embed": (jax.random.normal(keys[1], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+        "lm_head": (jax.random.normal(keys[2], (cfg.hidden_size, cfg.vocab_size), jnp.float32) * 0.02).astype(dtype),
+    }
+
+
+def forward_hidden(
+    params: dict,
+    tokens: jax.Array,           # [B, S] int32
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+    positions: jax.Array | None = None,
+) -> jax.Array:
+    """Token ids -> final hidden states [B, S, H] (pre-norm applied)."""
+    x = jnp.take(params["embed"], tokens, axis=0)
+    s = tokens.shape[1]
+    if positions is None:
+        positions = jnp.arange(s)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+
+    def body(carry, layer_params):
+        out = decoder_layer(carry, layer_params, cfg, cos, sin, impl)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def forward_logits(
+    params: dict,
+    tokens: jax.Array,
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+) -> jax.Array:
+    h = forward_hidden(params, tokens, cfg, impl)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return h @ head
+
+
+def make_forward_fn(cfg: MoEConfig, impl: MoEImpl = MoEImpl()):
+    """jit-ready closure over the static config."""
+
+    @jax.jit
+    def fn(params, tokens):
+        return forward_logits(params, tokens, cfg, impl)
+
+    return fn

@@ -1,0 +1,84 @@
+"""Token -> expert routing and ragged dispatch, static-shaped for XLA.
+
+TPU-native replacement for the reference's in-kernel permutation
+(``torch.sort`` + ``index_select`` in ``ref_bind.cu:47-64``): here routing
+emits a stable sort permutation plus per-expert ``group_sizes``, the layout
+every grouped-matmul kernel (``jax.lax.ragged_dot`` and our Pallas gmm)
+consumes directly. All shapes are static: T tokens x top-k slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Routing(NamedTuple):
+    """Routing decisions for a batch of T tokens with top-k experts each."""
+
+    weights: jax.Array      # [T, k] float32 combine weights
+    expert_ids: jax.Array   # [T, k] int32
+
+
+class Dispatch(NamedTuple):
+    """Sorted ragged layout for grouped matmul over T*k expanded rows."""
+
+    sort_idx: jax.Array     # [T*k] position in expanded (token-major) order
+    unsort_idx: jax.Array   # [T*k] inverse permutation
+    group_sizes: jax.Array  # [E] rows per expert (sums to T*k)
+    token_ids: jax.Array    # [T*k] source token per sorted row
+    combine_weights: jax.Array  # [T*k] weight per sorted row
+
+
+def route_topk(
+    router_logits: jax.Array,
+    top_k: int,
+    norm_topk_prob: bool,
+) -> Routing:
+    """Softmax-then-top-k routing (Qwen2-MoE / Mixtral convention).
+
+    Matches HF semantics: softmax over all experts in float32, take top-k,
+    optionally renormalize the selected weights to sum to 1
+    (``norm_topk_prob``; True for Mixtral, False for Qwen1.5-MoE-A2.7B).
+    Reference traces this via gate hooks (``moe_tracer.py:88-129``).
+    """
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    weights, ids = jax.lax.top_k(probs, top_k)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return Routing(weights=weights, expert_ids=ids.astype(jnp.int32))
+
+
+def make_dispatch(routing: Routing, num_experts: int) -> Dispatch:
+    """Stable-sort the T*k expanded rows by expert id."""
+    t, k = routing.expert_ids.shape
+    flat_experts = routing.expert_ids.reshape(-1)            # [T*k]
+    flat_weights = routing.weights.reshape(-1)
+    token_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (t, k), 0).reshape(-1)
+    )
+    sort_idx = jnp.argsort(flat_experts, stable=True)
+    unsort_idx = jnp.argsort(sort_idx, stable=True)
+    group_sizes = jnp.bincount(flat_experts, length=num_experts).astype(jnp.int32)
+    return Dispatch(
+        sort_idx=sort_idx,
+        unsort_idx=unsort_idx,
+        group_sizes=group_sizes,
+        token_ids=jnp.take(token_ids, sort_idx),
+        combine_weights=jnp.take(flat_weights, sort_idx),
+    )
+
+
+def gather_tokens(x: jax.Array, dispatch: Dispatch) -> jax.Array:
+    """[T, H] -> [T*k, H] rows in expert-sorted order."""
+    return jnp.take(x, dispatch.token_ids, axis=0)
+
+
+def combine_tokens(
+    expert_out: jax.Array, dispatch: Dispatch, num_tokens: int
+) -> jax.Array:
+    """Weighted scatter-add of sorted expert outputs back to [T, H]."""
+    weighted = expert_out * dispatch.combine_weights[:, None].astype(expert_out.dtype)
+    return jax.ops.segment_sum(weighted, dispatch.token_ids, num_segments=num_tokens)
