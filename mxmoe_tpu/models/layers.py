@@ -83,10 +83,21 @@ class MoEImpl:
     kind:
       'dense'  — every expert runs on every token (einsum, tiny tests only)
       'ragged' — sort + grouped matmul (jax.lax.ragged_dot or Pallas gmm)
+
+    quant: a QLinearConfig scheme for the routed expert linears. When set
+    (and the layer params carry quantized weights, see
+    :func:`mxmoe_tpu.quant.qparams.quantize_model_experts_uniform`), the
+    expert FFN runs through the quantized Pallas grouped matmuls with
+    dynamic per-token activation quant. Attention, router and shared expert
+    stay high-precision — same scope as the reference (expert linears only,
+    ``quant.py:319-359``).
+    interpret: run Pallas kernels in interpreter mode (CPU tests).
     """
 
     kind: str = "ragged"
     gmm_backend: str = "ragged_dot"  # 'ragged_dot' | 'pallas'
+    quant: object | None = None      # QLinearConfig
+    interpret: bool = False
 
 
 def silu_mul(gate_up: jax.Array) -> jax.Array:
@@ -129,6 +140,53 @@ def moe_ffn_ragged(
     return combine_tokens(out, disp, x2d.shape[0])
 
 
+def moe_ffn_ragged_quant(
+    x2d: jax.Array,
+    layer_params: dict,
+    cfg: MoEConfig,
+    impl: MoEImpl,
+) -> jax.Array:
+    """Real-quantized expert FFN: per-token act quant + quantized gmm.
+
+    Scheme selection (impl.quant):
+      a_bits < 16  -> int8×int8 MXU kernel with s_a·s_b epilogue (w8a8-class;
+                      w4 codes ride the same int8 path until int4-native
+                      storage lands)
+      a_bits >= 16 -> weight-only kernel (bf16 MXU, in-kernel dequant)
+    """
+    from ..quant.qparams import quantize_act_rtn
+    from ..ops import pallas_gmm
+
+    qcfg = impl.quant
+    logits = x2d @ layer_params["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x2d, disp)                                   # [T*k, H]
+
+    def qgemm(acts, prefix):
+        wq = layer_params[f"{prefix}_q"]
+        sc = layer_params[f"{prefix}_sc"]
+        zp = layer_params[f"{prefix}_zp"]
+        k = acts.shape[-1]
+        gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
+        if qcfg.a_bits < 16:
+            aq, asc = quantize_act_rtn(acts, qcfg)
+            assert qcfg.w_gsize == -1, "grouped w×a kernel lands separately"
+            return pallas_gmm.gmm_w8a8(
+                aq, asc, wq, sc, disp.group_sizes,
+                out_dtype=acts.dtype, interpret=impl.interpret,
+            )
+        return pallas_gmm.gmm_weight_only(
+            acts, wq, sc, zp, disp.group_sizes, gsize=gsz,
+            out_dtype=acts.dtype, interpret=impl.interpret,
+        )
+
+    h = qgemm(xs, "expert_gate_up")                                  # [T*k, 2N]
+    h = silu_mul(h)
+    out = qgemm(h, "expert_down")                                    # [T*k, H]
+    return combine_tokens(out, disp, x2d.shape[0])
+
+
 def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
     h = silu_mul(x2d @ layer_params["shared_gate_up"])
     out = h @ layer_params["shared_down"]
@@ -148,6 +206,8 @@ def moe_block(
     x2d = x.reshape(-1, h)
     if impl.kind == "dense":
         y = moe_ffn_dense(x2d, layer_params, cfg)
+    elif impl.quant is not None and "expert_gate_up_q" in layer_params:
+        y = moe_ffn_ragged_quant(x2d, layer_params, cfg, impl)
     else:
         y = moe_ffn_ragged(x2d, layer_params, cfg, impl)
     if cfg.shared_expert_intermediate_size > 0:

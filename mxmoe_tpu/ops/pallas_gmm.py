@@ -1,0 +1,297 @@
+"""Pallas TPU grouped matmul (GMM) — the core kernel family.
+
+TPU-native re-design of the reference's fused GroupGEMM stack
+(``hz_fused.cuh:14-445``, ``cta_gemm.cuh``, ``tile_scheduler.cuh``): one
+logical launch computes, for every expert g with a contiguous row range,
+``out[rows_g] = lhs[rows_g] @ rhs[g]``.
+
+Design (vs the CUDA reference):
+  * The persistent-CTA TileScheduler prefix-sum scan becomes **logical-tile
+    metadata** computed in XLA (`make_group_metadata`) and scalar-prefetched
+    into the kernel: grid dim t enumerates (m_tile, group) intersections,
+    so a row tile crossing a group boundary is visited once per group with
+    row masking — no O(problems) in-kernel scan, no atomics.
+  * cp.async double-buffering becomes the Pallas BlockSpec pipeline.
+  * Mixed-precision dequant-into-MMA (``dequant_frag``/``mma.sync``)
+    becomes dtype-specialized kernel bodies: int8×int8 on the native MXU
+    path with an f32 rescale epilogue (s_a · s_b), or in-kernel weight
+    dequant to bf16 ahead of the MXU dot for weight-only schemes.
+  * Heterogeneous quant schemes are handled by *scheme-bucketed* launches
+    (experts pre-sorted by scheme — the TPU analog of the reference's
+    Sequential mode, which beats in-kernel branching on MXU dtype).
+
+Grid layout: ``(tiles_n, num_logical_tiles)`` with ``t`` innermost; output
+blocks are revisited across consecutive ``t`` for boundary tiles, writing
+disjoint row sets (groups partition rows), so masked assembly — not
+accumulation — is sufficient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class GroupMetadata(NamedTuple):
+    group_ids: jax.Array      # [max_logical] group per logical tile
+    m_tile_ids: jax.Array     # [max_logical] output m-tile per logical tile
+    group_offsets: jax.Array  # [E+1] row starts (cumsum of group sizes)
+    num_logical: jax.Array    # scalar int32: active logical tiles
+
+
+def make_group_metadata(group_sizes: jax.Array, m: int, bm: int) -> GroupMetadata:
+    """Logical-tile schedule for a grouped matmul.
+
+    A logical tile is an (m_tile, group) intersection. Groups own contiguous
+    row ranges; an m-tile straddling a boundary appears once per overlapped
+    group. Total logical tiles ≤ cdiv(m, bm) + E - 1 (static bound).
+    """
+    e = group_sizes.shape[0]
+    sizes = group_sizes.astype(jnp.int32)
+    ends = jnp.cumsum(sizes)
+    starts = ends - sizes
+    group_offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])
+
+    first_tile = starts // bm
+    last_tile = jnp.where(sizes > 0, (ends - 1) // bm, first_tile)
+    group_tiles = jnp.where(sizes > 0, last_tile - first_tile + 1, 0)
+    num_logical = jnp.sum(group_tiles)
+
+    max_logical = _cdiv(m, bm) + e - 1
+    tile_offsets = jnp.cumsum(group_tiles) - group_tiles  # exclusive
+    group_ids = jnp.repeat(
+        jnp.arange(e, dtype=jnp.int32), group_tiles,
+        total_repeat_length=max_logical,
+    )
+    # Padding entries (t >= num_logical) are clamped to the final valid
+    # (m_tile, group) pair; their visits rewrite identical masked rows, so
+    # they are idempotent no-ops if the grid is not shortened dynamically.
+    group_ids = jnp.clip(group_ids, 0, e - 1)
+    t_idx = jnp.arange(max_logical, dtype=jnp.int32)
+    m_tile_ids = first_tile[group_ids] + (t_idx - tile_offsets[group_ids])
+    m_tile_ids = jnp.clip(m_tile_ids, 0, max(_cdiv(m, bm) - 1, 0))
+    return GroupMetadata(group_ids, m_tile_ids, group_offsets, num_logical)
+
+
+def _row_mask(m_tile: jax.Array, group_start: jax.Array, group_end: jax.Array,
+              bm: int, bn: int) -> jax.Array:
+    row = m_tile * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    return (row >= group_start) & (row < group_end)
+
+
+# ---------------------------------------------------------------------------
+# bf16 / f32 GMM
+# ---------------------------------------------------------------------------
+
+def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, *, bm, bn):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    res = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm(
+    lhs: jax.Array,          # [M, K]
+    rhs: jax.Array,          # [E, K, N]
+    group_sizes: jax.Array,  # [E] int32
+    bm: int = 128,
+    bn: int = 256,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped matmul, floating-point operands (bf16/f32)."""
+    m, k = lhs.shape
+    e, _, n = rhs.shape
+    out_dtype = out_dtype or lhs.dtype
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta = make_group_metadata(group_sizes, m, bm)
+
+    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+
+    kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k * lhs.dtype.itemsize + e * k * n * rhs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets, lhs, rhs)
+
+
+# Alias used by bench.py's auto-detection.
+gmm_bf16 = gmm
+
+
+# ---------------------------------------------------------------------------
+# w8a8-style GMM: int8 × int8 on the MXU, per-token × per-channel rescale
+# ---------------------------------------------------------------------------
+
+def _gmm_q8_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
+                   out_ref, *, bm, bn):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    acc = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
+    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_w8a8(
+    lhs_q: jax.Array,        # [M, K] int8 codes
+    lhs_scale: jax.Array,    # [M, 1] f32 per-token scale
+    rhs_q: jax.Array,        # [E, K, N] int8 codes
+    rhs_scale: jax.Array,    # [E, 1, N] f32 per-channel scale
+    group_sizes: jax.Array,
+    bm: int = 128,
+    bn: int = 256,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Symmetric per-token × per-channel int8 grouped matmul.
+
+    Epilogue reproduces the reference's s_a·s_b frag rescale
+    (``mm_tile.cuh:469-496``) as one VPU multiply on the f32 accumulator.
+    """
+    m, k = lhs_q.shape
+    e, _, n = rhs_q.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta = make_group_metadata(group_sizes, m, bm)
+    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+
+    kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs_q, lhs_scale, rhs_q, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only GMM: bf16 activations × intN weights, dequant before the MXU
+# ---------------------------------------------------------------------------
+
+def _gmm_wq_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref, bzp_ref,
+                   out_ref, *, bm, bn, gsize, k):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    # Dequantize the weight tile: codes [K, bn] × scale/zp [K//g, bn].
+    q = rhs_ref[0].astype(jnp.float32)
+    ngroups = k // gsize
+    qg = q.reshape(ngroups, gsize, bn)
+    w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
+    w = w.reshape(k, bn).astype(lhs_ref.dtype)
+    res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_weight_only(
+    lhs: jax.Array,          # [M, K] bf16
+    rhs_q: jax.Array,        # [E, K, N] int8/int4 codes (signed storage)
+    rhs_scale: jax.Array,    # [E, K//gsize, N] f32
+    rhs_zp: jax.Array,       # [E, K//gsize, N] f32 (zeros when symmetric)
+    group_sizes: jax.Array,
+    gsize: int,
+    bm: int = 128,
+    bn: int = 256,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-only quantized grouped matmul (w4a16/w8a16, sym or asym).
+
+    In-kernel dequant (VPU) feeding the bf16 MXU dot — the TPU analog of
+    ``cta_gemm_multistage_qb_v2``'s register dequant (``cta_gemm.cuh:
+    112-286``) without the hand-scheduled pipeline: Mosaic fuses the
+    dequant into the tile loop.
+    """
+    m, k = lhs.shape
+    e, _, n = rhs_q.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    gsize = k if gsize == -1 else gsize
+    meta = make_group_metadata(group_sizes, m, bm)
+    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+    ksc = k // gsize
+
+    kernel = functools.partial(_gmm_wq_kernel, bm=bm, bn=bn, gsize=gsize, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k * 2 + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs, rhs_q, rhs_scale, rhs_zp)

@@ -1,0 +1,103 @@
+"""Real-quantized MoE execution vs fake-quant oracle.
+
+Mirrors the reference's check-mode philosophy (``test.cu:725-729``): the
+oracle runs the same fake-quantized values through a trusted dense path, so
+only the kernel/dispatch arithmetic is under test, not quantization error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxmoe_tpu.models import configs, model
+from mxmoe_tpu.models.layers import MoEImpl, moe_block, silu_mul
+from mxmoe_tpu.ops.dispatch import route_topk, make_dispatch, gather_tokens, combine_tokens
+from mxmoe_tpu.ops.gmm import gmm_dense_reference
+from mxmoe_tpu.quant import qparams
+from mxmoe_tpu.quant.schemes import QLinearConfig
+from mxmoe_tpu.quant.packing import dequantize_weight_kn, PackedTensor
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def _tiny_setup(seed=0, e=4, t=64):
+    cfg = configs.tiny_qwen2_moe(num_experts=e, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}  # layer 0 slice
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (t, cfg.hidden_size), jnp.float32)
+    return cfg, params, lp, x
+
+
+def _oracle_quant_moe(x2d, lp, cfg, qcfg):
+    """Fake-quant dense-path oracle of moe_ffn_ragged_quant."""
+    logits = x2d @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x2d, disp)
+
+    def fq_gemm(acts, name, gsize):
+        w_fq = dequantize_weight_kn(PackedTensor(
+            lp[f"{name}_q"], lp[f"{name}_sc"], lp[f"{name}_zp"],
+            int(qcfg.w_bits), acts.shape[-1] if gsize == -1 else gsize, qcfg.w_sym,
+        ))
+        if qcfg.a_bits < 16:
+            aq, asc = qparams.quantize_act_rtn(acts, qcfg)
+            acts = aq.astype(jnp.float32) * asc
+        return gmm_dense_reference(acts.astype(jnp.float32), w_fq, disp.group_sizes)
+
+    h = fq_gemm(xs, "expert_gate_up", qcfg.w_gsize)
+    h = silu_mul(h)
+    out = fq_gemm(h, "expert_down", qcfg.w_gsize)
+    return combine_tokens(out, disp, x2d.shape[0])
+
+
+def _quantize_layer(lp, qcfg):
+    out = dict(lp)
+    for name in ("expert_gate_up", "expert_down"):
+        qp = qparams.quantize_expert_weights(lp[name], qcfg)
+        del out[name]
+        out[f"{name}_q"], out[f"{name}_sc"], out[f"{name}_zp"] = qp.q, qp.scale, qp.zp
+    return out
+
+
+def test_w8a8_moe_matches_oracle():
+    cfg, _, lp, x = _tiny_setup()
+    qcfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8, a_sym=True)
+    qlp = _quantize_layer(lp, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+
+    got = moe_block(x[None], qlp, cfg, impl)[0]
+    # subtract the shared-expert contribution computed identically in both
+    ref_moe = _oracle_quant_moe(x, qlp, cfg, qcfg)
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    ref = ref_moe + shared_expert_ffn(x, qlp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_w4a16_weight_only_moe_matches_oracle():
+    cfg, _, lp, x = _tiny_setup(seed=3)
+    qcfg = QLinearConfig(w_bits=4, w_gsize=16, w_sym=False, a_bits=16)
+    qlp = _quantize_layer(lp, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+
+    got = moe_block(x[None], qlp, cfg, impl)[0]
+    ref_moe = _oracle_quant_moe(x, qlp, cfg, qcfg)
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    ref = ref_moe + shared_expert_ffn(x, qlp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_full_forward_quantized_smoke():
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    qcfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8, a_sym=True)
+    qp = qparams.quantize_model_experts_uniform(params, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+    toks = jax.random.randint(jax.random.PRNGKey(8), (2, 16), 0, cfg.vocab_size)
+
+    logits_q = model.forward_logits(qp, toks, cfg, impl)
+    logits_f = model.forward_logits(params, toks, cfg, MoEImpl(kind="ragged"))
+    assert bool(jnp.all(jnp.isfinite(logits_q)))
+    # int8 quantization of random-init weights should stay close to fp
+    diff = jnp.abs(logits_q - logits_f).mean() / (jnp.abs(logits_f).mean() + 1e-9)
+    assert float(diff) < 0.15, float(diff)
