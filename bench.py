@@ -1,14 +1,19 @@
 """Headline benchmark: canonical qwen2_moe layer-10 bs8192 MoE FFN GroupGEMM.
 
 Protocol mirrors the reference bench binary (``test.cu`` bench mode,
-SURVEY.md §6): Σ2MNK / median-time TFLOPS on the recorded workload, with
-speedup reported against the best *vendor baseline* — for the reference
-that is CUTLASS grouped GEMM fp16; here it is XLA's native grouped matmul
-(`jax.lax.ragged_dot`) in bf16.
+SURVEY.md §6): Σ2MNK / median-time TFLOPS on the recorded workload —
+routed experts AND shared expert, gate_up AND down — with speedup reported
+against the *vendor baseline*: for the reference that is the best CUTLASS
+grouped-GEMM fp16 tile; here it is XLA bf16 (`jax.lax.ragged_dot` for the
+routed groups + dense `jnp.dot` for the shared expert).
+
+Ours: w8a8 quantized execution (per-token dynamic activation quant on
+device + int8×int8 Pallas grouped matmul with s_a·s_b epilogue), the same
+class of kernel the reference's headline w8a8/w4a4 numbers use. TFLOPS is
+computed on nominal Σ2MNK like the reference.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "TFLOPS", "vs_baseline": N}
-where vs_baseline = our-best-kernel TFLOPS / XLA-bf16-baseline TFLOPS.
 """
 
 from __future__ import annotations
@@ -17,13 +22,14 @@ import json
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mxmoe_tpu.bench import workloads
 from mxmoe_tpu.bench.timing import bench_fn
+from mxmoe_tpu.ops import pallas_gmm
+from mxmoe_tpu.quant.qparams import quantize_act_per_token
 
 
-def _build_operands(wl, key, dtype=jnp.bfloat16):
+def _build_fp_operands(wl, key, dtype=jnp.bfloat16):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     lhs = jax.random.uniform(k1, (wl.m_total, wl.k), jnp.float32, -1, 1).astype(dtype)
     rhs = jax.random.uniform(
@@ -38,6 +44,23 @@ def _build_operands(wl, key, dtype=jnp.bfloat16):
     return lhs, rhs, group_sizes, shared
 
 
+def _quantize_weights(operands):
+    """Pre-quantize weights (offline step); activations quantize on device."""
+    out = []
+    for lhs, rhs, gs, shared in operands:
+        w = rhs.astype(jnp.float32)
+        wsc = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0   # [E,1,N]
+        wq = jnp.round(w / wsc).astype(jnp.int8)
+        sh = None
+        if shared is not None:
+            sw = shared[1].astype(jnp.float32)
+            ssc = jnp.max(jnp.abs(sw), axis=0, keepdims=True) / 127.0  # [1,N]
+            swq = jnp.round(sw / ssc).astype(jnp.int8)
+            sh = (shared[0], swq, ssc)
+        out.append((lhs, wq, wsc, gs, sh))
+    return out
+
+
 def _baseline_step(operands):
     """XLA bf16: ragged_dot for routed experts + dense dot for shared."""
     outs = []
@@ -49,23 +72,18 @@ def _baseline_step(operands):
     return outs
 
 
-def _mxmoe_step_factory():
-    """Best available mxmoe kernel path; falls back to the XLA baseline."""
-    try:
-        from mxmoe_tpu.ops import pallas_gmm  # noqa: F401
-
-        def step(operands):
-            outs = []
-            for lhs, rhs, group_sizes, shared in operands:
-                o = pallas_gmm.gmm(lhs, rhs, group_sizes)
-                outs.append(o)
-                if shared is not None:
-                    outs.append(jnp.dot(shared[0], shared[1], preferred_element_type=jnp.bfloat16))
-            return outs
-
-        return step, "pallas-bf16"
-    except ImportError:
-        return _baseline_step, "xla-bf16"
+def _w8a8_step(qoperands):
+    """Dynamic per-token int8 act quant + int8 MXU grouped matmul."""
+    outs = []
+    for lhs, wq, wsc, gs, shared in qoperands:
+        aq, asc = quantize_act_per_token(lhs, 8)
+        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=256, bn=512))
+        if shared is not None:
+            sl, swq, ssc = shared
+            saq, sasc = quantize_act_per_token(sl, 8)
+            acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
+            outs.append((acc.astype(jnp.float32) * sasc * ssc).astype(jnp.bfloat16))
+    return outs
 
 
 def main():
@@ -73,8 +91,8 @@ def main():
     key = jax.random.PRNGKey(42)
     k1, k2 = jax.random.split(key)
     operands = [
-        _build_operands(gate_up, k1),
-        _build_operands(down, k2),
+        _build_fp_operands(gate_up, k1),
+        _build_fp_operands(down, k2),
     ]
     total_flops = gate_up.flops + down.flops
 
@@ -82,16 +100,14 @@ def main():
     rb = bench_fn(baseline, operands)
     base_tflops = rb.tflops(total_flops)
 
-    step, kernel_name = _mxmoe_step_factory()
-    if step is _baseline_step:
-        ours_tflops = base_tflops
-    else:
-        ours = jax.jit(step)
-        ro = bench_fn(ours, operands)
-        ours_tflops = ro.tflops(total_flops)
+    qoperands = jax.jit(_quantize_weights)(operands)
+    jax.block_until_ready(qoperands)
+    ours = jax.jit(_w8a8_step)
+    ro = bench_fn(ours, qoperands)
+    ours_tflops = ro.tflops(total_flops)
 
     print(json.dumps({
-        "metric": f"qwen2_moe_l10_bs8192_groupgemm_{kernel_name}",
+        "metric": "qwen2_moe_l10_bs8192_moe_ffn_w8a8_pallas",
         "value": round(ours_tflops, 3),
         "unit": "TFLOPS",
         "vs_baseline": round(ours_tflops / base_tflops, 4),

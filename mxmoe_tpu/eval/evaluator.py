@@ -1,0 +1,173 @@
+"""Perplexity and zero-shot evaluation of (quantized) models.
+
+Reference: ``Evaluator.eval_ppl`` (``evaluator.py:23-57``) — manual
+cross-entropy over seqlen-4096 windows of WikiText-2 test, ppl =
+exp(Σ nll / N) — and ``eval_tasks`` (lm-eval zero-shot, ``:64-86``).
+
+Here the forward is a jitted pure function; windows stream through one
+compiled step. Zero-shot tasks run through a loglikelihood adapter when
+``lm_eval`` + task data are available (air-gapped environments fall back
+to ppl-only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import MoEConfig
+from ..models import model as model_mod
+from ..models.layers import MoEImpl
+
+
+def eval_ppl_tokens(
+    params: dict,
+    tokens: np.ndarray,        # [n_windows, seqlen]
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+    batch: int = 1,
+) -> float:
+    """Perplexity over pre-tokenized windows (next-token CE, f32 logits)."""
+
+    @jax.jit
+    def window_nll(params, toks):
+        logits = model_mod.forward_logits(params, toks, cfg, impl)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll), tgt.size
+
+    total_nll, total_tok = 0.0, 0
+    toks = jnp.asarray(tokens, jnp.int32)
+    for i in range(0, toks.shape[0], batch):
+        chunk = toks[i: i + batch]
+        nll, n = window_nll(params, chunk)
+        total_nll += float(nll)
+        total_tok += int(n)
+    return float(np.exp(total_nll / max(total_tok, 1)))
+
+
+def eval_ppl(
+    params: dict,
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+    tokenizer=None,
+    seqlen: int = 4096,
+    nsamples: int | None = None,
+    dataset: str = "wikitext2",
+) -> float:
+    """WikiText-2 test perplexity (reference protocol). Requires tokenizer
+    + dataset; use :func:`eval_ppl_tokens` directly in air-gapped runs."""
+    from ..quant.data import get_wikitext2
+
+    toks = get_wikitext2(nsamples or 64, seqlen, tokenizer, split="test")
+    return eval_ppl_tokens(params, toks, cfg, impl)
+
+
+def loglikelihood(
+    params: dict,
+    cfg: MoEConfig,
+    context_tokens: np.ndarray,     # [T_ctx]
+    continuation_tokens: np.ndarray,  # [T_cont]
+    impl: MoEImpl = MoEImpl(),
+) -> tuple[float, bool]:
+    """(log p(continuation | context), greedy_match) — the primitive under
+    lm-eval zero-shot tasks (acc_norm protocol, ``evaluator.py:64-86``)."""
+    toks = np.concatenate([context_tokens, continuation_tokens])[None]
+    toks_j = jnp.asarray(toks, jnp.int32)
+    logits = model_mod.forward_logits(params, toks_j, cfg, impl)
+    lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+    start = len(context_tokens) - 1
+    cont = jnp.asarray(continuation_tokens, jnp.int32)
+    sel = lp[start: start + len(continuation_tokens)]
+    ll = jnp.sum(jnp.take_along_axis(sel, cont[:, None], axis=-1))
+    greedy = bool(jnp.all(jnp.argmax(sel, axis=-1) == cont))
+    return float(ll), greedy
+
+
+ZERO_SHOT_TASKS = ("piqa", "hellaswag", "arc_easy", "arc_challenge",
+                   "winogrande", "lambada_openai")
+
+
+def eval_tasks(
+    params: dict,
+    cfg: MoEConfig,
+    tokenizer,
+    tasks: tuple[str, ...] = ZERO_SHOT_TASKS,
+    impl: MoEImpl = MoEImpl(),
+    limit: int | None = None,
+) -> dict:
+    """Zero-shot accuracy via loglikelihood comparison over task choices.
+
+    Needs HF `datasets` access for the task data; returns {} gracefully
+    when unavailable (air-gapped). acc_norm = length-normalized
+    loglikelihood argmax, matching the reference's lm-eval settings.
+    """
+    try:
+        from datasets import load_dataset  # noqa: F401
+    except ImportError:
+        return {}
+
+    results = {}
+    for task in tasks:
+        try:
+            results[task] = _eval_single_task(
+                params, cfg, tokenizer, task, impl, limit
+            )
+        except Exception:
+            continue
+    if results:
+        results["average"] = float(np.mean([v for v in results.values()]))
+    return results
+
+
+def _eval_single_task(params, cfg, tokenizer, task, impl, limit):
+    from datasets import load_dataset
+
+    if task == "piqa":
+        ds = load_dataset("piqa", split="validation")
+        items = [(r["goal"], [r["sol1"], r["sol2"]], r["label"]) for r in ds]
+    elif task == "hellaswag":
+        ds = load_dataset("hellaswag", split="validation")
+        items = [(r["ctx"], r["endings"], int(r["label"])) for r in ds]
+    elif task in ("arc_easy", "arc_challenge"):
+        name = "ARC-Easy" if task == "arc_easy" else "ARC-Challenge"
+        ds = load_dataset("ai2_arc", name, split="validation")
+        items = []
+        for r in ds:
+            if r["answerKey"] not in r["choices"]["label"]:
+                continue
+            gold = r["choices"]["label"].index(r["answerKey"])
+            items.append((r["question"], r["choices"]["text"], gold))
+    elif task == "winogrande":
+        ds = load_dataset("winogrande", "winogrande_xl", split="validation")
+        items = [
+            (r["sentence"].split("_")[0],
+             [r["option1"] + r["sentence"].split("_")[1],
+              r["option2"] + r["sentence"].split("_")[1]],
+             int(r["answer"]) - 1)
+            for r in ds
+        ]
+    elif task == "lambada_openai":
+        ds = load_dataset("EleutherAI/lambada_openai", split="test")
+        items = [(" ".join(r["text"].split()[:-1]), [" " + r["text"].split()[-1]], 0)
+                 for r in ds]
+    else:
+        raise ValueError(task)
+
+    if limit:
+        items = items[:limit]
+    correct = 0
+    for ctx, choices, gold in items:
+        scores = []
+        ctx_ids = np.asarray(tokenizer(ctx)["input_ids"])
+        for ch in choices:
+            cont_ids = np.asarray(tokenizer(" " + ch)["input_ids"])
+            ll, _ = loglikelihood(params, cfg, ctx_ids, cont_ids, impl)
+            scores.append(ll / max(len(cont_ids), 1))  # acc_norm
+        if int(np.argmax(scores)) == gold:
+            correct += 1
+    return correct / max(len(items), 1)

@@ -121,20 +121,49 @@ def moe_ffn_dense(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Arr
     return jnp.einsum("eth,te->th", out_all, w)
 
 
+def _act_fq_per_row(x: jax.Array, bits_per_row: jax.Array) -> jax.Array:
+    """Per-token symmetric fake-quant with a per-row bitwidth (16 = off).
+
+    Vectorized analog of the reference's per-linear act-quant hooks
+    (``quant.py:126-131``) for mixed-precision eval: each expert's rows get
+    that expert's activation width.
+    """
+    upper = jnp.exp2(bits_per_row.astype(jnp.float32) - 1.0) - 1.0   # [M]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-10) / upper
+    q = jnp.round(x.astype(jnp.float32) / scale[:, None]) * scale[:, None]
+    keep = (bits_per_row >= 16)[:, None]
+    return jnp.where(keep, x.astype(jnp.float32), q).astype(x.dtype)
+
+
 def moe_ffn_ragged(
     x2d: jax.Array,
     layer_params: dict,
     cfg: MoEConfig,
     impl: MoEImpl,
 ) -> jax.Array:
-    """Production path: sort tokens by expert, two grouped matmuls, combine."""
+    """Production path: sort tokens by expert, two grouped matmuls, combine.
+
+    When the layer params carry ``act_bits_gateup``/``act_bits_down`` [E]
+    arrays (mixed fake-quant eval, see quant/quantizer.py), activations are
+    fake-quantized per expert row group before each grouped matmul.
+    """
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
+    mixed_act = "act_bits_gateup" in layer_params
+    if mixed_act:
+        row_expert = jnp.repeat(
+            jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
+            total_repeat_length=xs.shape[0],
+        )
+        xs = _act_fq_per_row(xs, jnp.take(layer_params["act_bits_gateup"], row_expert))
     h = gmm_ops.gmm(xs, layer_params["expert_gate_up"], disp.group_sizes,
                     backend=impl.gmm_backend)                       # [T*k, 2N]
     h = silu_mul(h)
+    if mixed_act:
+        h = _act_fq_per_row(h, jnp.take(layer_params["act_bits_down"], row_expert))
     out = gmm_ops.gmm(h, layer_params["expert_down"], disp.group_sizes,
                       backend=impl.gmm_backend)                     # [T*k, H]
     return combine_tokens(out, disp, x2d.shape[0])
@@ -188,7 +217,13 @@ def moe_ffn_ragged_quant(
 
 
 def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
-    h = silu_mul(x2d @ layer_params["shared_gate_up"])
+    x_in = x2d
+    if "act_bits_shared" in layer_params:
+        bits = layer_params["act_bits_shared"]  # [2] (gate_up input, down input)
+        x_in = _act_fq_per_row(x2d, jnp.full((x2d.shape[0],), bits[0]))
+    h = silu_mul(x_in @ layer_params["shared_gate_up"])
+    if "act_bits_shared" in layer_params:
+        h = _act_fq_per_row(h, jnp.full((h.shape[0],), bits[1]))
     out = h @ layer_params["shared_down"]
     if cfg.has_shared_expert_gate:
         gate = jax.nn.sigmoid(x2d @ layer_params["shared_gate"])  # [T, 1]

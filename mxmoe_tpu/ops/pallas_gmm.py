@@ -105,7 +105,7 @@ def gmm(
     lhs: jax.Array,          # [M, K]
     rhs: jax.Array,          # [E, K, N]
     group_sizes: jax.Array,  # [E] int32
-    bm: int = 128,
+    bm: int = 256,
     bn: int = 256,
     out_dtype=None,
     interpret: bool = False,
@@ -172,8 +172,8 @@ def gmm_w8a8(
     rhs_q: jax.Array,        # [E, K, N] int8 codes
     rhs_scale: jax.Array,    # [E, 1, N] f32 per-channel scale
     group_sizes: jax.Array,
-    bm: int = 128,
-    bn: int = 256,
+    bm: int = 256,
+    bn: int = 512,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:

@@ -106,7 +106,37 @@ def moe_calib_errors(
     d_q = run(_fq_act(h_fp, qcfg), _fq_weight(wd, qcfg))
     err_down = per_expert_sq(d_q - d_fp)
 
-    return jnp.stack([err_gate, err_up, err_down], axis=-1)  # [E, 3]
+    errs = jnp.stack([err_gate, err_up, err_down], axis=-1)  # [E, 3]
+
+    # Shared expert (reference treats it as expert index E with its own
+    # scheme assignment: ``moe_utils.py:116-123``, ``bits_solver.py:566-575``)
+    if cfg.shared_expert_intermediate_size > 0:
+        ns = cfg.shared_expert_intermediate_size
+        sg_up = layer_params["shared_gate_up"]
+        swg, swu = sg_up[..., :ns], sg_up[..., ns:]
+        swd = layer_params["shared_down"]
+        gate_mult = (
+            jax.nn.sigmoid(x2d @ layer_params["shared_gate"]).astype(jnp.float32)
+            if cfg.has_shared_expert_gate else 1.0
+        )
+        sg = x2d @ swg
+        su = x2d @ swu
+        sh = jax.nn.silu(sg) * su
+        sd = sh @ swd
+        x_fq2 = _fq_act(x2d, qcfg)
+
+        def tot_sq(delta):
+            return jnp.sum((gate_mult * delta.astype(jnp.float32)) ** 2)
+
+        g_q = x_fq2 @ _fq_weight(swg, qcfg)
+        e_g = tot_sq((jax.nn.silu(g_q) * su - sh) @ swd)
+        u_q = x_fq2 @ _fq_weight(swu, qcfg)
+        e_u = tot_sq((jax.nn.silu(sg) * u_q - sh) @ swd)
+        d_qq = _fq_act(sh, qcfg) @ _fq_weight(swd, qcfg)
+        e_d = tot_sq(d_qq - sd)
+        errs = jnp.concatenate([errs, jnp.stack([e_g, e_u, e_d])[None]], axis=0)
+
+    return errs  # [E(+1 shared), 3]
 
 
 def layer_forward_fp(

@@ -1,0 +1,210 @@
+"""GPTQ (Hessian-based weight quantization), batched over experts.
+
+Reference: ``mxmoe/quant/gptq.py:147-284`` (adapted there from IST-DASLab).
+Semantics reproduced:
+  * H = Σ X Xᵀ accumulated over calibration activations (``add_batch``),
+  * damping by percdamp × mean(diag H) (``:201-208``),
+  * inverse-Hessian upper-Cholesky factor,
+  * blocked column sweep: quantize column i, error = (w−q)/Hinv[i,i],
+    update remaining columns by err × Hinv[i, i+1:] (``:219-256``).
+
+TPU-native differences: one pass quantizes ALL experts of a layer —
+arrays are [E, N, K] and the Cholesky/triangular solves batch over E via
+XLA (the reference loops experts sequentially). The column sweep is a
+lax.scan per 128-column block; trailing-block updates are single batched
+matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rtn import quant_ranges
+from .schemes import QLinearConfig
+
+
+class GPTQResult(NamedTuple):
+    codes: jax.Array   # [E, N, K] integer codes (float32)
+    scale: jax.Array   # [E, N, K//g]
+    zp: jax.Array      # [E, N, K//g]
+    w_fq: jax.Array    # [E, N, K] fake-quantized weights
+
+
+def accumulate_hessian(xs: jax.Array, group_sizes: jax.Array | None = None,
+                       num_experts: int | None = None) -> jax.Array:
+    """H[e] = 2 Σ_{rows of e} x xᵀ  (reference ``add_batch``, gptq.py:165-176).
+
+    xs: [M, K] expert-sorted rows (grouped by expert) or, when
+    group_sizes is None, a single [M, K] batch -> H [K, K].
+    """
+    if group_sizes is None:
+        return 2.0 * (xs.T.astype(jnp.float32) @ xs.astype(jnp.float32))
+    e = num_experts or group_sizes.shape[0]
+    row_expert = jnp.repeat(
+        jnp.arange(e, dtype=jnp.int32), group_sizes, total_repeat_length=xs.shape[0]
+    )
+    oh = jax.nn.one_hot(row_expert, e, dtype=jnp.float32)          # [M, E]
+    xf = xs.astype(jnp.float32)
+    return 2.0 * jnp.einsum("me,mk,ml->ekl", oh, xf, xf)
+
+
+def _find_group_params(w_cols: jax.Array, bits: float, sym: bool,
+                       clip=(1.0, 1.0)) -> tuple[jax.Array, jax.Array]:
+    """Min-max scale/zp over the last axis (one group of columns).
+
+    w_cols: [..., g] -> scale/zp [...]. Same math as rtn.quantize groups.
+    """
+    upper, lower, eff_sym = quant_ranges(bits, sym)
+    if eff_sym:
+        scale = jnp.max(jnp.abs(w_cols), axis=-1) / upper
+        zp = jnp.zeros_like(scale)
+    else:
+        gmin = jnp.min(w_cols, axis=-1) * clip[0]
+        gmax = jnp.max(w_cols, axis=-1) * clip[1]
+        scale = (gmax - gmin) / upper
+        zp = gmin
+    return jnp.maximum(scale, 1e-10), zp
+
+
+def _quant_col(w: jax.Array, scale: jax.Array, zp: jax.Array,
+               bits: float, sym: bool) -> tuple[jax.Array, jax.Array]:
+    upper, lower, _ = quant_ranges(bits, sym)
+    q = jnp.clip(jnp.round((w - zp) / scale), lower, upper)
+    return q, q * scale + zp
+
+
+def gptq_quantize(
+    w: jax.Array,              # [E, N, K] weights (rows = output channels)
+    hessian: jax.Array,        # [E, K, K]
+    cfg: QLinearConfig,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+) -> GPTQResult:
+    """Blocked GPTQ sweep for all experts at once."""
+    e, n, k = w.shape
+    bits, sym, clip = cfg.w_bits, cfg.w_sym, cfg.w_clip
+    gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
+    assert k % gsize == 0
+    # block boundaries align with group boundaries so group scales can be
+    # computed from current (error-compensated) weights at block entry
+    blocksize = min(blocksize, k) if cfg.w_gsize == -1 else gsize
+    assert k % blocksize == 0
+
+    wf = w.astype(jnp.float32)
+    h = hessian.astype(jnp.float32)
+
+    # dead columns (zero diag) -> diag 1, weight 0 (gptq.py:196-199)
+    diag = jnp.diagonal(h, axis1=-2, axis2=-1)                # [E, K]
+    dead = (diag == 0).astype(jnp.float32)
+    h = h + jnp.eye(k)[None] * dead[:, None, :]
+    wf = wf * (1.0 - dead[:, None, :])
+
+    # damping (gptq.py:201-208)
+    damp = percdamp * jnp.mean(diag, axis=-1)
+    h = h + jnp.eye(k)[None] * damp[:, None, None]
+
+    # Hinv upper-Cholesky factor (gptq.py:210-217). torch's
+    # cholesky(Hinv, upper=True) returns U with Hinv = UᵀU; equivalently
+    # U = cholesky(Hinv, lower).T — batched over experts by XLA.
+    chol = jnp.linalg.cholesky(h)                             # [E, K, K] lower
+    eye = jnp.broadcast_to(jnp.eye(k), (e, k, k))
+    inv_l = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)   # L⁻¹
+    hinv = jnp.swapaxes(inv_l, -1, -2) @ inv_l                # H⁻¹ = L⁻ᵀL⁻¹
+    hinv_u = jnp.swapaxes(jnp.linalg.cholesky(hinv), -1, -2)  # upper U, Hinv=UᵀU
+
+    num_blocks = k // blocksize
+    groups_per_block = max(blocksize // gsize, 1)
+
+    scale_all = jnp.zeros((e, n, k // gsize), jnp.float32)
+    zp_all = jnp.zeros_like(scale_all)
+    q_all = jnp.zeros((e, n, k), jnp.float32)
+
+    if cfg.w_gsize == -1:
+        # per-channel params from the ORIGINAL weights (gptq find_params once)
+        scale_g, zp_g = _find_group_params(wf, bits, sym, clip)   # [E, N]
+        scale_all = scale_g[..., None]
+        zp_all = zp_g[..., None]
+
+    def block_step(carry, bi):
+        wf, q_all, scale_all, zp_all = carry
+        s = bi * blocksize
+        wblk = jax.lax.dynamic_slice_in_dim(wf, s, blocksize, axis=2)   # [E,N,B]
+        ublk = jax.lax.dynamic_slice_in_dim(hinv_u, s, blocksize, axis=1)  # [E,B,K]
+        ublk_in = jax.lax.dynamic_slice_in_dim(ublk, s, blocksize, axis=2)  # [E,B,B]
+
+        if cfg.w_gsize != -1:
+            # grouped: scales from the CURRENT (updated) block, per group
+            wg = wblk.reshape(e, n, groups_per_block, gsize)
+            sc_b, zp_b = _find_group_params(wg, bits, sym, clip)  # [E,N,G]
+            g0 = s // gsize
+            scale_all = jax.lax.dynamic_update_slice_in_dim(
+                scale_all, sc_b, g0, axis=2)
+            zp_all = jax.lax.dynamic_update_slice_in_dim(zp_all, zp_b, g0, axis=2)
+
+        def col_step(carry2, ci):
+            wblk, qblk, errblk = carry2
+            wcol = jax.lax.dynamic_slice_in_dim(wblk, ci, 1, axis=2)[..., 0]  # [E,N]
+            if cfg.w_gsize == -1:
+                sc, zp = scale_all[..., 0], zp_all[..., 0]
+            else:
+                gidx = s // gsize + ci // gsize
+                sc = jax.lax.dynamic_slice_in_dim(scale_all, gidx, 1, axis=2)[..., 0]
+                zp = jax.lax.dynamic_slice_in_dim(zp_all, gidx, 1, axis=2)[..., 0]
+            qcol, dqcol = _quant_col(wcol, sc, zp, bits, sym)
+            d = jax.lax.dynamic_slice(ublk_in, (0, ci, ci), (e, 1, 1))[:, 0, 0]  # [E]
+            err = (wcol - dqcol) / d[:, None]                                   # [E,N]
+            # update remaining columns inside the block
+            urow = jax.lax.dynamic_slice_in_dim(ublk_in, ci, 1, axis=1)[:, 0]   # [E,B]
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (blocksize,), 0)
+            mask = (col_ids > ci).astype(jnp.float32)                           # [B]
+            upd = err[:, :, None] * (urow * mask)[:, None, :]                   # [E,N,B]
+            wblk = wblk - upd
+            qblk = jax.lax.dynamic_update_slice_in_dim(
+                qblk, qcol[..., None], ci, axis=2)
+            errblk = jax.lax.dynamic_update_slice_in_dim(
+                errblk, err[..., None], ci, axis=2)
+            return (wblk, qblk, errblk), None
+
+        qblk0 = jnp.zeros_like(wblk)
+        errblk0 = jnp.zeros_like(wblk)
+        (wblk, qblk, errblk), _ = jax.lax.scan(
+            col_step, (wblk, qblk0, errblk0), jnp.arange(blocksize)
+        )
+        q_all = jax.lax.dynamic_update_slice_in_dim(q_all, qblk, s, axis=2)
+        # propagate error to trailing columns: W[:, s+B:] -= Err @ U[s:s+B, s+B:]
+        # (single batched MXU matmul; gptq.py:252-253)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+        tail_mask = (col_ids >= s + blocksize).astype(jnp.float32)              # [K]
+        upd_full = jnp.einsum("enb,ebk->enk", errblk, ublk * tail_mask[None, None, :])
+        wf = wf - upd_full
+        return (wf, q_all, scale_all, zp_all), None
+
+    (wf, q_all, scale_all, zp_all), _ = jax.lax.scan(
+        block_step, (wf, q_all, scale_all, zp_all), jnp.arange(num_blocks)
+    )
+
+    gdim = k // gsize
+    w_fq = (
+        q_all.reshape(e, n, gdim, gsize) * scale_all[..., None]
+        + zp_all[..., None]
+    ).reshape(e, n, k)
+    return GPTQResult(codes=q_all, scale=scale_all, zp=zp_all, w_fq=w_fq)
+
+
+def gptq_quantize_kn(
+    w_kn: jax.Array,           # [E, K, N] kernel-layout weights
+    hessian: jax.Array,        # [E, K, K]
+    cfg: QLinearConfig,
+    **kw,
+) -> GPTQResult:
+    """Convenience wrapper for the [K, N] kernel layout (rows along N)."""
+    res = gptq_quantize(jnp.swapaxes(w_kn, -1, -2), hessian, cfg, **kw)
+    return GPTQResult(
+        codes=jnp.swapaxes(res.codes, -1, -2),
+        scale=res.scale, zp=res.zp,
+        w_fq=jnp.swapaxes(res.w_fq, -1, -2),
+    )

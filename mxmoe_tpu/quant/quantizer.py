@@ -1,0 +1,223 @@
+"""Model quantization orchestrator — the MoeModelQuantizer analog.
+
+Reference: ``mxmoe/quant/quant.py:224-679`` (methods rtn / gptq /
+rtn-had / gptq-had; per-(layer, expert, linear) schemes from a
+QModelConfig; forward-pre-hooks for activation fake-quant). Functional
+redesign: quantization is a pytree transform producing
+
+  * fake-quantized expert weights (mixed per-expert schemes), and
+  * per-layer ``act_bits_gateup`` / ``act_bits_down`` [E] (+
+    ``act_bits_shared`` [2]) arrays the ragged forward applies per row
+    group (models/layers.py::_act_fq_per_row),
+
+so accuracy eval runs the standard forward with no hooks or module
+surgery. GPTQ propagates layer inputs through already-quantized layers
+(sequential semantics of ``llama_sequential``, gptq.py:297-424).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import MoEConfig
+from ..models.layers import rope_frequencies
+from .calibrate import layer_forward_fp
+from .gptq import accumulate_hessian, gptq_quantize_kn
+from .rtn import fake_quant
+from .rotation import rotate_model_hadamard
+from .schemes import QLinearConfig, QModelConfig
+
+
+def _fq_weight_kn(w_kn: jax.Array, cfg: QLinearConfig) -> jax.Array:
+    """Fake-quant [.., K, N] weights grouped along K per output column."""
+    if cfg.w_bits >= 16:
+        return w_kn
+    w_nk = jnp.swapaxes(w_kn, -1, -2)
+    w_nk = fake_quant(w_nk, cfg.w_bits, cfg.w_gsize, cfg.w_sym, cfg.w_clip)
+    return jnp.swapaxes(w_nk, -1, -2)
+
+
+def _scheme_buckets(layer_cfg, num_experts: int, linear: str):
+    """expert-id lists per distinct scheme for one linear family."""
+    buckets: dict[str, list[int]] = {}
+    for e in range(num_experts):
+        c = layer_cfg.experts[str(e)].qmap()[linear]
+        buckets.setdefault(c.scheme_name, []).append(e)
+    return buckets
+
+
+def _act_bits_arrays(layer_cfg, num_experts: int):
+    gb = np.full(num_experts, 16.0, np.float32)
+    db = np.full(num_experts, 16.0, np.float32)
+    for e in range(num_experts):
+        qm = layer_cfg.experts[str(e)].qmap()
+        assert qm["gate"].a_bits == qm["up"].a_bits, "gate/up act widths tied"
+        gb[e] = float(qm["gate"].a_bits)
+        db[e] = float(qm["down"].a_bits)
+    return jnp.asarray(gb), jnp.asarray(db)
+
+
+def quantize_model_fake(
+    params: dict,
+    cfg: MoEConfig,
+    qmodel_cfg: QModelConfig,
+    method: str = "rtn",
+    calib_tokens: jax.Array | None = None,
+    rotation_key: jax.Array | None = None,
+    backend: str = "ragged_dot",
+) -> dict:
+    """Mixed-scheme fake quantization of routed + shared expert linears.
+
+    method: 'rtn' | 'gptq' | 'rtn-had' | 'gptq-had' (reference method set,
+    ``quant.py:248``). GPTQ requires calib_tokens.
+    Returns a param pytree ready for accuracy eval with the standard
+    forward (act quant arrays included).
+    """
+    if method.endswith("-had"):
+        params = rotate_model_hadamard(params, cfg, rotation_key)
+        method = method[:-4]
+    assert method in ("rtn", "gptq")
+    if method == "gptq":
+        assert calib_tokens is not None, "GPTQ needs calibration tokens"
+        return _quantize_gptq(params, cfg, qmodel_cfg, calib_tokens, backend)
+    return _quantize_rtn(params, cfg, qmodel_cfg)
+
+
+def _apply_buckets_kn(w: jax.Array, buckets: dict[str, list[int]],
+                      layer_cfg, linear: str, hessian=None) -> jax.Array:
+    """w [E, K, N]: fake-quant each scheme bucket (RTN or GPTQ w/ hessian)."""
+    out = w
+    for scheme, eids in buckets.items():
+        c = layer_cfg.experts[str(eids[0])].qmap()[linear]
+        if c.w_bits >= 16:
+            continue
+        idx = jnp.asarray(eids, jnp.int32)
+        sub = jnp.take(w, idx, axis=0)
+        if hessian is None:
+            fq = _fq_weight_kn(sub, c)
+        else:
+            h_sub = jnp.take(hessian, idx, axis=0)
+            fq = gptq_quantize_kn(sub, h_sub, c).w_fq
+        out = out.at[idx].set(fq.astype(w.dtype))
+    return out
+
+
+def _shared_cfgs(layer_cfg, num_experts: int):
+    key = str(num_experts)  # shared expert = index E (reference convention)
+    if key in layer_cfg.experts:
+        return layer_cfg.experts[key].qmap()
+    return None
+
+
+def _quantize_layer_params(lp: dict, cfg: MoEConfig, layer_cfg,
+                           hessians: dict | None = None) -> dict:
+    e = cfg.num_experts
+    out = dict(lp)
+    # gate/up tied (solver constraint): the fused [E, H, 2N] gate_up weight
+    # quantizes with the gate scheme; down with its own.
+    for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):
+        buckets = _scheme_buckets(layer_cfg, e, lin)
+        h = None if hessians is None else hessians[name]
+        out[name] = _apply_buckets_kn(lp[name], buckets, layer_cfg, lin, h)
+
+    sh = _shared_cfgs(layer_cfg, e)
+    if sh is not None and "shared_gate_up" in lp:
+        for name, c in (("shared_gate_up", sh["gate"]), ("shared_down", sh["down"])):
+            if c.w_bits >= 16:
+                continue
+            if hessians is not None and name in hessians:
+                out[name] = gptq_quantize_kn(
+                    lp[name][None], hessians[name][None], c
+                ).w_fq[0].astype(lp[name].dtype)
+            else:
+                out[name] = _fq_weight_kn(lp[name], c)
+
+    gb, db = _act_bits_arrays(layer_cfg, e)
+    out["act_bits_gateup"] = gb
+    out["act_bits_down"] = db
+    if sh is not None and "shared_gate_up" in lp:
+        out["act_bits_shared"] = jnp.asarray(
+            [float(sh["gate"].a_bits), float(sh["down"].a_bits)], jnp.float32
+        )
+    return out
+
+
+def _quantize_rtn(params: dict, cfg: MoEConfig, qmodel_cfg: QModelConfig) -> dict:
+    num_layers = params["layers"]["router"].shape[0]
+    new_layers = {k: [] for k in params["layers"]}
+    extra = {"act_bits_gateup": [], "act_bits_down": []}
+    has_shared = "shared_gate_up" in params["layers"]
+    if has_shared:
+        extra["act_bits_shared"] = []
+    for l in range(num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+        qlp = _quantize_layer_params(lp, cfg, qmodel_cfg.layer(l))
+        for k in new_layers:
+            new_layers[k].append(qlp[k])
+        for k in extra:
+            extra[k].append(qlp[k])
+    stacked = {k: jnp.stack(v) for k, v in new_layers.items()}
+    stacked.update({k: jnp.stack(v) for k, v in extra.items()})
+    out = dict(params)
+    out["layers"] = stacked
+    return out
+
+
+def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
+    """Layer-streamed GPTQ: Hessians from the FP pass of each layer, inputs
+    propagated through already-quantized layers."""
+    from ..ops.dispatch import route_topk, make_dispatch, gather_tokens
+    from ..ops import gmm as gmm_ops
+    from ..models.layers import silu_mul
+
+    b, s = tokens.shape
+    positions = jnp.arange(s)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    x = jnp.take(params["embed"], tokens, axis=0)
+    fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
+
+    @jax.jit
+    def hessians_for_layer(x2d, lp):
+        logits = x2d @ lp["router"]
+        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+        disp = make_dispatch(routing, cfg.num_experts)
+        xs = gather_tokens(x2d, disp)
+        h_pre = silu_mul(
+            gmm_ops.gmm(xs, lp["expert_gate_up"], disp.group_sizes, backend=backend)
+        )
+        out = {
+            "expert_gate_up": accumulate_hessian(xs, disp.group_sizes, cfg.num_experts),
+            "expert_down": accumulate_hessian(h_pre, disp.group_sizes, cfg.num_experts),
+        }
+        if "shared_gate_up" in lp:
+            sh = silu_mul(x2d @ lp["shared_gate_up"])
+            out["shared_gate_up"] = accumulate_hessian(x2d)
+            out["shared_down"] = accumulate_hessian(sh)
+        return out
+
+    num_layers = params["layers"]["router"].shape[0]
+    new_layers = {k: [] for k in params["layers"]}
+    extra = {"act_bits_gateup": [], "act_bits_down": []}
+    if "shared_gate_up" in params["layers"]:
+        extra["act_bits_shared"] = []
+    for l in range(num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+        _, x2d = fwd(x, lp, cos=cos, sin=sin)
+        hs = hessians_for_layer(x2d, lp)
+        qlp = _quantize_layer_params(lp, cfg, qmodel_cfg.layer(l), hessians=hs)
+        for k in new_layers:
+            new_layers[k].append(qlp[k])
+        for k in extra:
+            extra[k].append(qlp[k])
+        # propagate through the QUANTIZED layer (llama_sequential semantics)
+        x, _ = fwd(x, {k: qlp[k] for k in lp}, cos=cos, sin=sin)
+    stacked = {k: jnp.stack(v) for k, v in new_layers.items()}
+    stacked.update({k: jnp.stack(v) for k, v in extra.items()})
+    out = dict(params)
+    out["layers"] = stacked
+    return out

@@ -1,0 +1,125 @@
+"""QuaRot-style rotation as pure weight-space pytree transforms.
+
+Reference: ``mxmoe/quant/rotation.py`` — fuse RMSNorm scales into adjacent
+linears (``fuse_layer_norms``, :157-231), then multiply every hidden-space
+in/out projection by a random orthogonal Hadamard Q
+(``ModelRotator.rotate_model``, :435-469), plus an optional *online*
+Hadamard on down_proj inputs (``online_had_down_proj``, :403-421).
+
+Here the model is a functional pytree, so both steps are pure functions
+params -> params with an exact invariance property (rotated model ==
+original model in exact arithmetic), which tests/test_rotation.py checks.
+
+Layout notes ([in, out] weights, y = x @ W):
+  hidden-consuming linears (wq/wk/wv, router, expert/shared gate_up,
+  shared_gate, lm_head):  W' = Qᵀ W
+  hidden-producing linears (wo, expert/shared down): W' = W Q
+  embedding: E' = E Q
+  RMSNorm with unit weight commutes with orthogonal Q (norm-preserving),
+  so norms must be fused first.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.configs import MoEConfig
+from .hadamard import random_hadamard_matrix, matmul_hadU
+
+
+_HIDDEN_IN = ("wq", "wk", "wv", "router", "shared_gate")     # [.., H, out]
+_HIDDEN_IN_STACKED = ("expert_gate_up",)                     # [L, E, H, out]
+_HIDDEN_OUT = ("wo", "shared_down")                          # [.., in, H]
+_HIDDEN_OUT_STACKED = ("expert_down",)                       # [L, E, in, H]
+
+
+def fuse_layer_norms(params: dict) -> dict:
+    """Fold RMSNorm scale vectors into the following linears; set norms to 1.
+
+    input_norm -> wq/wk/wv; post_attn_norm -> router, gate_up (experts +
+    shared), shared_gate; final_norm -> lm_head. (Reference
+    ``fuse_ln_linear``, rotation.py:132-155.)
+    """
+    layers = dict(params["layers"])
+    g_in = layers["input_norm"]                  # [L, H]
+    g_post = layers["post_attn_norm"]            # [L, H]
+
+    def scale_rows(w, g):
+        # w [L, H, out] (or [L, E, H, out]): scale the H (input) axis
+        if w.ndim == 3:
+            return w * g[:, :, None]
+        return w * g[:, None, :, None]
+
+    for name in ("wq", "wk", "wv"):
+        layers[name] = scale_rows(layers[name], g_in)
+    layers["router"] = scale_rows(layers["router"], g_post)
+    layers["expert_gate_up"] = scale_rows(layers["expert_gate_up"], g_post)
+    if "shared_gate_up" in layers:
+        layers["shared_gate_up"] = scale_rows(layers["shared_gate_up"], g_post)
+    if "shared_gate" in layers:
+        layers["shared_gate"] = scale_rows(layers["shared_gate"], g_post)
+
+    layers["input_norm"] = jnp.ones_like(g_in)
+    layers["post_attn_norm"] = jnp.ones_like(g_post)
+
+    out = dict(params)
+    out["layers"] = layers
+    out["lm_head"] = params["lm_head"] * params["final_norm"][:, None]
+    out["final_norm"] = jnp.ones_like(params["final_norm"])
+    return out
+
+
+def rotate_model(params: dict, q: jax.Array) -> dict:
+    """Apply hidden-space rotation Q to a norm-fused param pytree.
+
+    W' = Qᵀ W for hidden-consuming linears (contract Q's first axis with
+    the H input axis), W' = W Q for hidden-producing ones, E' = E Q.
+    """
+    layers = dict(params["layers"])
+    for name in _HIDDEN_IN + ("shared_gate_up",):
+        if name in layers:
+            layers[name] = jnp.einsum("hk,lhd->lkd", q, layers[name])
+    for name in _HIDDEN_IN_STACKED:
+        layers[name] = jnp.einsum("hk,lehd->lekd", q, layers[name])
+    for name in _HIDDEN_OUT:
+        if name in layers:
+            layers[name] = jnp.einsum("lih,hk->lik", layers[name], q)
+    for name in _HIDDEN_OUT_STACKED:
+        layers[name] = jnp.einsum("leih,hk->leik", layers[name], q)
+
+    out = dict(params)
+    out["layers"] = layers
+    out["embed"] = params["embed"] @ q
+    out["lm_head"] = jnp.einsum("hk,hv->kv", q, params["lm_head"])
+    return out
+
+
+def rotate_model_hadamard(
+    params: dict, cfg: MoEConfig, key: jax.Array | None = None
+) -> dict:
+    """fuse_layer_norms + random-Hadamard R1 rotation (reference
+    ``ModelRotator.rotate_model``)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    fused = fuse_layer_norms(params)
+    q = random_hadamard_matrix(cfg.hidden_size, key, dtype=jnp.float32)
+    return rotate_model(fused, q)
+
+
+def online_hadamard_down(h: jax.Array) -> jax.Array:
+    """Online Hadamard on down_proj input (reference R4,
+    ``rotation.py:403-421``): h @ H_N / sqrt(N) via FWHT — call with
+    down weights pre-rotated by :func:`rotate_down_weights`."""
+    return matmul_hadU(h)
+
+
+def rotate_down_weights(down: jax.Array) -> jax.Array:
+    """Pre-rotate down-proj weights [.., N, H] for the online Hadamard:
+    W' = Hᵀ W so that (h H) @ W' == h @ W."""
+    from .hadamard import hadamard_matrix
+
+    n = down.shape[-2]
+    h = hadamard_matrix(n, dtype=jnp.float32)
+    if down.ndim == 4:
+        return jnp.einsum("nm,lenh->lemh", h.T, down)
+    return jnp.einsum("nm,lnh->lmh", h.T, down)

@@ -1,0 +1,384 @@
+"""Mixed-precision bitwidth allocation via MILP (HiGHS through scipy).
+
+Re-implements the reference's Gurobi formulation (``bits_solver.py:201-422``)
+with an open solver:
+
+  binaries x[e, b, s] — expert e (routed experts + shared expert as index
+  E), linear b ∈ {gate, up, down}, scheme s.
+  constraints: one scheme per linear; gate==up tying (``:377-379``);
+  expert-size-weighted average-weight-bits budget (``:360-366``).
+
+Objective ``L^r · T^{1-r}``: Gurobi expresses r·log L + (1−r)·log T with
+general log constraints (``:335-353``). HiGHS is linear-only, so general r
+is solved by ε-constraint sweep over the runtime budget: minimize L s.t.
+T ≤ τ for a geometric τ sweep, then pick the solution minimizing
+r·log L + (1−r)·log T. Since the objective is monotone in both L and T,
+its optimum lies on the (L, T) Pareto frontier, which the sweep enumerates
+— same optimum as the product formulation, solver-license-free.
+
+Runtime model: T = Σ selected problem costs, each
+``inc(s, tile) × n_tiles(M_e, N_b)`` from the measured performance table
+(reference ``get_runtime_cost``, ``:518-542``) — with the TPU difference
+that tiles are chosen per *scheme bucket* (one launch per scheme) rather
+than per problem within one fused kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+
+import numpy as np
+from scipy import sparse
+from scipy.optimize import LinearConstraint, milp
+
+from ..quant.schemes import (
+    QModelConfig, QLayerConfig, QExpertConfig, QLinearConfig,
+    parse_scheme, strategy_bits, LINEAR_NAMES,
+)
+from .perf_model import PerfModel, AnalyticPerfModel
+
+
+@dataclasses.dataclass
+class LayerProblem:
+    """Per-layer solver inputs (reference ``build_workloads``, ``:545-578``)."""
+
+    losses: dict[str, np.ndarray]  # scheme -> [E, 3] calib loss
+    ms: np.ndarray                 # [E] routed tokens (shared expert = batch)
+    ns: np.ndarray                 # [E] gate/up output dim per expert
+    k: int                         # hidden size (gate/up reduction, down output)
+    sizes: np.ndarray              # [E] relative weight size (n*k / (N*K))
+
+
+@dataclasses.dataclass
+class SolveResult:
+    assignment: dict[int, dict[str, str]]   # expert -> linear -> scheme
+    loss: float
+    time_ms: float
+    tile_cfg: dict[str, str]                # scheme -> chosen tile repr
+
+
+def _n_out(problem: LayerProblem, e: int, b: int) -> int:
+    return int(problem.ns[e]) if b < 2 else problem.k
+
+
+def _cost_vectors(problem: LayerProblem, schemes: list[str], perf: PerfModel):
+    e_tot = problem.ms.shape[0]
+    s_tot = len(schemes)
+    loss = np.zeros(e_tot * 3 * s_tot)
+    time = np.zeros_like(loss)
+    bits = np.zeros_like(loss)
+    size = np.zeros_like(loss)
+    for e in range(e_tot):
+        for b in range(3):
+            for si, s in enumerate(schemes):
+                i = (e * 3 + b) * s_tot + si
+                loss[i] = problem.losses[s][e, b]
+                time[i] = perf.problem_ms(s, int(problem.ms[e]), _n_out(problem, e, b))
+                bits[i] = strategy_bits(s)[0]
+                size[i] = problem.sizes[e]
+    return loss, time, bits, size
+
+
+def _solve_milp(c, constraints, n):
+    res = milp(
+        c=c,
+        constraints=constraints,
+        integrality=np.ones(n),
+        bounds=(0, 1),
+    )
+    if res.status != 0 or res.x is None:
+        return None
+    return np.round(res.x).astype(int)
+
+
+def solve_layer(
+    problem: LayerProblem,
+    schemes: list[str],
+    wbits_target: float,
+    r: float = 1.0,
+    perf: PerfModel | None = None,
+    n_sweep: int = 12,
+) -> SolveResult:
+    """Solve one layer's scheme assignment."""
+    e_tot = problem.ms.shape[0]
+    s_tot = len(schemes)
+    n = e_tot * 3 * s_tot
+    perf = perf or AnalyticPerfModel(k=problem.k)
+
+    loss_v, time_v, bits_v, size_v = _cost_vectors(problem, schemes, perf)
+
+    rows, cols, vals = [], [], []
+    lb, ub = [], []
+    nrow = 0
+    # one scheme per (e, b)
+    for e in range(e_tot):
+        for b in range(3):
+            for si in range(s_tot):
+                rows.append(nrow); cols.append((e * 3 + b) * s_tot + si); vals.append(1.0)
+            lb.append(1.0); ub.append(1.0); nrow += 1
+    # gate == up
+    for e in range(e_tot):
+        for si in range(s_tot):
+            rows.append(nrow); cols.append((e * 3 + 0) * s_tot + si); vals.append(1.0)
+            rows.append(nrow); cols.append((e * 3 + 1) * s_tot + si); vals.append(-1.0)
+            lb.append(0.0); ub.append(0.0); nrow += 1
+    # budget
+    total_size = float(size_v.sum() / s_tot)  # Σ_{e,b} size_e
+    for i in range(n):
+        rows.append(nrow); cols.append(i); vals.append(bits_v[i] * size_v[i])
+    lb.append(-np.inf); ub.append(wbits_target * total_size); nrow += 1
+
+    a_base = sparse.csr_matrix((vals, (rows, cols)), shape=(nrow, n))
+    base = LinearConstraint(a_base, np.array(lb), np.array(ub))
+
+    def with_time_cap(tau):
+        a_t = sparse.csr_matrix(
+            (time_v, (np.zeros(n, int), np.arange(n))), shape=(1, n)
+        )
+        return [base, LinearConstraint(a_t, -np.inf, tau)]
+
+    def build(x):
+        sel = x.reshape(e_tot, 3, s_tot)
+        assign = {
+            e: {LINEAR_NAMES[b]: schemes[int(np.argmax(sel[e, b]))] for b in range(3)}
+            for e in range(e_tot)
+        }
+        l_val = float(loss_v @ x)
+        t_val = float(time_v @ x)
+        return assign, l_val, t_val
+
+    if r >= 1.0:
+        x = _solve_milp(loss_v, [base], n)
+    elif r <= 0.0:
+        x = _solve_milp(time_v, [base], n)
+    else:
+        # ε-constraint sweep on T
+        x_t = _solve_milp(time_v, [base], n)
+        x_l = _solve_milp(loss_v, [base], n)
+        if x_t is None or x_l is None:
+            raise RuntimeError("layer MILP infeasible (budget too tight?)")
+        t_min = float(time_v @ x_t)
+        t_max = max(float(time_v @ x_l), t_min * 1.0001)
+        best, best_obj = None, np.inf
+        for tau in np.geomspace(t_min, t_max, n_sweep):
+            x = _solve_milp(loss_v, with_time_cap(tau * 1.0000001), n)
+            if x is None:
+                continue
+            _, l_val, t_val = build(x)
+            obj = r * math.log(max(l_val, 1e-30)) + (1 - r) * math.log(max(t_val, 1e-30))
+            if obj < best_obj:
+                best, best_obj = x, obj
+        x = best
+    if x is None:
+        raise RuntimeError("layer MILP infeasible (budget too tight?)")
+
+    assign, l_val, t_val = build(x)
+
+    # per-scheme bucket tile choice: minimize bucket total over candidate tiles
+    tile_cfg = {}
+    for si, s in enumerate(schemes):
+        probs = [
+            (int(problem.ms[e]), _n_out(problem, e, b))
+            for e in range(e_tot) for b in range(3)
+            if assign[e][LINEAR_NAMES[b]] == s
+        ]
+        if not probs:
+            continue
+        m_mean = int(np.mean([p[0] for p in probs]))
+        n_mean = int(np.mean([p[1] for p in probs]))
+        tile_cfg[s] = perf.best_tile(s, m_mean, n_mean)[0]
+
+    return SolveResult(assignment=assign, loss=l_val, time_ms=t_val, tile_cfg=tile_cfg)
+
+
+def build_layer_problems(
+    losses: dict[str, dict],     # scheme -> {layer: {expert: [g,u,d]}}
+    gate_trace: dict,            # loaded moe-gate.json
+    batch: int,
+    num_layers: int,
+) -> list[LayerProblem]:
+    """Assemble per-layer problems (reference ``build_workloads``)."""
+    n, k = gate_trace["NK"]
+    topk = gate_trace["topk"]
+    n_shared = gate_trace["num_shared_experts"]
+    out = []
+    schemes = list(losses.keys())
+    for l in range(num_layers):
+        freq = np.asarray(gate_trace[f"layer-{l}"]["access_freq"], dtype=np.float64)
+        probs = freq / max(freq.sum(), 1)
+        ms = list((probs * batch * topk).astype(int))
+        ns = [n] * len(ms)
+        sizes = [1.0] * len(ms)
+        if n_shared:
+            ms.append(batch)
+            ns.append(n * n_shared)
+            sizes.append(float(n_shared))
+        e_tot = len(ms)
+        layer_losses = {}
+        for s in schemes:
+            arr = np.zeros((e_tot, 3))
+            ld = losses[s][str(l)]
+            for e in range(e_tot):
+                arr[e] = np.asarray(ld[str(e)], dtype=np.float64)
+            layer_losses[s] = arr
+        out.append(LayerProblem(
+            losses=layer_losses, ms=np.asarray(ms), ns=np.asarray(ns),
+            k=k, sizes=np.asarray(sizes),
+        ))
+    return out
+
+
+def solve_model(
+    losses: dict[str, dict],
+    gate_trace: dict,
+    batch: int,
+    num_layers: int,
+    wbits_target: float,
+    r: float = 1.0,
+    perf: PerfModel | None = None,
+) -> tuple[QModelConfig, dict[str, dict[str, str]]]:
+    """Layer-level solve over all layers -> (QModelConfig, per-layer tiles)."""
+    problems = build_layer_problems(losses, gate_trace, batch, num_layers)
+    schemes = list(losses.keys())
+    layers = {}
+    lt = {}
+    tiles = {}
+    for l, prob in enumerate(problems):
+        res = solve_layer(prob, schemes, wbits_target, r, perf)
+        experts = {
+            str(e): QExpertConfig(
+                gate=parse_scheme(res.assignment[e]["gate"]),
+                up=parse_scheme(res.assignment[e]["up"]),
+                down=parse_scheme(res.assignment[e]["down"]),
+            )
+            for e in res.assignment
+        }
+        layers[str(l)] = QLayerConfig(experts=experts)
+        lt[str(l)] = (res.loss, res.time_ms)
+        tiles[str(l)] = res.tile_cfg
+    return QModelConfig(layers=layers, lt=lt), tiles
+
+
+def solve_model_level(
+    losses: dict[str, dict],
+    gate_trace: dict,
+    batch: int,
+    num_layers: int,
+    wbits_target: float,
+) -> QModelConfig:
+    """Model-level variant: one MILP, loss-only objective, global budget
+    (reference ``solve_model_qconfig_model_level``, ``:119-198``)."""
+    problems = build_layer_problems(losses, gate_trace, batch, num_layers)
+    schemes = list(losses.keys())
+    s_tot = len(schemes)
+    per_layer_n = [p.ms.shape[0] * 3 * s_tot for p in problems]
+    n = sum(per_layer_n)
+    offs = np.cumsum([0] + per_layer_n)
+
+    loss_v = np.zeros(n)
+    bits_sz = np.zeros(n)
+    rows, cols, vals, lb, ub = [], [], [], [], []
+    nrow = 0
+    total_size = 0.0
+    for l, p in enumerate(problems):
+        e_tot = p.ms.shape[0]
+        perf = AnalyticPerfModel(k=p.k)
+        lv, _, bv, sv = _cost_vectors(p, schemes, perf)
+        loss_v[offs[l]: offs[l + 1]] = lv
+        bits_sz[offs[l]: offs[l + 1]] = bv * sv
+        total_size += float(sv.sum() / s_tot)
+        for e in range(e_tot):
+            for b in range(3):
+                for si in range(s_tot):
+                    rows.append(nrow)
+                    cols.append(offs[l] + (e * 3 + b) * s_tot + si)
+                    vals.append(1.0)
+                lb.append(1.0); ub.append(1.0); nrow += 1
+            for si in range(s_tot):
+                rows.append(nrow); cols.append(offs[l] + (e * 3 + 0) * s_tot + si); vals.append(1.0)
+                rows.append(nrow); cols.append(offs[l] + (e * 3 + 1) * s_tot + si); vals.append(-1.0)
+                lb.append(0.0); ub.append(0.0); nrow += 1
+    for i in range(n):
+        rows.append(nrow); cols.append(i); vals.append(bits_sz[i])
+    lb.append(-np.inf); ub.append(wbits_target * total_size); nrow += 1
+
+    a = sparse.csr_matrix((vals, (rows, cols)), shape=(nrow, n))
+    x = _solve_milp(loss_v, [LinearConstraint(a, np.array(lb), np.array(ub))], n)
+    if x is None:
+        raise RuntimeError("model-level MILP infeasible")
+
+    layers = {}
+    for l, p in enumerate(problems):
+        e_tot = p.ms.shape[0]
+        sel = x[offs[l]: offs[l + 1]].reshape(e_tot, 3, s_tot)
+        experts = {}
+        for e in range(e_tot):
+            qm = {
+                LINEAR_NAMES[b]: parse_scheme(schemes[int(np.argmax(sel[e, b]))])
+                for b in range(3)
+            }
+            experts[str(e)] = QExpertConfig(gate=qm["gate"], up=qm["up"], down=qm["down"])
+        layers[str(l)] = QLayerConfig(experts=experts)
+    return QModelConfig(layers=layers)
+
+
+def export_qconfig(
+    qcfg: QModelConfig, tiles: dict | None, save_path: str
+) -> None:
+    """Reference-format export (``export_qconfig``, ``bits_solver.py:25-71``):
+    qconfig JSON + sibling ``*_tile_cfg.json``."""
+    qcfg.save(save_path)
+    if tiles is not None:
+        with open(save_path.replace(".json", "_tile_cfg.json"), "w") as f:
+            json.dump(tiles, f, indent=2)
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="bitwidth ILP (reference CLI: python -m mxmoe.quant.bits_solver)"
+    )
+    ap.add_argument("--trace", required=True, help="moe-gate.json path")
+    ap.add_argument("--loss", nargs="+", required=True,
+                    help="scheme=path pairs of calib loss JSONs")
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--layers", type=int, required=True)
+    ap.add_argument("--wbits", type=float, default=5.0)
+    ap.add_argument("--r", type=float, default=0.5)
+    ap.add_argument("--perf_table", default=None)
+    ap.add_argument("--solve_mode", choices=["layer", "model"], default="layer")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    with open(args.trace) as f:
+        trace = json.load(f)
+    losses = {}
+    for pair in args.loss:
+        scheme, path = pair.split("=", 1)
+        with open(path) as f:
+            losses[scheme] = json.load(f)
+
+    perf = None
+    if args.perf_table:
+        from .perf_model import load_perf_table
+
+        perf = load_perf_table(args.perf_table)
+
+    if args.solve_mode == "layer":
+        qcfg, tiles = solve_model(
+            losses, trace, args.batch, args.layers, args.wbits, args.r, perf
+        )
+    else:
+        qcfg, tiles = solve_model_level(
+            losses, trace, args.batch, args.layers, args.wbits
+        ), None
+    export_qconfig(qcfg, tiles, args.out)
+    print(f"qconfig -> {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,149 @@
+"""Kernel cost models for the ILP runtime term.
+
+The reference consumes ``perf/performance_table.json`` as a linear model
+``t ≈ first_iter_cost + inc × n_tile_waves`` per (scheme, tile)
+(``bits_solver.py:518-542``); the script generating it is absent from the
+repo (README.md:97). Here the table is produced by our on-device profiler
+(:mod:`mxmoe_tpu.trace.profiler`) with schema::
+
+    {scheme: {tile_repr: {"bm": int, "bn": int,
+                          "first_iter_cost": ms, "inc": ms_per_tile}}}
+
+``AnalyticPerfModel`` is the profile-free fallback: a TPU roofline
+(max of MXU time and HBM time per problem) so the solver always runs; a
+measured table should replace it for final allocations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class TileCost:
+    bm: int
+    bn: int
+    first_iter_cost: float  # ms
+    inc: float              # ms per output tile
+
+    def problem_ms(self, m: int, n: int) -> float:
+        return self.inc * _cdiv(max(m, 1), self.bm) * _cdiv(n, self.bn)
+
+
+class PerfModel:
+    """Measured performance table: per-scheme tile costs."""
+
+    def __init__(self, table: dict[str, dict[str, TileCost]]):
+        self.table = table
+
+    def schemes(self) -> list[str]:
+        return sorted(self.table)
+
+    def best_tile(self, scheme: str, m: int, n: int) -> tuple[str, TileCost]:
+        tiles = self.table[self._key(scheme)]
+        return min(tiles.items(), key=lambda kv: kv[1].problem_ms(m, n))
+
+    def problem_ms(self, scheme: str, m: int, n: int) -> float:
+        return self.best_tile(scheme, m, n)[1].problem_ms(m, n)
+
+    def _key(self, scheme: str) -> str:
+        if scheme in self.table:
+            return scheme
+        # fall back to matching prefix family (w4a4_g-1_sym etc.)
+        for k in self.table:
+            if scheme.startswith(k) or k.startswith(scheme):
+                return k
+        raise KeyError(f"scheme {scheme!r} not in perf table {list(self.table)}")
+
+    def save(self, path: str) -> None:
+        out = {
+            s: {
+                name: dataclasses.asdict(tc) for name, tc in tiles.items()
+            } for s, tiles in self.table.items()
+        }
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+def load_perf_table(path: str) -> PerfModel:
+    with open(path) as f:
+        raw = json.load(f)
+    table = {}
+    for scheme, tiles in raw.items():
+        if not isinstance(tiles, dict):
+            continue
+        entry = {}
+        for name, tc in tiles.items():
+            if isinstance(tc, dict) and "inc" in tc:
+                entry[name] = TileCost(
+                    bm=int(tc.get("bm", 128)), bn=int(tc.get("bn", 256)),
+                    first_iter_cost=float(tc.get("first_iter_cost", 0.0)),
+                    inc=float(tc["inc"]),
+                )
+        if entry:
+            table[scheme] = entry
+    return PerfModel(table)
+
+
+class AnalyticPerfModel(PerfModel):
+    """TPU roofline fallback.
+
+    Per problem (scheme s, M×N output, K reduction):
+      compute_ms = 2MNK / peak(s); memory_ms = bytes(s) / bw
+      t = max(compute, memory) / efficiency
+
+    Defaults are TPU v5e-class: 394 int8 TOPS / 197 bf16 TFLOPS / 819 GB/s.
+    """
+
+    def __init__(
+        self,
+        k: int,
+        peak_bf16_tflops: float = 197.0,
+        peak_int8_tops: float = 394.0,
+        hbm_gbps: float = 819.0,
+        efficiency: float = 0.6,
+        bm: int = 256,
+        bn: int = 256,
+    ):
+        self.k = k
+        self.peak_bf16 = peak_bf16_tflops * 1e12 * efficiency
+        self.peak_int8 = peak_int8_tops * 1e12 * efficiency
+        self.bw = hbm_gbps * 1e9 * efficiency
+        self.bm, self.bn = bm, bn
+        self.table = {}
+
+    def _parse(self, scheme: str) -> tuple[float, float]:
+        try:
+            from ..quant.schemes import parse_scheme
+
+            c = parse_scheme(scheme)
+            return float(c.w_bits), float(c.a_bits)
+        except ValueError:
+            return 16.0, 16.0
+
+    def problem_ms(self, scheme: str, m: int, n: int) -> float:
+        wb, ab = self._parse(scheme)
+        k = self.k
+        m = max(m, 1)
+        flops = 2.0 * m * n * k
+        peak = self.peak_int8 if (ab <= 8 and wb <= 8) else self.peak_bf16
+        w_bytes = n * k * max(wb, 8) / 8.0   # int4 stored as int8 until packed
+        a_bytes = m * k * max(ab, 8) / 8.0 if ab < 16 else m * k * 2.0
+        o_bytes = m * n * 2.0
+        compute = flops / peak
+        memory = (w_bytes + a_bytes + o_bytes) / self.bw
+        return max(compute, memory) * 1e3
+
+    def best_tile(self, scheme: str, m: int, n: int):
+        ms = self.problem_ms(scheme, m, n)
+        tiles = _cdiv(max(m, 1), self.bm) * _cdiv(n, self.bn)
+        return (
+            f"analytic-bm{self.bm}-bn{self.bn}",
+            TileCost(self.bm, self.bn, 0.0, ms / tiles),
+        )

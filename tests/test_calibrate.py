@@ -99,7 +99,8 @@ def test_calibrate_model_end_to_end_schema(tmp_path):
     for name in schemes:
         assert set(losses[name].keys()) == {"0", "1"}
         layer0 = losses[name]["0"]
-        assert set(layer0.keys()) == {str(e) for e in range(4)}
+        # 4 routed experts + 1 shared expert (reference expert index E)
+        assert set(layer0.keys()) == {str(e) for e in range(5)}
         assert all(len(v) == 3 and all(np.isfinite(v)) for v in layer0.values())
         # w8 loss should be smaller than w4 loss on average
         fp = os.path.join(str(tmp_path), f"tiny-MOE-layer_out_norm-rtn-{name}.json")

@@ -1,0 +1,68 @@
+"""Rotation invariance: norm-fusion and Hadamard rotation must preserve
+the model function exactly (up to float tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxmoe_tpu.models import configs, model
+from mxmoe_tpu.models.layers import MoEImpl
+from mxmoe_tpu.quant.rotation import (
+    fuse_layer_norms, rotate_model, rotate_model_hadamard,
+    online_hadamard_down, rotate_down_weights,
+)
+from mxmoe_tpu.quant.hadamard import random_hadamard_matrix
+
+
+def _setup(seed=0):
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
+    # non-trivial norm weights so fusion is actually exercised
+    layers = dict(params["layers"])
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    layers["input_norm"] = 1.0 + 0.3 * jax.random.normal(k1, layers["input_norm"].shape)
+    layers["post_attn_norm"] = 1.0 + 0.3 * jax.random.normal(k2, layers["post_attn_norm"].shape)
+    params["layers"] = layers
+    params["final_norm"] = 1.0 + 0.3 * jax.random.normal(k3, params["final_norm"].shape)
+    toks = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0, cfg.vocab_size)
+    return cfg, params, toks
+
+
+def test_fuse_layer_norms_preserves_function():
+    cfg, params, toks = _setup()
+    impl = MoEImpl(kind="dense")
+    ref = model.forward_logits(params, toks, cfg, impl)
+    fused = fuse_layer_norms(params)
+    got = model.forward_logits(fused, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    assert np.allclose(np.asarray(fused["layers"]["input_norm"]), 1.0)
+
+
+def test_rotation_preserves_function():
+    cfg, params, toks = _setup(seed=2)
+    impl = MoEImpl(kind="dense")
+    ref = model.forward_logits(params, toks, cfg, impl)
+    rotated = rotate_model_hadamard(params, cfg, jax.random.PRNGKey(7))
+    got = model.forward_logits(rotated, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    # weights must actually change
+    d = np.abs(np.asarray(rotated["layers"]["wq"] - params["layers"]["wq"])).max()
+    assert d > 1e-3
+
+
+def test_rotation_matrix_orthogonal():
+    for n in (64, 1408, 2048):
+        q = random_hadamard_matrix(n, jax.random.PRNGKey(0))
+        eye = np.asarray(q @ q.T)
+        np.testing.assert_allclose(eye, np.eye(n), atol=1e-3)
+
+
+def test_online_hadamard_down_equivalence():
+    # (h @ H) @ (Hᵀ W) == h @ W
+    key = jax.random.PRNGKey(3)
+    n, h_dim = 48, 32
+    h_act = jax.random.normal(key, (10, n))
+    w = jax.random.normal(key, (1, n, h_dim))  # [L, N, H]
+    ref = h_act @ w[0]
+    got = online_hadamard_down(h_act) @ rotate_down_weights(w)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
