@@ -82,7 +82,11 @@ def workload_to_group_problem(layer_wl: dict, which: str = "gate_up"):
     (if wider) is split out as a dense matmul.
     """
     probs = layer_wl[which]
-    routed = probs[:-1] if len(probs) > 1 and probs[-1]["shape"][1] != probs[0]["shape"][1] else probs
+    last_differs = len(probs) > 1 and (
+        probs[-1]["shape"][1] != probs[0]["shape"][1]
+        or probs[-1]["shape"][2] != probs[0]["shape"][2]
+    )
+    routed = probs[:-1] if last_differs else probs
     shared = probs[len(routed):]
     ms = [p["shape"][0] for p in routed]
     n = routed[0]["shape"][1]

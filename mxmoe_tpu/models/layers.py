@@ -183,7 +183,7 @@ def moe_ffn_ragged_quant(
                       storage lands)
       a_bits >= 16 -> weight-only kernel (bf16 MXU, in-kernel dequant)
     """
-    from ..quant.qparams import quantize_act_rtn
+    from ..quant.qparams import quantize_act_rtn, quantize_act_per_row_bits
     from ..ops import pallas_gmm
 
     qcfg = impl.quant
@@ -191,12 +191,28 @@ def moe_ffn_ragged_quant(
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
+    mixed = "act_bits_gateup" in layer_params and f"expert_gate_up_q" in layer_params
+    if mixed:
+        row_expert = jnp.repeat(
+            jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
+            total_repeat_length=xs.shape[0],
+        )
 
     def qgemm(acts, prefix):
         wq = layer_params[f"{prefix}_q"]
         sc = layer_params[f"{prefix}_sc"]
         zp = layer_params[f"{prefix}_zp"]
         k = acts.shape[-1]
+        if mixed:
+            # per-expert mixed schemes in one int8 launch: bitwidths are
+            # data (per-expert scales, per-row act clip ranges)
+            bits_key = "act_bits_gateup" if prefix == "expert_gate_up" else "act_bits_down"
+            row_bits = jnp.take(layer_params[bits_key], row_expert)
+            aq, asc = quantize_act_per_row_bits(acts, row_bits)
+            return pallas_gmm.gmm_w8a8(
+                aq, asc, wq, sc, disp.group_sizes,
+                out_dtype=acts.dtype, interpret=impl.interpret,
+            )
         gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
         if qcfg.a_bits < 16:
             aq, asc = quantize_act_rtn(acts, qcfg)

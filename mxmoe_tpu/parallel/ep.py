@@ -1,0 +1,129 @@
+"""Expert-parallel MoE FFN: capacity-bucketed all-to-all inside shard_map.
+
+Net-new vs the single-GPU reference (SURVEY.md §2.3): token -> expert
+dispatch rides ICI collectives instead of an in-device permutation
+(``ref_bind.cu:47-64``). Design:
+
+  mesh axis "expert" (size ep) shards BOTH tokens (data dim) and experts.
+  Per device: T_l local tokens, E_l = E/ep local experts.
+
+  1. route locally (router weights replicated),
+  2. bucket each (token, k) assignment into a per-destination-shard
+     capacity slot: send buffer [ep, C, H] (+ int payload carrying the
+     local-expert id); overflow beyond C drops (capacity_factor controls
+     C — the standard TPU MoE contract; C defaults generously),
+  3. `jax.lax.all_to_all` exchanges buffers (one hop over ICI),
+  4. receiver sorts its ep*C rows by local expert and runs the SAME
+     grouped-matmul kernels as single-chip execution,
+  5. all_to_all back; source applies combine weights and segment-sums.
+
+Everything is static-shaped; XLA overlaps the collectives with the
+grouped matmuls via its latency-hiding scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.configs import MoEConfig
+from ..ops.dispatch import route_topk
+from ..ops import gmm as gmm_ops
+from ..models.layers import silu_mul
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class EPConfig:
+    axis: str = "expert"
+    capacity_factor: float = 2.0
+    gmm_backend: str = "ragged_dot"
+
+
+def moe_ffn_ep(
+    x_local: jax.Array,          # [T_l, H] this shard's tokens
+    layer_params: dict,          # expert_* sharded [E_l, ...]; router replicated
+    cfg: MoEConfig,
+    ep_cfg: EPConfig = EPConfig(),
+) -> jax.Array:
+    """Routed-expert FFN under expert parallelism. Call inside shard_map."""
+    axis = ep_cfg.axis
+    ep = jax.lax.axis_size(axis)
+    e = cfg.num_experts
+    e_local = e // ep
+    t_l, h = x_local.shape
+    k = cfg.top_k
+
+    logits = x_local @ layer_params["router"]
+    routing = route_topk(logits, k, cfg.norm_topk_prob)
+
+    flat_exp = routing.expert_ids.reshape(-1)                 # [T_l*k]
+    flat_w = routing.weights.reshape(-1)
+    dest = flat_exp // e_local                                # [T_l*k]
+    local_exp = flat_exp % e_local
+
+    cap = _cdiv(int(t_l * k * ep_cfg.capacity_factor), ep)
+
+    # slot of each assignment within its destination bucket (stable order)
+    one_hot = jax.nn.one_hot(dest, ep, dtype=jnp.int32)      # [T_l*k, ep]
+    ranks = jnp.cumsum(one_hot, axis=0) - one_hot            # exclusive prefix
+    slot = jnp.take_along_axis(ranks, dest[:, None], axis=1)[:, 0]
+    valid = slot < cap
+    slot_safe = jnp.where(valid, slot, cap)                  # cap -> dropped
+
+    send_x = jnp.zeros((ep, cap + 1, h), x_local.dtype)
+    token_ids = jnp.repeat(jnp.arange(t_l), k)
+    send_x = send_x.at[dest, slot_safe].set(x_local[token_ids], mode="drop")
+    send_le = jnp.zeros((ep, cap + 1), jnp.int32)
+    send_le = send_le.at[dest, slot_safe].set(local_exp, mode="drop")
+    send_x = send_x[:, :cap]
+    send_le = send_le[:, :cap]
+
+    # exchange: recv_x[s] = tokens source shard s routed to MY experts
+    recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)
+    recv_le = jax.lax.all_to_all(send_le, axis, 0, 0)
+
+    rows = recv_x.reshape(ep * cap, h)
+    les = recv_le.reshape(ep * cap)
+    order = jnp.argsort(les, stable=True)
+    rows_sorted = jnp.take(rows, order, axis=0)
+    group_sizes = jnp.bincount(les, length=e_local).astype(jnp.int32)
+
+    hh = gmm_ops.gmm(rows_sorted, layer_params["expert_gate_up"], group_sizes,
+                     backend=ep_cfg.gmm_backend)
+    hh = silu_mul(hh)
+    out_sorted = gmm_ops.gmm(hh, layer_params["expert_down"], group_sizes,
+                             backend=ep_cfg.gmm_backend)
+    unsort = jnp.argsort(order, stable=True)
+    out_rows = jnp.take(out_sorted, unsort, axis=0).reshape(ep, cap, h)
+
+    # return trip + weighted combine at the source
+    back = jax.lax.all_to_all(out_rows, axis, 0, 0)          # [ep, cap, H]
+    gathered = back[dest, slot_safe.clip(0, cap - 1)]        # [T_l*k, H]
+    w = jnp.where(valid, flat_w, 0.0).astype(x_local.dtype)
+    y = jax.ops.segment_sum(gathered * w[:, None], token_ids, num_segments=t_l)
+    return y
+
+
+def make_ep_moe_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
+    """shard_map-wrapped EP MoE block: tokens and experts sharded on
+    ``ep_cfg.axis``; router replicated."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def inner(x_local, router, gate_up, down):
+        lp = {"router": router, "expert_gate_up": gate_up, "expert_down": down}
+        return moe_ffn_ep(x_local, lp, cfg, ep_cfg)
+
+    ax = ep_cfg.axis
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(ax, None), P(None, None), P(ax, None, None), P(ax, None, None)),
+        out_specs=P(ax, None),
+    )

@@ -41,11 +41,31 @@ class PackedTensor(NamedTuple):
 
 
 def storage_dtype_for(bits: float) -> jnp.dtype:
-    if bits <= 4:
-        return jnp.int4
+    # NOTE: jnp.int4 arrays trigger a RecursionError in the axon TPU
+    # backend's array-sharding path, so sub-byte codes live in int8; the
+    # bandwidth-saving format is explicit nibble packing (pack_int4_rows)
+    # consumed by the int4-packed kernel path.
     if bits <= 8:
         return jnp.int8
     raise ValueError(f"no integer storage for {bits}-bit")
+
+
+def pack_int4_rows(codes_i8: jax.Array) -> jax.Array:
+    """Pack signed 4-bit codes [..., K, N] -> int8 [..., K//2, N], two
+    adjacent K values per byte (low nibble = even k). K must be even."""
+    lo = codes_i8[..., 0::2, :].astype(jnp.int32) & 0xF
+    hi = codes_i8[..., 1::2, :].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_rows`: int8 [..., K//2, N] -> [..., K, N]."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8          # sign-extend low nibble
+    hi = (((p >> 4) & 0xF) ^ 8) - 8
+    k2, n = packed.shape[-2], packed.shape[-1]
+    out = jnp.stack([lo, hi], axis=-2)            # [..., K//2, 2, N]
+    return out.reshape(*packed.shape[:-2], 2 * k2, n).astype(jnp.int8)
 
 
 def _to_signed_storage(codes: jax.Array, scale: jax.Array, zp: jax.Array,

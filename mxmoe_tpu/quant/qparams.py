@@ -83,6 +83,89 @@ def quantize_act_rtn(x: jax.Array, cfg: QLinearConfig) -> tuple[jax.Array, jax.A
     return quantize_act_per_token(x, int(cfg.a_bits))
 
 
+def quantize_act_per_row_bits(
+    x: jax.Array, bits_per_row: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-token sym quant with a *per-row* bitwidth (mixed schemes).
+
+    On TPU every <=8-bit scheme computes on the int8 MXU, so rows with
+    different activation widths share one kernel launch — the bitwidth is
+    data (the clip range), not code. bits_per_row [M] float (16 = treat as
+    8-bit passthrough... callers give int rows only for quantized experts).
+    """
+    upper = jnp.exp2(jnp.minimum(bits_per_row.astype(jnp.float32), 8.0) - 1.0) - 1.0
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / upper
+    q = jnp.round(x.astype(jnp.float32) / scale[:, None])
+    return q.astype(jnp.int8), scale[:, None]
+
+
+def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
+    """Real-quantize routed experts with per-expert mixed schemes.
+
+    TPU-native mixed execution (contrast ``hz_fused.cuh``'s per-scheme CUDA
+    branches): every w<=8 sym per-channel scheme shares the int8 MXU kernel;
+    per-expert bitwidths live entirely in the scales (weights) and the
+    per-row clip range (activations), so a mixed layer is ONE grouped
+    matmul launch. Emits ``expert_*_q/_sc/_zp`` plus ``act_bits_gateup`` /
+    ``act_bits_down`` [L, E] arrays consumed by the ragged quant forward.
+
+    Requires: all routed schemes w_bits<=8, w_sym, w_gsize==-1, a_bits<=8.
+    """
+    e = model_cfg.num_experts
+    num_layers = params["layers"]["router"].shape[0]
+    layers = dict(params["layers"])
+    from .schemes import QLinearConfig as QLC
+
+    new = {}
+    act_gate, act_down = [], []
+    for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):
+        w = layers[name]                          # [L, E, K, N]
+        q_acc = jnp.zeros(w.shape, jnp.int8)
+        sc_acc = jnp.zeros((*w.shape[:2], 1, w.shape[-1]), jnp.float32)
+        zp_acc = jnp.zeros_like(sc_acc)
+        for l in range(num_layers):
+            lcfg = qmodel_cfg.layer(l)
+            buckets: dict[str, list[int]] = {}
+            for ei in range(e):
+                c = lcfg.experts[str(ei)].qmap()[lin]
+                assert c.w_bits <= 8 and c.w_sym and c.w_gsize == -1 and c.a_bits <= 8, (
+                    f"mixed real-quant phase-1 supports int sym per-channel "
+                    f"schemes only, got {c.scheme_name}"
+                )
+                buckets.setdefault(c.scheme_name, []).append(ei)
+            for scheme, eids in buckets.items():
+                c = lcfg.experts[str(eids[0])].qmap()[lin]
+                idx = jnp.asarray(eids, jnp.int32)
+                sub = jnp.take(w[l], idx, axis=0)
+                qp = quantize_expert_weights(sub, c)
+                q_acc = q_acc.at[l, idx].set(qp.q)
+                sc_acc = sc_acc.at[l, idx].set(qp.scale)
+                zp_acc = zp_acc.at[l, idx].set(qp.zp)
+        new[f"{name}_q"] = q_acc
+        new[f"{name}_sc"] = sc_acc
+        new[f"{name}_zp"] = zp_acc
+        del layers[name]
+
+    import numpy as np
+
+    gb = np.zeros((num_layers, e), np.float32)
+    db = np.zeros((num_layers, e), np.float32)
+    for l in range(num_layers):
+        lcfg = qmodel_cfg.layer(l)
+        for ei in range(e):
+            qm = lcfg.experts[str(ei)].qmap()
+            gb[l, ei] = float(qm["gate"].a_bits)
+            db[l, ei] = float(qm["down"].a_bits)
+    new["act_bits_gateup"] = jnp.asarray(gb)
+    new["act_bits_down"] = jnp.asarray(db)
+
+    layers.update(new)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def quantize_model_experts_uniform(params: dict, cfg: QLinearConfig) -> dict:
     """bf16 param pytree -> pytree where routed expert weights are quantized.
 

@@ -39,11 +39,23 @@ def test_act_pack_roundtrip(scheme):
 
 
 def test_storage_dtypes():
+    # sub-byte codes live in int8 (jnp.int4 arrays break the axon TPU
+    # backend); true 4-bit density comes from explicit nibble packing
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.standard_normal((128, 32)).astype(np.float32))
-    assert quantize_weight_kn(w, parse_scheme("w4a4_g-1_sym")).values.dtype == jnp.int4
+    assert quantize_weight_kn(w, parse_scheme("w4a4_g-1_sym")).values.dtype == jnp.int8
     assert quantize_weight_kn(w, parse_scheme("w8a8_g-1_sym")).values.dtype == jnp.int8
-    assert quantize_weight_kn(w, parse_scheme("w2a16_g128_asym")).values.dtype == jnp.int4
+    assert quantize_weight_kn(w, parse_scheme("w2a16_g128_asym")).values.dtype == jnp.int8
+
+
+def test_int4_nibble_pack_roundtrip():
+    from mxmoe_tpu.quant.packing import pack_int4_rows, unpack_int4_rows
+
+    rng = np.random.default_rng(5)
+    codes = jnp.asarray(rng.integers(-8, 8, size=(3, 64, 16)), jnp.int8)
+    packed = pack_int4_rows(codes)
+    assert packed.shape == (3, 32, 16)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_rows(packed)), np.asarray(codes))
 
 
 def test_asym_codes_recentred_to_signed():
