@@ -48,6 +48,37 @@ class GroupMetadata(NamedTuple):
     num_logical: jax.Array    # scalar int32: active logical tiles
 
 
+def make_group_metadata_static(
+    group_sizes, m: int, bm: int
+) -> tuple[GroupMetadata, int]:
+    """Concrete-python metadata: exact logical-tile count becomes the grid
+    size, so there is NO padded tail (bench/profiler/static-capacity
+    serving all have concrete group sizes)."""
+    import numpy as np
+
+    sizes = np.asarray(group_sizes, np.int64)
+    e = sizes.shape[0]
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    group_offsets = np.concatenate([[0], ends]).astype(np.int32)
+    gids, mtids = [], []
+    for g in range(e):
+        if sizes[g] == 0:
+            continue
+        first, last = starts[g] // bm, (ends[g] - 1) // bm
+        for t in range(int(first), int(last) + 1):
+            gids.append(g)
+            mtids.append(t)
+    num = max(len(gids), 1)
+    if not gids:
+        gids, mtids = [0], [0]
+    meta = GroupMetadata(
+        jnp.asarray(gids, jnp.int32), jnp.asarray(mtids, jnp.int32),
+        jnp.asarray(group_offsets), jnp.asarray(num, jnp.int32),
+    )
+    return meta, num
+
+
 def make_group_metadata(group_sizes: jax.Array, m: int, bm: int) -> GroupMetadata:
     """Logical-tile schedule for a grouped matmul.
 
@@ -101,6 +132,16 @@ def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, *, bm, bn):
     out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
+
+def _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn):
+    """Metadata + grid; exact grid when concrete sizes are provided."""
+    if static_sizes is not None:
+        meta, num = make_group_metadata_static(static_sizes, m, bm)
+        return meta, (_cdiv(n, bn), num)
+    meta = make_group_metadata(group_sizes, m, bm)
+    return meta, (_cdiv(n, bn), meta.group_ids.shape[0])
+
+
 def gmm(
     lhs: jax.Array,          # [M, K]
     rhs: jax.Array,          # [E, K, N]
@@ -109,6 +150,7 @@ def gmm(
     bn: int = 256,
     out_dtype=None,
     interpret: bool = False,
+    static_sizes=None,
 ) -> jax.Array:
     """Grouped matmul, floating-point operands (bf16/f32)."""
     m, k = lhs.shape
@@ -116,9 +158,7 @@ def gmm(
     out_dtype = out_dtype or lhs.dtype
     bm = min(bm, m)
     bn = min(bn, n)
-    meta = make_group_metadata(group_sizes, m, bm)
-
-    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
     kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn)
     return pl.pallas_call(
@@ -176,6 +216,7 @@ def gmm_w8a8(
     bn: int = 512,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    static_sizes=None,
 ) -> jax.Array:
     """Symmetric per-token × per-channel int8 grouped matmul.
 
@@ -186,8 +227,7 @@ def gmm_w8a8(
     e, _, n = rhs_q.shape
     bm = min(bm, m)
     bn = min(bn, n)
-    meta = make_group_metadata(group_sizes, m, bm)
-    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
     kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn)
     return pl.pallas_call(
@@ -250,6 +290,7 @@ def gmm_weight_only(
     bn: int = 256,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    static_sizes=None,
 ) -> jax.Array:
     """Weight-only quantized grouped matmul (w4a16/w8a16, sym or asym).
 
@@ -263,8 +304,7 @@ def gmm_weight_only(
     bm = min(bm, m)
     bn = min(bn, n)
     gsize = k if gsize == -1 else gsize
-    meta = make_group_metadata(group_sizes, m, bm)
-    grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     ksc = k // gsize
 
     kernel = functools.partial(_gmm_wq_kernel, bm=bm, bn=bn, gsize=gsize, k=k)
@@ -295,3 +335,78 @@ def gmm_weight_only(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       lhs, rhs_q, rhs_scale, rhs_zp)
+
+
+# ---------------------------------------------------------------------------
+# int4-packed GMM: nibble-packed weights (halves layout), int8 MXU compute
+# ---------------------------------------------------------------------------
+
+def _gmm_q4p_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
+                    out_ref, *, bm, bn):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    # unpack halves layout: low nibble = first K/2 rows, high = second half.
+    p = rhs_ref[0].astype(jnp.int32)                       # [K//2, bn]
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = (((p >> 4) & 0xF) ^ 8) - 8
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)  # [K, bn]
+    acc = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.int32)
+    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_w4a8_packed(
+    lhs_q: jax.Array,        # [M, K] int8 codes (a4 or a8 range)
+    lhs_scale: jax.Array,    # [M, 1] f32
+    rhs_packed: jax.Array,   # [E, K//2, N] int8 nibble-packed (halves layout)
+    rhs_scale: jax.Array,    # [E, 1, N] f32
+    group_sizes: jax.Array,
+    bm: int = 256,
+    bn: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """4-bit-packed-weight grouped matmul: HALF the weight HBM traffic of
+    the int8 path (the w4 bandwidth win the reference gets from mma.s4
+    storage, realized on TPU as VPU nibble unpack feeding the int8 MXU).
+
+    Weights pre-packed with quant.packing.pack_int4_halves.
+    """
+    m, k = lhs_q.shape
+    e, k2, n = rhs_packed.shape
+    assert k2 * 2 == k, (k, k2)
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+
+    kernel = functools.partial(_gmm_q4p_kernel, bm=bm, bn=bn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + e * k2 * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs_q, lhs_scale, rhs_packed, rhs_scale)

@@ -50,6 +50,25 @@ def storage_dtype_for(bits: float) -> jnp.dtype:
     raise ValueError(f"no integer storage for {bits}-bit")
 
 
+def pack_int4_halves(codes_i8: jax.Array) -> jax.Array:
+    """Pack signed 4-bit codes [..., K, N] -> int8 [..., K//2, N] with the
+    *halves* layout: low nibble = k, high nibble = k + K/2. Unpacking is a
+    contiguous concat along K (no sublane interleave) — the layout the
+    int4-packed Pallas kernel consumes."""
+    k = codes_i8.shape[-2]
+    lo = codes_i8[..., : k // 2, :].astype(jnp.int32) & 0xF
+    hi = codes_i8[..., k // 2:, :].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4_halves(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_halves`."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = (((p >> 4) & 0xF) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
 def pack_int4_rows(codes_i8: jax.Array) -> jax.Array:
     """Pack signed 4-bit codes [..., K, N] -> int8 [..., K//2, N], two
     adjacent K values per byte (low nibble = even k). K must be even."""

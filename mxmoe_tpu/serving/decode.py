@@ -1,0 +1,111 @@
+"""Cache-aware decoder forward: prefill and decode share one code path.
+
+Both are [B, S_new] chunks against a KVCache; prefill uses S_new = chunk
+size with per-slot valid lengths, decode uses S_new = 1. The layer loop is
+a lax.scan that carries the cache slices alongside the stacked layer
+params, so prefill/decode each compile exactly once per shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.configs import MoEConfig
+from ..models.layers import MoEImpl, moe_block, rms_norm
+from .kv_cache import KVCache, attention_with_cache, update_layer_cache
+
+
+def _rope_tables(cfg: MoEConfig, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """cos/sin [B, S, hd] for per-slot positions [B, S]."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, S, hd/2]
+    emb = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope_bs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, S, nH, hd], cos/sin [B, S, hd]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths):
+    b, s, _ = x.shape
+    q = x @ lp["wq"]
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    if cfg.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _apply_rope_bs(q, cos, sin)
+    k = _apply_rope_bs(k, cos, sin)
+    ck, cv = update_layer_cache(ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths)
+    out = attention_with_cache(q, ck, cv, lengths, s)
+    return out.reshape(b, s, -1) @ lp["wo"], ck, cv
+
+
+def forward_cached(
+    params: dict,
+    tokens: jax.Array,        # [B, S_new]
+    cache: KVCache,
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+    valid_lengths: jax.Array | None = None,   # [B] tokens actually new
+) -> tuple[jax.Array, KVCache]:
+    """Run a chunk against the cache -> (logits [B, S_new, V], new cache)."""
+    b, s_new = tokens.shape
+    if valid_lengths is None:
+        valid_lengths = jnp.full((b,), s_new, jnp.int32)
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
+    cos, sin = _rope_tables(cfg, positions)
+
+    def body(carry, layer_in):
+        x = carry
+        lp, ck, cv = layer_in
+        h, ck, cv = _attention_block_cached(
+            rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
+            lp, cfg, cos, sin, ck, cv, cache.lengths,
+        )
+        h = x + h
+        out = h + moe_block(
+            rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps), lp, cfg, impl,
+        )
+        return out, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    logits = x @ head
+    new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + valid_lengths)
+    return logits, new_cache
+
+
+def sample_tokens(
+    logits: jax.Array,        # [B, V] last-position logits
+    key: jax.Array,
+    temperature: float = 0.0,
+    top_k: int = 0,
+) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        vals, _ = jax.lax.top_k(scaled, top_k)
+        cutoff = vals[:, -1:]
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

@@ -1,0 +1,144 @@
+"""Slot-based generation engine (continuous batching scaffold).
+
+A fixed pool of B slots over one compiled prefill fn ([B, P] chunks) and
+one compiled decode fn ([B, 1]): requests occupy free slots, finished
+sequences free them — arrivals never retrace. Host-side bookkeeping is a
+plain queue; device work is two jitted calls per step class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import MoEConfig
+from ..models.layers import MoEImpl
+from .decode import forward_cached, sample_tokens
+from .kv_cache import KVCache, init_kv_cache
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    batch_slots: int = 4
+    max_len: int = 1024
+    prefill_chunk: int = 256
+    temperature: float = 0.0
+    top_k: int = 0
+    eos_token: int | None = None
+    cache_dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    request_id: int = -1
+    generated: list = dataclasses.field(default_factory=list)
+    max_new: int = 0
+
+
+class Engine:
+    """Minimal continuous-batching loop over the cached forward."""
+
+    def __init__(self, params, cfg: MoEConfig, ecfg: EngineConfig = EngineConfig(),
+                 impl: MoEImpl = MoEImpl()):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.impl = impl
+        self.cache = init_kv_cache(cfg, ecfg.batch_slots, ecfg.max_len,
+                                   ecfg.cache_dtype)
+        self.slots = [_Slot() for _ in range(ecfg.batch_slots)]
+        self.key = jax.random.PRNGKey(0)
+        self._next_req = 0
+        self._last_tokens = np.zeros((ecfg.batch_slots,), np.int32)
+        self._results: dict[int, list[int]] = {}
+
+        self._prefill = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
+        self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
+
+    # -- request management ------------------------------------------------
+    def submit(self, prompt: list[int], max_new_tokens: int = 32) -> int:
+        """Prefill a prompt into a free slot; returns request id."""
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        if not free:
+            raise RuntimeError("no free slots (drain first)")
+        slot = free[0]
+        rid = self._next_req
+        self._next_req += 1
+
+        p = self.ecfg.prefill_chunk
+        b = self.ecfg.batch_slots
+        prompt = prompt[-p:]
+        chunk = np.zeros((b, p), np.int32)
+        chunk[slot, : len(prompt)] = prompt
+        valid = np.zeros((b,), np.int32)
+        valid[slot] = len(prompt)
+
+        # zero this slot's length before prefill (fresh sequence)
+        lengths = np.array(self.cache.lengths)
+        lengths[slot] = 0
+        cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(lengths))
+        logits, self.cache = self._prefill(
+            self.params, jnp.asarray(chunk), cache,
+            valid_lengths=jnp.asarray(valid),
+        )
+        last = np.asarray(logits)[slot, len(prompt) - 1]
+        first_tok = int(np.argmax(last)) if self.ecfg.temperature <= 0 else (
+            int(np.asarray(sample_tokens(jnp.asarray(last[None]),
+                                         self._split_key(),
+                                         self.ecfg.temperature,
+                                         self.ecfg.top_k))[0])
+        )
+        st = self.slots[slot]
+        st.active, st.request_id, st.max_new = True, rid, max_new_tokens
+        st.generated = [first_tok]
+        self._last_tokens[slot] = first_tok
+        return rid
+
+    def _split_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- decode loop -------------------------------------------------------
+    def step(self) -> int:
+        """One decode step for all active slots; returns #active."""
+        active = [i for i, s in enumerate(self.slots) if s.active]
+        if not active:
+            return 0
+        toks = jnp.asarray(self._last_tokens[:, None])
+        valid = jnp.asarray(
+            [1 if s.active else 0 for s in self.slots], jnp.int32
+        )
+        logits, self.cache = self._decode(
+            self.params, toks, self.cache, valid_lengths=valid,
+        )
+        nxt = sample_tokens(logits[:, -1], self._split_key(),
+                            self.ecfg.temperature, self.ecfg.top_k)
+        nxt = np.asarray(nxt)
+        for i in active:
+            tok = int(nxt[i])
+            st = self.slots[i]
+            st.generated.append(tok)
+            self._last_tokens[i] = tok
+            done = (
+                len(st.generated) >= st.max_new
+                or (self.ecfg.eos_token is not None and tok == self.ecfg.eos_token)
+                or int(self.cache.lengths[i]) >= self.ecfg.max_len - 1
+            )
+            if done:
+                self._results[st.request_id] = st.generated
+                st.active = False
+        return sum(1 for s in self.slots if s.active)
+
+    def run_to_completion(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+        for _ in range(max_steps):
+            if self.step() == 0:
+                break
+        return dict(self._results)
+
+    def result(self, rid: int) -> list[int] | None:
+        return self._results.get(rid)

@@ -1,0 +1,95 @@
+"""Generation CLI: drive the serving engine end-to-end.
+
+  python -m mxmoe_tpu.serving.generate --model tiny --prompt "1 2 3" --max-new 8
+  python -m mxmoe_tpu.serving.generate --model qwen2_moe --ckpt <dir> \
+      --quant w8a8_g-1_sym --prompt-text "..." --max-new 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny",
+                    help="tiny | qwen2_moe | qwen2_moe_57b | mixtral")
+    ap.add_argument("--ckpt", default=None, help="safetensors dir")
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--prompt", default="1 2 3 4", help="space-separated token ids")
+    ap.add_argument("--prompt-text", default=None, help="text (needs --tokenizer)")
+    ap.add_argument("--tokenizer", default=None, help="HF tokenizer path")
+    ap.add_argument("--max-new", type=int, default=16)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--quant", default=None, help="uniform scheme, e.g. w8a8_g-1_sym")
+    ap.add_argument("--slots", type=int, default=2)
+    ap.add_argument("--max-len", type=int, default=512)
+    args = ap.parse_args()
+
+    from ..models import configs, model as model_mod
+    from ..models.layers import MoEImpl
+    from .engine import Engine, EngineConfig
+
+    if args.model == "tiny":
+        cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    else:
+        cfg = configs.config_for(args.model)
+    if args.layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_layers=args.layers)
+
+    if args.ckpt:
+        from ..models.hf_loader import params_from_safetensors
+
+        params = params_from_safetensors(args.ckpt, cfg)
+    else:
+        params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    impl = MoEImpl(kind="ragged")
+    if args.quant:
+        from ..quant.schemes import parse_scheme
+        from ..quant.qparams import quantize_model_experts_uniform
+
+        qcfg = parse_scheme(args.quant)
+        params = quantize_model_experts_uniform(params, qcfg)
+        impl = MoEImpl(kind="ragged", quant=qcfg,
+                       interpret=jax.default_backend() == "cpu")
+
+    tok = None
+    if args.prompt_text is not None:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.ckpt)
+        prompt = tok(args.prompt_text)["input_ids"]
+    else:
+        prompt = [int(t) % cfg.vocab_size for t in args.prompt.split()]
+
+    eng = Engine(params, cfg, EngineConfig(
+        batch_slots=args.slots, max_len=args.max_len,
+        prefill_chunk=min(256, args.max_len // 2),
+        temperature=args.temperature,
+    ), impl)
+
+    t0 = time.perf_counter()
+    rid = eng.submit(prompt, max_new_tokens=args.max_new)
+    t_prefill = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    results = eng.run_to_completion()
+    t_decode = time.perf_counter() - t0
+
+    out = results[rid]
+    print(f"prompt tokens : {prompt}")
+    print(f"output tokens : {out}")
+    if tok is not None:
+        print(f"output text   : {tok.decode(out)!r}")
+    print(f"prefill {t_prefill*1e3:.1f} ms; decode {len(out)} tok "
+          f"in {t_decode*1e3:.1f} ms = {len(out)/max(t_decode,1e-9):.1f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,44 @@ def test_gmm_weight_only_matches_fakequant_oracle(gsize, sym):
     )
     ref = gmm_dense_reference(a, w_fq, gs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_gmm_w4a8_packed_matches_unpacked():
+    m, k, n, e = 128, 256, 128, 3
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32)
+    gs = _rand_groups(k3, e, m)
+
+    from mxmoe_tpu.quant.packing import pack_int4_halves
+    from mxmoe_tpu.quant.qparams import quantize_act_per_token, quantize_expert_weights
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    aq, asc = quantize_act_per_token(a, 8)
+    qp = quantize_expert_weights(w, QLinearConfig(w_bits=4, w_gsize=-1, w_sym=True, a_bits=8))
+    packed = pack_int4_halves(qp.q)
+    assert packed.shape == (e, k // 2, n)
+
+    got = pallas_gmm.gmm_w4a8_packed(
+        aq, asc, packed, qp.scale, gs, bm=64, bn=128,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    want = pallas_gmm.gmm_w8a8(
+        aq, asc, qp.q, qp.scale, gs, bm=64, bn=128,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_static_sizes_grid_matches_dynamic():
+    m, k, n, e = 256, 128, 256, 6
+    key = jax.random.PRNGKey(8)
+    lhs = jax.random.normal(key, (m, k), jnp.float32)
+    rhs = jax.random.normal(key, (e, k, n), jnp.float32)
+    sizes = (40, 0, 100, 16, 0, 100)
+    gs = jnp.array(sizes, jnp.int32)
+    a = pallas_gmm.gmm(lhs, rhs, gs, bm=64, bn=128, interpret=INTERPRET)
+    b = pallas_gmm.gmm(lhs, rhs, gs, bm=64, bn=128, interpret=INTERPRET,
+                       static_sizes=sizes)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
