@@ -50,6 +50,9 @@ def params_from_state_dict(
 
     get = lambda name: np.asarray(sd[name])
 
+    if cfg.model_type == "deepseek_v2":
+        return _ds2_params_from_state_dict(sd, cfg, dtype)
+
     if cfg.model_type == "mixtral":
         moe_prefix = "block_sparse_moe"
         expert_names = {"gate": "w1", "up": "w3", "down": "w2"}
@@ -106,6 +109,80 @@ def params_from_state_dict(
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
         "layers": {k: jnp.asarray(_stack(v), dtype) for k, v in layers.items()},
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        params["lm_head"] = params["embed"].T
+    else:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params
+
+
+def _ds2_params_from_state_dict(sd, cfg: MoEConfig, dtype) -> dict:
+    """DeepSeek-V2(-Lite) name schema (HF ``modeling_deepseek_v2``):
+    self_attn.{q_proj,kv_a_proj_with_mqa,kv_a_layernorm,kv_b_proj,o_proj};
+    layer<first_k_dense: mlp.{gate,up,down}_proj (dense);
+    else mlp.gate (router), mlp.experts.{e}.*, mlp.shared_experts.*."""
+    get = lambda name: np.asarray(sd[name])
+    L, E, D = cfg.num_layers, cfg.num_experts, cfg.first_dense_layers
+
+    def attn(i):
+        p = f"model.layers.{i}.self_attn"
+        return {
+            "wq": get(f"{p}.q_proj.weight").T,
+            "kv_a": get(f"{p}.kv_a_proj_with_mqa.weight").T,
+            "kv_a_norm": get(f"{p}.kv_a_layernorm.weight"),
+            "kv_b": get(f"{p}.kv_b_proj.weight").T,
+            "wo": get(f"{p}.o_proj.weight").T,
+        }
+
+    def norms(i):
+        p = f"model.layers.{i}"
+        return {
+            "input_norm": get(f"{p}.input_layernorm.weight"),
+            "post_attn_norm": get(f"{p}.post_attention_layernorm.weight"),
+        }
+
+    dense = {k: [] for k in ("wq", "kv_a", "kv_a_norm", "kv_b", "wo",
+                             "input_norm", "post_attn_norm", "mlp_gate_up", "mlp_down")}
+    for i in range(D):
+        row = {**attn(i), **norms(i)}
+        p = f"model.layers.{i}.mlp"
+        g = get(f"{p}.gate_proj.weight").T
+        u = get(f"{p}.up_proj.weight").T
+        row["mlp_gate_up"] = np.concatenate([g, u], axis=1)
+        row["mlp_down"] = get(f"{p}.down_proj.weight").T
+        for k in dense:
+            dense[k].append(row[k])
+
+    moe = {k: [] for k in ("wq", "kv_a", "kv_a_norm", "kv_b", "wo",
+                           "input_norm", "post_attn_norm", "router",
+                           "expert_gate_up", "expert_down",
+                           "shared_gate_up", "shared_down")}
+    for i in range(D, L):
+        row = {**attn(i), **norms(i)}
+        p = f"model.layers.{i}.mlp"
+        row["router"] = get(f"{p}.gate.weight").T
+        gate_up, down = [], []
+        for e in range(E):
+            ep = f"{p}.experts.{e}"
+            g = get(f"{ep}.gate_proj.weight").T
+            u = get(f"{ep}.up_proj.weight").T
+            gate_up.append(np.concatenate([g, u], axis=1))
+            down.append(get(f"{ep}.down_proj.weight").T)
+        row["expert_gate_up"] = _stack(gate_up)
+        row["expert_down"] = _stack(down)
+        sg = get(f"{p}.shared_experts.gate_proj.weight").T
+        su = get(f"{p}.shared_experts.up_proj.weight").T
+        row["shared_gate_up"] = np.concatenate([sg, su], axis=1)
+        row["shared_down"] = get(f"{p}.shared_experts.down_proj.weight").T
+        for k in moe:
+            moe[k].append(row[k])
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": {k: jnp.asarray(_stack(v), dtype) for k, v in moe.items()},
+        "dense_layers": {k: jnp.asarray(_stack(v), dtype) for k, v in dense.items()},
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
     if cfg.tie_word_embeddings or "lm_head.weight" not in sd:

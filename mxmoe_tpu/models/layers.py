@@ -110,7 +110,7 @@ def silu_mul(gate_up: jax.Array) -> jax.Array:
 def moe_ffn_dense(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
     """Reference-fidelity O(E) dense MoE execution (test oracle)."""
     logits = x2d @ layer_params["router"]
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     gate_up = layer_params["expert_gate_up"]  # [E, H, 2N]
     down = layer_params["expert_down"]        # [E, N, H]
     h = jnp.einsum("th,ehn->etn", x2d, gate_up)
@@ -149,7 +149,7 @@ def moe_ffn_ragged(
     fake-quantized per expert row group before each grouped matmul.
     """
     logits = x2d @ layer_params["router"]
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed_act = "act_bits_gateup" in layer_params
@@ -188,7 +188,7 @@ def moe_ffn_ragged_quant(
 
     qcfg = impl.quant
     logits = x2d @ layer_params["router"]
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed = "act_bits_gateup" in layer_params and f"expert_gate_up_q" in layer_params
@@ -266,6 +266,83 @@ def moe_block(
     return y.reshape(b, s, h)
 
 
+def rope_frequencies_interleaved(
+    rope_dim: int, theta: float, positions: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """cos/sin [S, rope_dim/2] for the interleaved (complex) convention
+    used by DeepSeek-V2 MLA (HF ``apply_rotary_emb`` with view_as_complex)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rope_dim, 2, dtype=jnp.float32) / rope_dim))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, S, nH, d] rotated pairwise: (x[2i], x[2i+1]) as complex.
+
+    cos/sin [S, d/2].
+    """
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    out = jnp.stack([xf1 * c - xf2 * s, xf1 * s + xf2 * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def mla_attention_block(
+    x: jax.Array,               # [B, S, H]
+    layer_params: dict,
+    cfg: MoEConfig,
+    cos: jax.Array,             # [S, rope_dim/2] interleaved tables
+    sin: jax.Array,
+) -> jax.Array:
+    """Multi-head Latent Attention (DeepSeek-V2, q_lora_rank=None variant).
+
+    HF semantics (``modeling_deepseek_v2.py``, DeepseekV2Attention.forward):
+    q = x W_q split (nope, rope); compressed kv = x W_kva split
+    (c_kv -> RMSNorm -> W_kvb -> (k_nope, v), k_rope shared across heads);
+    interleaved RoPE on the rope parts; scale = qk_head_dim^-1/2.
+    """
+    b, s, _ = x.shape
+    n_h = cfg.num_heads
+    d_nope, d_rope, d_v = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d_qk = d_nope + d_rope
+
+    q = (x @ layer_params["wq"]).reshape(b, s, n_h, d_qk)
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+
+    ckv = x @ layer_params["kv_a"]                      # [B, S, lora + rope]
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    c_kv = rms_norm(c_kv, layer_params["kv_a_norm"], cfg.rms_norm_eps)
+    kv = (c_kv @ layer_params["kv_b"]).reshape(b, s, n_h, d_nope + d_v)
+    k_nope, v = kv[..., :d_nope], kv[..., d_nope:]
+
+    q_pe = apply_rope_interleaved(q_pe, cos, sin)
+    k_pe = apply_rope_interleaved(k_pe[:, :, None, :], cos, sin)   # [B,S,1,dr]
+    k_pe = jnp.broadcast_to(k_pe, (b, s, n_h, d_rope))
+
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+
+    scores = jnp.einsum("bsnd,btnd->bnst", q_full, k_full).astype(jnp.float32)
+    scores = scores / jnp.sqrt(float(d_qk))
+    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bnst,btnd->bsnd", probs, v)
+    return out.reshape(b, s, n_h * d_v) @ layer_params["wo"]
+
+
+def dense_mlp_block(x: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
+    """Plain SwiGLU MLP for ds2's first dense layer(s)."""
+    b, s, h = x.shape
+    x2d = x.reshape(-1, h)
+    y = silu_mul(x2d @ layer_params["mlp_gate_up"]) @ layer_params["mlp_down"]
+    return y.reshape(b, s, h)
+
+
 def attention_block(
     x: jax.Array,               # [B, S, H]
     layer_params: dict,
@@ -297,12 +374,14 @@ def decoder_layer(
     cos: jax.Array,
     sin: jax.Array,
     impl: MoEImpl = MoEImpl(),
+    dense_mlp: bool = False,
 ) -> jax.Array:
-    h = x + attention_block(
+    attn = mla_attention_block if cfg.attention_type == "mla" else attention_block
+    h = x + attn(
         rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
         layer_params, cfg, cos, sin,
     )
-    return h + moe_block(
-        rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps),
-        layer_params, cfg, impl,
-    )
+    norm_h = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
+    if dense_mlp:
+        return h + dense_mlp_block(norm_h, layer_params, cfg)
+    return h + moe_block(norm_h, layer_params, cfg, impl)

@@ -22,23 +22,40 @@ from .configs import MoEConfig
 from .layers import MoEImpl, decoder_layer, rms_norm, rope_frequencies
 
 
-def layer_param_shapes(cfg: MoEConfig) -> dict[str, tuple]:
+def _attn_shapes(cfg: MoEConfig) -> dict[str, tuple]:
     h = cfg.hidden_size
-    n = cfg.moe_intermediate_size
-    ns = cfg.shared_expert_intermediate_size
+    if cfg.attention_type == "mla":
+        return {
+            "wq": (h, cfg.num_heads * cfg.qk_head_dim),
+            "kv_a": (h, cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+            "kv_a_norm": (cfg.kv_lora_rank,),
+            "kv_b": (cfg.kv_lora_rank,
+                     cfg.num_heads * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+            "wo": (cfg.num_heads * cfg.v_head_dim, h),
+        }
     shapes = {
         "wq": (h, cfg.q_dim),
         "wk": (h, cfg.kv_dim),
         "wv": (h, cfg.kv_dim),
         "wo": (cfg.q_dim, h),
+    }
+    if cfg.attention_bias:
+        shapes.update({"bq": (cfg.q_dim,), "bk": (cfg.kv_dim,), "bv": (cfg.kv_dim,)})
+    return shapes
+
+
+def layer_param_shapes(cfg: MoEConfig) -> dict[str, tuple]:
+    h = cfg.hidden_size
+    n = cfg.moe_intermediate_size
+    ns = cfg.shared_expert_intermediate_size
+    shapes = {
+        **_attn_shapes(cfg),
         "input_norm": (h,),
         "post_attn_norm": (h,),
         "router": (h, cfg.num_experts),
         "expert_gate_up": (cfg.num_experts, h, 2 * n),
         "expert_down": (cfg.num_experts, n, h),
     }
-    if cfg.attention_bias:
-        shapes.update({"bq": (cfg.q_dim,), "bk": (cfg.kv_dim,), "bv": (cfg.kv_dim,)})
     if ns > 0:
         shapes.update({
             "shared_gate_up": (h, 2 * ns),
@@ -49,29 +66,48 @@ def layer_param_shapes(cfg: MoEConfig) -> dict[str, tuple]:
     return shapes
 
 
-def init_params(cfg: MoEConfig, key: jax.Array, dtype=jnp.float32) -> dict:
-    """Random-init parameter pytree (for tests; real weights via hf_loader)."""
-    keys = jax.random.split(key, 4)
-    l = cfg.num_layers
-    shapes = layer_param_shapes(cfg)
+def dense_layer_param_shapes(cfg: MoEConfig) -> dict[str, tuple]:
+    """First-k dense layers (ds2 layer 0: plain SwiGLU MLP)."""
+    h = cfg.hidden_size
+    i = cfg.dense_intermediate_size
+    return {
+        **_attn_shapes(cfg),
+        "input_norm": (h,),
+        "post_attn_norm": (h,),
+        "mlp_gate_up": (h, 2 * i),
+        "mlp_down": (i, h),
+    }
 
-    layers = {}
-    lkeys = jax.random.split(keys[0], len(shapes))
+
+def _init_stack(shapes: dict, num: int, key: jax.Array, dtype) -> dict:
+    out = {}
+    lkeys = jax.random.split(key, len(shapes))
     for i, (name, shape) in enumerate(shapes.items()):
-        full_shape = (l, *shape)
+        full_shape = (num, *shape)
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
         if len(shape) == 1:
             val = jnp.ones(full_shape, dtype) if "norm" in name else jnp.zeros(full_shape, dtype)
         else:
             val = (jax.random.normal(lkeys[i], full_shape, jnp.float32) * (0.4 / fan_in**0.5)).astype(dtype)
-        layers[name] = val
+        out[name] = val
+    return out
 
-    return {
+
+def init_params(cfg: MoEConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (for tests; real weights via hf_loader)."""
+    keys = jax.random.split(key, 4)
+
+    params = {
         "embed": (jax.random.normal(keys[1], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02).astype(dtype),
-        "layers": layers,
+        "layers": _init_stack(layer_param_shapes(cfg), cfg.num_moe_layers, keys[0], dtype),
         "final_norm": jnp.ones((cfg.hidden_size,), dtype),
         "lm_head": (jax.random.normal(keys[2], (cfg.hidden_size, cfg.vocab_size), jnp.float32) * 0.02).astype(dtype),
     }
+    if cfg.first_dense_layers > 0:
+        params["dense_layers"] = _init_stack(
+            dense_layer_param_shapes(cfg), cfg.first_dense_layers, keys[3], dtype
+        )
+    return params
 
 
 def forward_hidden(
@@ -86,7 +122,22 @@ def forward_hidden(
     s = tokens.shape[1]
     if positions is None:
         positions = jnp.arange(s)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    if cfg.attention_type == "mla":
+        from .layers import rope_frequencies_interleaved
+
+        cos, sin = rope_frequencies_interleaved(
+            cfg.qk_rope_head_dim, cfg.rope_theta, positions
+        )
+    else:
+        cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+
+    if "dense_layers" in params:
+        def dense_body(carry, layer_params):
+            return decoder_layer(
+                carry, layer_params, cfg, cos, sin, impl, dense_mlp=True
+            ), None
+
+        x, _ = jax.lax.scan(dense_body, x, params["dense_layers"])
 
     def body(carry, layer_params):
         out = decoder_layer(carry, layer_params, cfg, cos, sin, impl)

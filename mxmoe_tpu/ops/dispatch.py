@@ -36,18 +36,22 @@ def route_topk(
     router_logits: jax.Array,
     top_k: int,
     norm_topk_prob: bool,
+    scaling: float = 1.0,
 ) -> Routing:
-    """Softmax-then-top-k routing (Qwen2-MoE / Mixtral convention).
+    """Softmax-then-top-k routing (Qwen2-MoE / Mixtral / DeepSeek-V2).
 
     Matches HF semantics: softmax over all experts in float32, take top-k,
     optionally renormalize the selected weights to sum to 1
-    (``norm_topk_prob``; True for Mixtral, False for Qwen1.5-MoE-A2.7B).
+    (``norm_topk_prob``; True for Mixtral, False for Qwen1.5-MoE-A2.7B),
+    then multiply by ``scaling`` (DeepSeek-V2 routed_scaling_factor).
     Reference traces this via gate hooks (``moe_tracer.py:88-129``).
     """
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     weights, ids = jax.lax.top_k(probs, top_k)
     if norm_topk_prob:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    if scaling != 1.0:
+        weights = weights * scaling
     return Routing(weights=weights, expert_ids=ids.astype(jnp.int32))
 
 

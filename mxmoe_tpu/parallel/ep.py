@@ -61,7 +61,7 @@ def moe_ffn_ep(
     k = cfg.top_k
 
     logits = x_local @ layer_params["router"]
-    routing = route_topk(logits, k, cfg.norm_topk_prob)
+    routing = route_topk(logits, k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
 
     flat_exp = routing.expert_ids.reshape(-1)                 # [T_l*k]
     flat_w = routing.weights.reshape(-1)

@@ -70,7 +70,7 @@ def moe_calib_errors(
     wd = layer_params["expert_down"]               # [E, N, H]
 
     logits = x2d @ layer_params["router"]
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, e)
     xs = gather_tokens(x2d, disp)                  # [T*k, H]
     gs = disp.group_sizes
@@ -153,7 +153,7 @@ def layer_forward_fp(
     x2d = moe_in.reshape(-1, hid)
 
     logits = x2d @ layer_params["router"]
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)
     hh = gmm_ops.gmm(xs, layer_params["expert_gate_up"], disp.group_sizes, backend=backend)

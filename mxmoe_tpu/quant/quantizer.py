@@ -184,7 +184,7 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
     @jax.jit
     def hessians_for_layer(x2d, lp):
         logits = x2d @ lp["router"]
-        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
         disp = make_dispatch(routing, cfg.num_experts)
         xs = gather_tokens(x2d, disp)
         h_pre = silu_mul(

@@ -62,7 +62,7 @@ def trace_gate_stats(
     @jax.jit
     def layer_stats(x2d, router):
         logits = x2d @ router
-        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
         flat = routing.expert_ids.reshape(-1)
         freq = jnp.bincount(flat, length=cfg.num_experts)
         wsum = jax.ops.segment_sum(
