@@ -410,3 +410,84 @@ def gmm_w4a8_packed(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       lhs_q, lhs_scale, rhs_packed, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-scale w×a GMM (g128-class): per-k-group rescale inside the k loop
+# ---------------------------------------------------------------------------
+
+def _gmm_q8g_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
+                    out_ref, *, bm, bn, gsize, ksc):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+
+    def kbody(i, acc):
+        a = lhs_ref[:, pl.ds(i * gsize, gsize)]            # [bm, g] int8
+        b = rhs_ref[0, pl.ds(i * gsize, gsize), :]         # [g, bn] int8
+        part = jnp.dot(a, b, preferred_element_type=jnp.int32)
+        sa = asc_ref[:, pl.ds(i, 1)]                        # [bm, 1]
+        sb = bsc_ref[0, pl.ds(i, 1), :]                     # [1, bn]
+        return acc + part.astype(jnp.float32) * sa * sb
+
+    acc = jax.lax.fori_loop(
+        0, ksc, kbody, jnp.zeros((bm, bn), jnp.float32)
+    )
+    out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_w8a8_grouped(
+    lhs_q: jax.Array,        # [M, K] int8 codes
+    lhs_scale: jax.Array,    # [M, K//g] f32 per-token-per-group scales
+    rhs_q: jax.Array,        # [E, K, N] int8 codes
+    rhs_scale: jax.Array,    # [E, K//g, N] f32
+    group_sizes: jax.Array,
+    gsize: int = 128,
+    bm: int = 256,
+    bn: int = 256,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """Grouped (g128-class) symmetric w×a int8 matmul: the Atom-style
+    per-group rescale of the reference's ``cta_gemm_w4a4g128``
+    (``cta_gemm.cuh:610-772``) — each K-group's int32 partial product is
+    rescaled by s_a[m,g]·s_b[g,n] and accumulated in f32; a K-group (128)
+    is one full MXU contraction so the loop stays MXU-bound."""
+    m, k = lhs_q.shape
+    e, _, n = rhs_q.shape
+    assert k % gsize == 0
+    ksc = k // gsize
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+
+    kernel = functools.partial(_gmm_q8g_kernel, bm=bm, bn=bn, gsize=gsize, ksc=ksc)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((bm, ksc), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs_q, lhs_scale, rhs_q, rhs_scale)

@@ -58,16 +58,24 @@ def moe_calib_errors(
     cfg: MoEConfig,
     qcfg: QLinearConfig,
     backend: str = "ragged_dot",
+    fq_weights: dict | None = None,
 ) -> jax.Array:
     """Squared layer-out error for every (expert, linear) under one scheme.
 
     Returns err2 [E, 3] (gate, up, down order = LINEAR_NAMES).
+    fq_weights optionally supplies pre-quantized weights (GPTQ path):
+    keys gate/up/down [E, K, N] (+ shared_gate/shared_up/shared_down);
+    absent keys fall back to RTN fake-quant.
     """
     e = cfg.num_experts
     n = cfg.moe_intermediate_size
     gate_up = layer_params["expert_gate_up"]       # [E, H, 2N]
     wg, wu = gate_up[..., :n], gate_up[..., n:]
     wd = layer_params["expert_down"]               # [E, N, H]
+    fqw = fq_weights or {}
+
+    def fq_w(w, name):
+        return fqw[name] if name in fqw else _fq_weight(w, qcfg)
 
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
@@ -93,17 +101,17 @@ def moe_calib_errors(
         return jax.ops.segment_sum(contrib, row_expert, num_segments=e)
 
     # gate quantized: affects h via silu(gate), flows through FP down
-    g_q = run(xs_fq, _fq_weight(wg, qcfg))
+    g_q = run(xs_fq, fq_w(wg, "gate"))
     dh = jax.nn.silu(g_q) * u_fp - h_fp
     err_gate = per_expert_sq(run(dh, wd))
 
     # up quantized
-    u_q = run(xs_fq, _fq_weight(wu, qcfg))
+    u_q = run(xs_fq, fq_w(wu, "up"))
     dh = jax.nn.silu(g_fp) * u_q - h_fp
     err_up = per_expert_sq(run(dh, wd))
 
     # down quantized: its input is h_fp, act-fake-quantized
-    d_q = run(_fq_act(h_fp, qcfg), _fq_weight(wd, qcfg))
+    d_q = run(_fq_act(h_fp, qcfg), fq_w(wd, "down"))
     err_down = per_expert_sq(d_q - d_fp)
 
     errs = jnp.stack([err_gate, err_up, err_down], axis=-1)  # [E, 3]
@@ -128,11 +136,11 @@ def moe_calib_errors(
         def tot_sq(delta):
             return jnp.sum((gate_mult * delta.astype(jnp.float32)) ** 2)
 
-        g_q = x_fq2 @ _fq_weight(swg, qcfg)
+        g_q = x_fq2 @ (fqw["shared_gate"] if "shared_gate" in fqw else _fq_weight(swg, qcfg))
         e_g = tot_sq((jax.nn.silu(g_q) * su - sh) @ swd)
-        u_q = x_fq2 @ _fq_weight(swu, qcfg)
+        u_q = x_fq2 @ (fqw["shared_up"] if "shared_up" in fqw else _fq_weight(swu, qcfg))
         e_u = tot_sq((jax.nn.silu(sg) * u_q - sh) @ swd)
-        d_qq = _fq_act(sh, qcfg) @ _fq_weight(swd, qcfg)
+        d_qq = _fq_act(sh, qcfg) @ (fqw["shared_down"] if "shared_down" in fqw else _fq_weight(swd, qcfg))
         e_d = tot_sq(d_qq - sd)
         errs = jnp.concatenate([errs, jnp.stack([e_g, e_u, e_d])[None]], axis=0)
 
@@ -184,6 +192,17 @@ def calibrate_model(
     reference's crash-resumable per-layer checkpointing
     (``quant.py:603-607``).
     """
+    if method.endswith("-had"):
+        # rotate once up front (reference: ModelRotator at quantizer init,
+        # quant.py:262-279) — the calibration then measures rotated blocks
+        from .rotation import rotate_model_hadamard
+
+        params = rotate_model_hadamard(params, cfg)
+        base_method = method[:-4]
+    else:
+        base_method = method
+    assert base_method in ("rtn", "gptq")
+
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
@@ -204,12 +223,17 @@ def calibrate_model(
                 save_dir, f"{model_id}-MOE-layer_out_norm-{method}-{name}.json"
             )
 
+    gptq_fq = None
+    if base_method == "gptq":
+        gptq_fq = partial(_gptq_layer_fq_weights, cfg=cfg, backend=backend)
+
     num_layers = params["layers"]["router"].shape[0]
     for l in range(num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
         x_next, x2d = fwd(x, lp, cos=cos, sin=sin)
-        for name in schemes:
-            err2 = np.asarray(errf[name](x2d, lp), dtype=np.float64)  # [E, 3]
+        for name, qc in schemes.items():
+            fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
+            err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw), dtype=np.float64)
             err = np.sqrt(err2)
             losses[name][str(l)] = {
                 str(e): [float(v) for v in err[e]] for e in range(err.shape[0])
@@ -220,6 +244,50 @@ def calibrate_model(
         x = x_next
 
     return losses
+
+
+def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
+                           backend: str = "ragged_dot") -> dict:
+    """GPTQ-quantize every expert linear of one layer for one scheme.
+
+    Hessians come from the FP layer pass over the calibration rows
+    (reference llama_sequential add_batch semantics, gptq.py:165-176).
+    """
+    from .gptq import accumulate_hessian, gptq_quantize_kn
+
+    if qcfg.w_bits >= 16:
+        return {}
+    e = cfg.num_experts
+    n = cfg.moe_intermediate_size
+    gate_up = lp["expert_gate_up"]
+    wg, wu = gate_up[..., :n], gate_up[..., n:]
+    wd = lp["expert_down"]
+
+    logits = x2d @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
+    disp = make_dispatch(routing, e)
+    xs = gather_tokens(x2d, disp)
+    h_fp = jax.nn.silu(gmm_ops.gmm(xs, wg, disp.group_sizes, backend=backend)) * \
+        gmm_ops.gmm(xs, wu, disp.group_sizes, backend=backend)
+
+    h_in = accumulate_hessian(xs, disp.group_sizes, e)
+    h_mid = accumulate_hessian(h_fp, disp.group_sizes, e)
+    out = {
+        "gate": gptq_quantize_kn(wg, h_in, qcfg).w_fq,
+        "up": gptq_quantize_kn(wu, h_in, qcfg).w_fq,
+        "down": gptq_quantize_kn(wd, h_mid, qcfg).w_fq,
+    }
+    if cfg.shared_expert_intermediate_size > 0 and "shared_gate_up" in lp:
+        ns = cfg.shared_expert_intermediate_size
+        swg, swu = lp["shared_gate_up"][..., :ns], lp["shared_gate_up"][..., ns:]
+        swd = lp["shared_down"]
+        sh = jax.nn.silu(x2d @ swg) * (x2d @ swu)
+        h_x = accumulate_hessian(x2d)[None]
+        h_s = accumulate_hessian(sh)[None]
+        out["shared_gate"] = gptq_quantize_kn(swg[None], h_x, qcfg).w_fq[0]
+        out["shared_up"] = gptq_quantize_kn(swu[None], h_x, qcfg).w_fq[0]
+        out["shared_down"] = gptq_quantize_kn(swd[None], h_s, qcfg).w_fq[0]
+    return out
 
 
 def _main():

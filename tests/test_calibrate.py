@@ -110,3 +110,23 @@ def test_calibrate_model_end_to_end_schema(tmp_path):
     a = np.mean([losses["w8a8_g-1_sym"]["0"][str(e)] for e in range(4)])
     b = np.mean([losses["w4a16_g16_asym"]["0"][str(e)] for e in range(4)])
     assert a < b
+
+
+def test_calibrate_gptq_and_had_methods(tmp_path):
+    """GPTQ calibration runs and yields lower-or-equal loss than RTN on
+    most blocks (Hessian-aware rounding); -had methods run rotated."""
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (2, 48), 0, cfg.vocab_size)
+    schemes = {"w3a16_g-1_sym": QLinearConfig(w_bits=3, w_gsize=-1, w_sym=True, a_bits=16)}
+
+    rtn = calibrate_model(params, tokens, cfg, schemes, method="rtn")
+    gptq = calibrate_model(params, tokens, cfg, schemes, method="gptq")
+    had = calibrate_model(params, tokens, cfg, schemes, method="rtn-had")
+
+    r = np.array([rtn["w3a16_g-1_sym"]["0"][str(e)] for e in range(5)])
+    g = np.array([gptq["w3a16_g-1_sym"]["0"][str(e)] for e in range(5)])
+    h = np.array([had["w3a16_g-1_sym"]["0"][str(e)] for e in range(5)])
+    assert np.isfinite(g).all() and np.isfinite(h).all()
+    # GPTQ should reduce aggregate loss vs RTN
+    assert g.sum() < r.sum(), (g.sum(), r.sum())

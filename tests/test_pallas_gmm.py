@@ -161,3 +161,30 @@ def test_static_sizes_grid_matches_dynamic():
     b = pallas_gmm.gmm(lhs, rhs, gs, bm=64, bn=128, interpret=INTERPRET,
                        static_sizes=sizes)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_gmm_w8a8_grouped_matches_fakequant_oracle():
+    m, k, n, e, g = 128, 256, 128, 3, 64
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32)
+    gs = _rand_groups(k3, e, m)
+
+    # grouped per-token activation quant
+    ag = a.reshape(m, k // g, g)
+    a_scale = jnp.max(jnp.abs(ag), axis=-1) / 127.0           # [m, k//g]
+    a_q = jnp.round(ag / a_scale[..., None]).reshape(m, k).astype(jnp.int8)
+    # grouped per-column weight quant
+    wg = w.reshape(e, k // g, g, n)
+    w_scale = jnp.max(jnp.abs(wg), axis=2) / 127.0            # [e, k//g, n]
+    w_q = jnp.round(wg / w_scale[:, :, None, :]).reshape(e, k, n).astype(jnp.int8)
+
+    out = pallas_gmm.gmm_w8a8_grouped(
+        a_q, a_scale, w_q, w_scale, gs, gsize=g, bm=64, bn=128,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    a_fq = (a_q.reshape(m, k // g, g).astype(jnp.float32) * a_scale[..., None]).reshape(m, k)
+    w_fq = (w_q.reshape(e, k // g, g, n).astype(jnp.float32) * w_scale[:, :, None, :]).reshape(e, k, n)
+    ref = gmm_dense_reference(a_fq, w_fq, gs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
