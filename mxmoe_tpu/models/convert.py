@@ -1,0 +1,95 @@
+"""Checkpoint converter: HF safetensors -> mxmoe_tpu artifacts.
+
+  python -m mxmoe_tpu.models.convert --ckpt <hf_dir> --model qwen2_moe \
+      --out ckpts/qwen2_moe [--quant w8a8_g-1_sym] [--pack-int4]
+
+Produces an orbax checkpoint of the functional param pytree; with --quant
+the routed expert weights are pre-quantized offline (int8 codes + scales,
+optionally nibble-packed int4) so serving starts without a quantization
+pass. Hot loops (RTN quant, nibble pack, bf16 decode, transpose) use the
+native C++ library when built (csrc/mxmoe_pack.cpp).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_params(params: dict, out_dir: str) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(out_dir)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, params, force=True)
+
+
+def load_params(out_dir: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(out_dir))
+
+
+def convert(
+    ckpt_dir: str,
+    model_id: str,
+    out_dir: str,
+    quant: str | None = None,
+    pack_int4: bool = False,
+    dtype=jnp.bfloat16,
+    layers: int | None = None,
+) -> dict:
+    from .configs import config_for
+    from .hf_loader import params_from_safetensors
+
+    cfg = config_for(model_id)
+    if layers:
+        cfg = dataclasses.replace(cfg, num_layers=layers)
+    params = params_from_safetensors(ckpt_dir, cfg, dtype=dtype)
+
+    meta = {"model": model_id, "dtype": str(dtype), "quant": quant,
+            "pack_int4": bool(pack_int4)}
+    if quant:
+        from ..quant.schemes import parse_scheme
+        from ..quant.qparams import quantize_model_experts_uniform
+
+        qcfg = parse_scheme(quant)
+        params = quantize_model_experts_uniform(params, qcfg)
+        if pack_int4 and qcfg.w_bits <= 4:
+            from ..quant.packing import pack_int4_halves
+
+            layers_d = dict(params["layers"])
+            for name in ("expert_gate_up_q", "expert_down_q"):
+                layers_d[name + "_packed"] = pack_int4_halves(layers_d.pop(name))
+            params = dict(params)
+            params["layers"] = layers_d
+
+    save_params(params, out_dir)
+    with open(os.path.join(out_dir, "mxmoe_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return params
+
+
+def _main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--quant", default=None)
+    ap.add_argument("--pack-int4", action="store_true")
+    ap.add_argument("--layers", type=int, default=None)
+    args = ap.parse_args()
+    convert(args.ckpt, args.model, args.out, args.quant, args.pack_int4,
+            layers=args.layers)
+    print(f"converted -> {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

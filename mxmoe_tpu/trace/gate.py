@@ -188,3 +188,82 @@ def _main():
 
 if __name__ == "__main__":
     _main()
+
+
+# ---------------------------------------------------------------------------
+# Activation tracing (reference moe_tracer.trace_activation, :388-435)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ActivationTrace:
+    """Per-layer distribution stats of the MoE-block inputs."""
+
+    amax: np.ndarray          # [L] max |x|
+    channel_amax: np.ndarray  # [L, H] per-channel max |x| (outlier map)
+    percentiles: np.ndarray   # [L, len(QS)] of |x|
+    qs: tuple = (50.0, 90.0, 99.0, 99.9, 100.0)
+
+
+def trace_activation_stats(
+    params: dict,
+    tokens: jax.Array,
+    cfg: MoEConfig,
+    backend: str = "ragged_dot",
+) -> ActivationTrace:
+    """Capture |activation| distribution entering each MoE block — the
+    outlier evidence motivating Hadamard rotation (QuaRot); reference
+    plots these from raw captures, we reduce on device."""
+    b, s = tokens.shape
+    positions = jnp.arange(s)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    x = jnp.take(params["embed"], tokens, axis=0)
+    fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
+
+    qs = (50.0, 90.0, 99.0, 99.9, 100.0)
+
+    @jax.jit
+    def stats(x2d):
+        a = jnp.abs(x2d.astype(jnp.float32))
+        return (
+            jnp.max(a),
+            jnp.max(a, axis=0),
+            jnp.percentile(a.reshape(-1), jnp.asarray(qs)),
+        )
+
+    num_layers = params["layers"]["router"].shape[0]
+    amax = np.zeros(num_layers)
+    ch = np.zeros((num_layers, cfg.hidden_size))
+    pct = np.zeros((num_layers, len(qs)))
+    for l in range(num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+        x_next, x2d = fwd(x, lp, cos=cos, sin=sin)
+        m, c, p = stats(x2d)
+        amax[l], ch[l], pct[l] = float(m), np.asarray(c), np.asarray(p)
+        x = x_next
+    return ActivationTrace(amax=amax, channel_amax=ch, percentiles=pct, qs=qs)
+
+
+def plot_activation_outliers(trace: ActivationTrace, path: str) -> bool:
+    """Channel-amax heatmap (outlier channels) per layer."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5))
+    im = ax1.imshow(np.log10(trace.channel_amax + 1e-9), aspect="auto", cmap="magma")
+    ax1.set_xlabel("hidden channel")
+    ax1.set_ylabel("layer")
+    fig.colorbar(im, ax=ax1, label="log10 channel amax")
+    for i, q in enumerate(trace.qs):
+        ax2.plot(trace.percentiles[:, i], label=f"p{q}")
+    ax2.set_xlabel("layer")
+    ax2.set_ylabel("|activation|")
+    ax2.set_yscale("log")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return True

@@ -1,0 +1,52 @@
+"""Mixed w4(packed)+w8 bucketed execution (bench headline path) vs oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench as bench_mod
+from mxmoe_tpu.bench.workloads import GroupGemmWorkload
+from mxmoe_tpu.ops import pallas_gmm
+from mxmoe_tpu.ops.gmm import gmm_dense_reference
+from mxmoe_tpu.quant.packing import unpack_int4_halves
+from mxmoe_tpu.quant.qparams import quantize_act_per_token
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def test_mixed_bucketed_matches_oracle():
+    wl = GroupGemmWorkload("t", group_sizes=(40, 24, 56, 8, 72, 56), k=128, n=128)
+    key = jax.random.PRNGKey(0)
+    operands = [bench_mod._build_fp_operands(wl, key, dtype=jnp.float32)]
+    mask = np.array([True, False, True, False, True, False])
+    qmix = bench_mod._quantize_weights_mixed(operands, [mask])
+    p = qmix[0]
+
+    # run the two bucketed launches (interpret mode)
+    lhs, m4 = p["lhs"], p["m4"]
+    aq4, asc4 = quantize_act_per_token(lhs[:m4], 4)
+    o4 = pallas_gmm.gmm_w4a8_packed(
+        aq4, asc4, p["q4p"], p["sc4"], jnp.asarray(p["gs4"], jnp.int32),
+        bm=32, bn=128, static_sizes=p["gs4"], out_dtype=jnp.float32,
+        interpret=INTERPRET,
+    )
+    aq8, asc8 = quantize_act_per_token(lhs[m4:], 8)
+    o8 = pallas_gmm.gmm_w8a8(
+        aq8, asc8, p["q8"], p["sc8"], jnp.asarray(p["gs8"], jnp.int32),
+        bm=32, bn=128, static_sizes=p["gs8"], out_dtype=jnp.float32,
+        interpret=INTERPRET,
+    )
+
+    # oracle: dequantized dense reference per bucket
+    w4 = unpack_int4_halves(p["q4p"]).astype(jnp.float32) * p["sc4"]
+    a4 = aq4.astype(jnp.float32) * asc4
+    ref4 = gmm_dense_reference(a4, w4, jnp.asarray(p["gs4"], jnp.int32))
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(ref4), rtol=1e-4, atol=1e-4)
+
+    w8 = p["q8"].astype(jnp.float32) * p["sc8"]
+    a8 = aq8.astype(jnp.float32) * asc8
+    ref8 = gmm_dense_reference(a8, w8, jnp.asarray(p["gs8"], jnp.int32))
+    np.testing.assert_allclose(np.asarray(o8), np.asarray(ref8), rtol=1e-4, atol=1e-4)
+
+    # row permutation covers all rows exactly once
+    assert m4 == sum(p["gs4"]) and lhs.shape[0] - m4 == sum(p["gs8"])

@@ -1,0 +1,93 @@
+"""Checkpoint conversion roundtrip: HF safetensors shards -> pytree ->
+orbax save/load -> forward equivalence."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mxmoe_tpu.models import configs, model
+from mxmoe_tpu.models.layers import MoEImpl
+
+
+def _write_fake_hf_ckpt(tmp_path, cfg, seed=0):
+    """Random HF-format state dict saved as safetensors shards."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def add(name, shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    add("model.embed_tokens.weight", (cfg.vocab_size, cfg.hidden_size))
+    add("model.norm.weight", (cfg.hidden_size,))
+    add("lm_head.weight", (cfg.vocab_size, cfg.hidden_size))
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        add(f"{p}.self_attn.q_proj.weight", (cfg.q_dim, cfg.hidden_size))
+        add(f"{p}.self_attn.k_proj.weight", (cfg.kv_dim, cfg.hidden_size))
+        add(f"{p}.self_attn.v_proj.weight", (cfg.kv_dim, cfg.hidden_size))
+        add(f"{p}.self_attn.o_proj.weight", (cfg.hidden_size, cfg.q_dim))
+        add(f"{p}.self_attn.q_proj.bias", (cfg.q_dim,))
+        add(f"{p}.self_attn.k_proj.bias", (cfg.kv_dim,))
+        add(f"{p}.self_attn.v_proj.bias", (cfg.kv_dim,))
+        add(f"{p}.input_layernorm.weight", (cfg.hidden_size,))
+        add(f"{p}.post_attention_layernorm.weight", (cfg.hidden_size,))
+        add(f"{p}.mlp.gate.weight", (cfg.num_experts, cfg.hidden_size))
+        for e in range(cfg.num_experts):
+            ep = f"{p}.mlp.experts.{e}"
+            add(f"{ep}.gate_proj.weight", (cfg.moe_intermediate_size, cfg.hidden_size))
+            add(f"{ep}.up_proj.weight", (cfg.moe_intermediate_size, cfg.hidden_size))
+            add(f"{ep}.down_proj.weight", (cfg.hidden_size, cfg.moe_intermediate_size))
+        sp = f"{p}.mlp.shared_expert"
+        ns = cfg.shared_expert_intermediate_size
+        add(f"{sp}.gate_proj.weight", (ns, cfg.hidden_size))
+        add(f"{sp}.up_proj.weight", (ns, cfg.hidden_size))
+        add(f"{sp}.down_proj.weight", (cfg.hidden_size, ns))
+        add(f"{p}.mlp.shared_expert_gate.weight", (1, cfg.hidden_size))
+
+    # two shards to exercise multi-file indexing
+    keys = sorted(sd)
+    half = len(keys) // 2
+    os.makedirs(tmp_path / "hf", exist_ok=True)
+    save_file({k: sd[k] for k in keys[:half]}, str(tmp_path / "hf" / "model-00001.safetensors"))
+    save_file({k: sd[k] for k in keys[half:]}, str(tmp_path / "hf" / "model-00002.safetensors"))
+    return sd
+
+
+def test_convert_roundtrip_and_quantized(tmp_path, monkeypatch):
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    _write_fake_hf_ckpt(tmp_path, cfg)
+
+    from mxmoe_tpu.models import convert as cv
+    from mxmoe_tpu.models import configs as cfgs
+
+    monkeypatch.setattr(cfgs, "config_for", lambda m: cfg)
+
+    # fp conversion
+    params = cv.convert(str(tmp_path / "hf"), "tiny", str(tmp_path / "out_fp"),
+                        dtype=jnp.float32)
+    loaded = cv.load_params(str(tmp_path / "out_fp"))
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 16), 0, cfg.vocab_size)
+    a = model.forward_logits(params, toks, cfg, MoEImpl())
+    b = model.forward_logits(loaded, toks, cfg, MoEImpl())
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    # quantized conversion (offline int8 codes ready for serving)
+    qparams = cv.convert(str(tmp_path / "hf"), "tiny", str(tmp_path / "out_q"),
+                         quant="w8a8_g-1_sym", dtype=jnp.float32)
+    assert "expert_gate_up_q" in qparams["layers"]
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    impl = MoEImpl(kind="ragged", quant=parse_scheme("w8a8_g-1_sym"),
+                   interpret=jax.default_backend() == "cpu")
+    lq = model.forward_logits(qparams, toks, cfg, impl)
+    assert bool(jnp.all(jnp.isfinite(lq)))
+    # packed int4 variant stores halved K dim
+    q4 = cv.convert(str(tmp_path / "hf"), "tiny", str(tmp_path / "out_q4"),
+                    quant="w4a8_g-1_sym", pack_int4=True, dtype=jnp.float32)
+    packed = q4["layers"]["expert_gate_up_q_packed"]
+    assert packed.shape[2] == cfg.hidden_size // 2

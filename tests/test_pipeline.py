@@ -66,3 +66,17 @@ def test_full_pipeline(tmp_path):
     # 5. kernel check on the generated workload (scheme-bucketed)
     wl_small = json.load(open(tmp_path / "wl.json"))
     assert run_check(wl_small, tol=1.0, interpret=jax.default_backend() == "cpu")
+
+
+def test_activation_trace():
+    from mxmoe_tpu.trace.gate import trace_activation_stats
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 32), 0, cfg.vocab_size)
+    tr = trace_activation_stats(params, toks, cfg)
+    assert tr.amax.shape == (2,) and (tr.amax > 0).all()
+    assert tr.channel_amax.shape == (2, cfg.hidden_size)
+    # percentiles monotone
+    assert (np.diff(tr.percentiles, axis=1) >= -1e-6).all()
+    np.testing.assert_allclose(tr.percentiles[:, -1], tr.amax, rtol=1e-5)
