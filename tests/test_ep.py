@@ -72,3 +72,55 @@ def test_ep_capacity_drop_degrades_gracefully():
     got_n = np.asarray(got).ravel()
     corr = np.corrcoef(ref_n, got_n)[0, 1]
     assert corr > 0.5
+
+
+def test_quantized_ep_int8_dispatch_matches_oracle():
+    """int8-over-ICI dispatch + quantized expert compute vs fake-quant
+    oracle (single-device math with the same quantization points)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    from mxmoe_tpu.parallel.ep import make_ep_moe_quant_fn
+    from mxmoe_tpu.quant.qparams import (
+        quantize_expert_weights, quantize_act_per_token)
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    qc = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8)
+    qg = quantize_expert_weights(lp["expert_gate_up"], qc)
+    qd = quantize_expert_weights(lp["expert_down"], qc)
+
+    t = 16 * ep
+    x = jax.random.normal(jax.random.PRNGKey(5), (t, cfg.hidden_size), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fn = make_ep_moe_quant_fn(cfg, mesh, EPConfig(capacity_factor=float(cfg.top_k * ep)))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"], qg.q, qg.scale, qd.q, qd.scale)
+
+    # oracle: same quant points, dense single-device math
+    xq, xs = quantize_act_per_token(x, 8)
+    x_fq = xq.astype(jnp.float32) * xs
+    wg_fq = qg.q.astype(jnp.float32) * qg.scale
+    wd_fq = qd.q.astype(jnp.float32) * qd.scale
+
+    logits = x @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    n = cfg.moe_intermediate_size
+    h = jnp.einsum("th,ehn->etn", x_fq, wg_fq)
+    hh = jax.nn.silu(h[..., :n]) * h[..., n:]
+    # second quant point: per (expert, token) rows of hh
+    e_tot = cfg.num_experts
+    hq = []
+    for e in range(e_tot):
+        q, s = quantize_act_per_token(hh[e], 8)
+        hq.append(q.astype(jnp.float32) * s)
+    hh_fq = jnp.stack(hq)
+    out_all = jnp.einsum("etn,enh->eth", hh_fq, wd_fq)
+    one_hot = jax.nn.one_hot(routing.expert_ids, e_tot, dtype=x.dtype)
+    w = (routing.weights.astype(x.dtype)[..., None] * one_hot).sum(1)
+    ref = jnp.einsum("eth,te->th", out_all, w)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
