@@ -56,6 +56,50 @@ def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths):
     return out.reshape(b, s, -1) @ lp["wo"], ck, cv
 
 
+def _rope_tables_mla(cfg: MoEConfig, positions: jax.Array):
+    """Interleaved-convention tables [B, S, rope_dim/2] (DeepSeek MLA)."""
+    d = cfg.qk_rope_head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope_interleaved_bs(x, cos, sin):
+    """x [B, S, nH, d]; cos/sin [B, S, d/2]; pairwise complex rotation."""
+    x1 = x[..., 0::2].astype(jnp.float32)
+    x2 = x[..., 1::2].astype(jnp.float32)
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths):
+    b, s, _ = x.shape
+    n_h = cfg.num_heads
+    d_nope, d_rope, d_v = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d_qk = d_nope + d_rope
+
+    q = (x @ lp["wq"]).reshape(b, s, n_h, d_qk)
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+    ckv = x @ lp["kv_a"]
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    c_kv = rms_norm(c_kv, lp["kv_a_norm"], cfg.rms_norm_eps)
+    kv = (c_kv @ lp["kv_b"]).reshape(b, s, n_h, d_nope + d_v)
+    k_nope, v = kv[..., :d_nope], kv[..., d_nope:]
+
+    q_pe = _apply_rope_interleaved_bs(q_pe, cos, sin)
+    k_pe = _apply_rope_interleaved_bs(k_pe[:, :, None, :], cos, sin)
+    k_pe = jnp.broadcast_to(k_pe, (b, s, n_h, d_rope))
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+
+    ck, cv = update_layer_cache(ck, cv, k_full.astype(ck.dtype),
+                                v.astype(cv.dtype), lengths)
+    out = attention_with_cache(q_full, ck, cv, lengths, s)
+    return out.reshape(b, s, n_h * d_v) @ lp["wo"], ck, cv
+
+
 def forward_cached(
     params: dict,
     tokens: jax.Array,        # [B, S_new]
@@ -70,24 +114,49 @@ def forward_cached(
         valid_lengths = jnp.full((b,), s_new, jnp.int32)
     x = jnp.take(params["embed"], tokens, axis=0)
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
-    cos, sin = _rope_tables(cfg, positions)
+    mla = cfg.attention_type == "mla"
+    if mla:
+        cos, sin = _rope_tables_mla(cfg, positions)
+        attn_cached = _attention_block_cached_mla
+    else:
+        cos, sin = _rope_tables(cfg, positions)
+        attn_cached = _attention_block_cached
 
-    def body(carry, layer_in):
-        x = carry
-        lp, ck, cv = layer_in
-        h, ck, cv = _attention_block_cached(
-            rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
-            lp, cfg, cos, sin, ck, cv, cache.lengths,
-        )
-        h = x + h
-        out = h + moe_block(
-            rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps), lp, cfg, impl,
-        )
-        return out, (ck, cv)
+    def make_body(dense_mlp: bool):
+        def body(carry, layer_in):
+            x = carry
+            lp, ck, cv = layer_in
+            h, ck, cv = attn_cached(
+                rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
+                lp, cfg, cos, sin, ck, cv, cache.lengths,
+            )
+            h = x + h
+            norm_h = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+            if dense_mlp:
+                from ..models.layers import dense_mlp_block
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v)
-    )
+                out = h + dense_mlp_block(norm_h, lp, cfg)
+            else:
+                out = h + moe_block(norm_h, lp, cfg, impl)
+            return out, (ck, cv)
+        return body
+
+    d = cfg.first_dense_layers
+    if d > 0 and "dense_layers" in params:
+        x, (dk, dv) = jax.lax.scan(
+            make_body(True), x,
+            (params["dense_layers"], cache.k[:d], cache.v[:d]),
+        )
+        x, (mk, mv) = jax.lax.scan(
+            make_body(False), x,
+            (params["layers"], cache.k[d:], cache.v[d:]),
+        )
+        new_k = jnp.concatenate([dk, mk], axis=0)
+        new_v = jnp.concatenate([dv, mv], axis=0)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            make_body(False), x, (params["layers"], cache.k, cache.v)
+        )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     logits = x @ head

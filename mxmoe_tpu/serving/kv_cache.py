@@ -29,10 +29,15 @@ class KVCache(NamedTuple):
 def init_kv_cache(
     cfg: MoEConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    """K/V head dims differ under MLA (qk_head_dim vs v_head_dim)."""
+    if cfg.attention_type == "mla":
+        n_kv, k_dim, v_dim = cfg.num_heads, cfg.qk_head_dim, cfg.v_head_dim
+    else:
+        n_kv = cfg.num_kv_heads
+        k_dim = v_dim = cfg.head_dim
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros((cfg.num_layers, batch, max_len, n_kv, k_dim), dtype),
+        v=jnp.zeros((cfg.num_layers, batch, max_len, n_kv, v_dim), dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -84,4 +89,5 @@ def attention_with_cache(
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bngst,btnh->bsngh", probs, cache_v)
-    return out.reshape(b, s_new, n_h, hd)
+    # v head dim may differ from the qk head dim (MLA)
+    return out.reshape(b, s_new, n_h, cache_v.shape[-1])

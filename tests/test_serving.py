@@ -111,3 +111,40 @@ def test_engine_two_requests_interleaved():
             want.append(tok)
             seq.append(tok)
         assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_ds2_mla_decode_matches_full_forward():
+    """MLA + dense-first-layer model: cached decode == full re-forward."""
+    cfg = configs.tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    full = jax.random.randint(jax.random.PRNGKey(8), (1, 10), 0, cfg.vocab_size)
+
+    from mxmoe_tpu.serving.kv_cache import init_kv_cache
+
+    cache = init_kv_cache(cfg, batch=1, max_len=32, dtype=jnp.float32)
+    logits_p, cache = forward_cached(params, full[:, :6], cache, cfg)
+    outs = [logits_p[:, 5]]
+    for i in range(6, 10):
+        logits, cache = forward_cached(params, full[:, i: i + 1], cache, cfg)
+        outs.append(logits[:, 0])
+    got = jnp.stack(outs, axis=1)                  # [1, 5, V]
+
+    ref = model.forward_logits(params, full, cfg, MoEImpl())[:, 5:10]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=6e-4, atol=6e-4)
+
+
+def test_ds2_engine_generation():
+    cfg = configs.tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    eng = Engine(params, cfg, EngineConfig(batch_slots=1, max_len=64,
+                                           prefill_chunk=8))
+    rid = eng.submit([3, 5, 7], max_new_tokens=5)
+    results = eng.run_to_completion()
+    got = results[rid]
+    assert len(got) == 5
+
+    seq = [3, 5, 7]
+    for tok in got:
+        logits = model.forward_logits(params, jnp.asarray([seq], jnp.int32), cfg, MoEImpl())
+        assert tok == int(jnp.argmax(logits[0, -1]))
+        seq.append(tok)
