@@ -98,6 +98,9 @@ class MoEImpl:
     gmm_backend: str = "ragged_dot"  # 'ragged_dot' | 'pallas'
     quant: object | None = None      # QLinearConfig
     interpret: bool = False
+    online_had: bool = False         # online Hadamard on down-proj inputs
+                                     # (QuaRot R4; down weights must be
+                                     # pre-rotated, rotation.rotate_down_weights)
 
 
 def silu_mul(gate_up: jax.Array) -> jax.Array:
@@ -162,6 +165,10 @@ def moe_ffn_ragged(
     h = gmm_ops.gmm(xs, layer_params["expert_gate_up"], disp.group_sizes,
                     backend=impl.gmm_backend)                       # [T*k, 2N]
     h = silu_mul(h)
+    if impl.online_had:
+        from ..quant.hadamard import matmul_hadU
+
+        h = matmul_hadU(h)
     if mixed_act:
         h = _act_fq_per_row(h, jnp.take(layer_params["act_bits_down"], row_expert))
     out = gmm_ops.gmm(h, layer_params["expert_down"], disp.group_sizes,

@@ -66,3 +66,21 @@ def test_online_hadamard_down_equivalence():
     ref = h_act @ w[0]
     got = online_hadamard_down(h_act) @ rotate_down_weights(w)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_online_had_model_forward_invariance():
+    """Pre-rotated down weights + online Hadamard in the ragged path must
+    preserve the model function (QuaRot R4 wiring)."""
+    from mxmoe_tpu.quant.rotation import rotate_down_weights
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    ref = model.forward_logits(params, jnp.arange(24).reshape(1, 24) % cfg.vocab_size,
+                               cfg, MoEImpl(kind="ragged"))
+
+    rot = dict(params)
+    rot["layers"] = dict(params["layers"])
+    rot["layers"]["expert_down"] = rotate_down_weights(params["layers"]["expert_down"])
+    got = model.forward_logits(rot, jnp.arange(24).reshape(1, 24) % cfg.vocab_size,
+                               cfg, MoEImpl(kind="ragged", online_had=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
