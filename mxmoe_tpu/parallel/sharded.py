@@ -1,0 +1,98 @@
+"""Full-model multi-chip forward: GSPMD everywhere + shard_map EP MoE.
+
+The hybrid pattern (scaling-book): dense parts (embedding, attention,
+shared expert, lm head) are plain JAX under `jit` — XLA/GSPMD shards them
+from the param/data shardings — while the routed-expert block drops into
+an explicit `shard_map` with capacity-bucketed all-to-all (bf16 or
+int8-dispatch quantized). One mesh axis ("expert") carries both the token
+batch and the expert dimension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.configs import MoEConfig
+from ..models.layers import (
+    attention_block, rms_norm, rope_frequencies, shared_expert_ffn,
+)
+from .ep import EPConfig, make_ep_moe_fn, make_ep_moe_quant_fn
+
+
+def make_sharded_forward(
+    cfg: MoEConfig,
+    mesh,
+    quantized: bool = False,
+    ep_cfg: EPConfig = EPConfig(axis="expert"),
+):
+    """Returns forward(params, tokens) -> logits, jit-able over the mesh.
+
+    quantized=True expects the pytree from
+    quant.qparams.quantize_model_experts_uniform/mixed (int8 codes +
+    scales) and ships int8 over the all-to-all.
+    """
+    if quantized:
+        ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
+    else:
+        ep_fn = make_ep_moe_fn(cfg, mesh, ep_cfg)
+
+    def forward(params, tokens):
+        x = jnp.take(params["embed"], tokens, axis=0)
+        b, s = tokens.shape
+        cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, jnp.arange(s))
+
+        def body(carry, lp):
+            x = carry
+            h = x + attention_block(
+                rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
+                lp, cfg, cos, sin,
+            )
+            moe_in = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+            x2d = moe_in.reshape(-1, cfg.hidden_size)
+            if quantized:
+                y = ep_fn(
+                    x2d, lp["router"],
+                    lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
+                    lp["expert_down_q"], lp["expert_down_sc"],
+                )
+            else:
+                y = ep_fn(x2d, lp["router"], lp["expert_gate_up"], lp["expert_down"])
+            if cfg.shared_expert_intermediate_size > 0:
+                y = y + shared_expert_ffn(x2d, lp, cfg)
+            return h + y.reshape(b, s, cfg.hidden_size), None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+        return x @ head
+
+    return forward
+
+
+def ep_param_shardings(params: dict, mesh, quantized: bool = False):
+    """NamedShardings for the hybrid forward: expert arrays sharded on the
+    'expert' axis (dim E), everything else replicated (DP on tokens)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(name, arr):
+        if name.startswith("expert_"):
+            return P(None, "expert", *([None] * (arr.ndim - 2)))
+        return P(*([None] * arr.ndim))
+
+    ns = lambda s: NamedSharding(mesh, s)
+    out = {
+        "embed": ns(P(None, None)),
+        "final_norm": ns(P(None)),
+        "lm_head": ns(P(None, None)),
+        "layers": {
+            k: ns(spec_for(k, v)) for k, v in params["layers"].items()
+        },
+    }
+    if "dense_layers" in params:
+        out["dense_layers"] = {
+            k: ns(P(*([None] * v.ndim))) for k, v in params["dense_layers"].items()
+        }
+    return out

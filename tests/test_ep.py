@@ -124,3 +124,68 @@ def test_quantized_ep_int8_dispatch_matches_oracle():
     ref = jnp.einsum("eth,te->th", out_all, w)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_full_forward_matches_single_device():
+    """Hybrid GSPMD + shard_map-EP full-model forward == plain forward."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mxmoe_tpu.parallel.sharded import make_sharded_forward, ep_param_shardings
+    from mxmoe_tpu.parallel.ep import EPConfig
+    from mxmoe_tpu.models.layers import MoEImpl
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(10), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(11), (ep, 16), 0, cfg.vocab_size)
+
+    ref = model.forward_logits(params, toks, cfg, MoEImpl(kind="ragged"))
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fwd = make_sharded_forward(
+        cfg, mesh, quantized=False,
+        ep_cfg=EPConfig(capacity_factor=float(cfg.top_k * ep)),
+    )
+    sharded_params = jax.device_put(params, ep_param_shardings(params, mesh))
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, P("expert", None)))
+    with mesh:
+        got = jax.jit(fwd)(sharded_params, toks_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_quantized_full_forward_runs():
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mxmoe_tpu.parallel.sharded import make_sharded_forward, ep_param_shardings
+    from mxmoe_tpu.parallel.ep import EPConfig
+    from mxmoe_tpu.quant.qparams import quantize_model_experts_uniform
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    qp = quantize_model_experts_uniform(params, parse_scheme("w8a8_g-1_sym"))
+    toks = jax.random.randint(jax.random.PRNGKey(13), (ep, 8), 0, cfg.vocab_size)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fwd = make_sharded_forward(
+        cfg, mesh, quantized=True,
+        ep_cfg=EPConfig(capacity_factor=float(cfg.top_k * ep)),
+    )
+    sp = jax.device_put(qp, ep_param_shardings(qp, mesh))
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, P("expert", None)))
+    with mesh:
+        got = jax.jit(fwd)(sp, toks_sh)
+    assert bool(jnp.all(jnp.isfinite(got)))
+
+    # quantized sharded ~ quantized single-device (same quant points modulo
+    # per-row act quant; both int8 weights) — loose agreement
+    from mxmoe_tpu.models.layers import MoEImpl
+    single = model.forward_logits(qp, toks, cfg, MoEImpl(
+        kind="ragged", quant=parse_scheme("w8a8_g-1_sym"),
+        interpret=jax.default_backend() == "cpu"))
+    got_n = np.asarray(got).ravel()
+    ref_n = np.asarray(single).ravel()
+    assert np.corrcoef(got_n, ref_n)[0, 1] > 0.999
