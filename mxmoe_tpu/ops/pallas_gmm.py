@@ -423,17 +423,17 @@ def _gmm_q8g_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
     m_tile = mtids[t]
     mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
 
-    def kbody(i, acc):
-        a = lhs_ref[:, pl.ds(i * gsize, gsize)]            # [bm, g] int8
-        b = rhs_ref[0, pl.ds(i * gsize, gsize), :]         # [g, bn] int8
+    # Python-unrolled k-group loop: static slices (Mosaic cannot prove
+    # 128-lane alignment for dynamic lane-dim scale indices), and the
+    # unrolled dots pipeline better anyway (ksc is small, e.g. K/128=16).
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for i in range(ksc):
+        a = lhs_ref[:, i * gsize:(i + 1) * gsize]          # [bm, g] int8
+        b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]       # [g, bn] int8
         part = jnp.dot(a, b, preferred_element_type=jnp.int32)
-        sa = asc_ref[:, pl.ds(i, 1)]                        # [bm, 1]
-        sb = bsc_ref[0, pl.ds(i, 1), :]                     # [1, bn]
-        return acc + part.astype(jnp.float32) * sa * sb
-
-    acc = jax.lax.fori_loop(
-        0, ksc, kbody, jnp.zeros((bm, bn), jnp.float32)
-    )
+        sa = asc_ref[:, i:i + 1]                            # [bm, 1]
+        sb = bsc_ref[0, i:i + 1, :]                         # [1, bn]
+        acc = acc + part.astype(jnp.float32) * sa * sb
     out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
 

@@ -184,6 +184,7 @@ def calibrate_model(
     model_id: str = "model",
     method: str = "rtn",
     backend: str = "ragged_dot",
+    resume: bool = False,
 ) -> dict[str, dict]:
     """Layer-streamed calibration over all layers × schemes.
 
@@ -215,6 +216,10 @@ def calibrate_model(
     }
 
     losses: dict[str, dict] = {name: {} for name in schemes}
+    if resume and save_dir:
+        prior = load_resumable(save_dir, model_id, method, schemes)
+        for name, d in prior.items():
+            losses[name].update(d)
     paths = {}
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
@@ -231,6 +236,9 @@ def calibrate_model(
     for l in range(num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
         x_next, x2d = fwd(x, lp, cos=cos, sin=sin)
+        if resume and all(str(l) in losses[name] for name in schemes):
+            x = x_next  # already calibrated (crash-resume); propagate only
+            continue
         for name, qc in schemes.items():
             fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
             err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw), dtype=np.float64)
@@ -335,3 +343,99 @@ def _main():
 
 if __name__ == "__main__":
     _main()
+
+
+# ---------------------------------------------------------------------------
+# model_out_norm metric (reference quant.py:614-660) + resume support
+# ---------------------------------------------------------------------------
+
+def model_out_norm_errors(
+    params: dict,
+    tokens: jax.Array,
+    cfg: MoEConfig,
+    qcfg: QLinearConfig,
+    layer_idx: int,
+    backend: str = "ragged_dot",
+) -> np.ndarray:
+    """‖model_out_q − model_out_fp‖_F per (expert, linear) of one layer.
+
+    The reference's alternative metric: quantizing one block and re-running
+    the WHOLE model (nonlinear downstream propagation — no vectorization
+    shortcut exists, so this is L×E×3 forwards; use layer_out_norm unless
+    end-to-end fidelity of the loss signal matters).
+    Returns err [E(+1 shared), 3].
+    """
+    from ..models import model as model_mod
+    from ..models.layers import MoEImpl
+
+    impl = MoEImpl(kind="ragged", gmm_backend=backend)
+    fwd = jax.jit(lambda p: model_mod.forward_hidden(p, tokens, cfg, impl))
+    ref = fwd(params)
+
+    n = cfg.moe_intermediate_size
+    e_tot = cfg.num_experts
+    has_shared = cfg.shared_expert_intermediate_size > 0 and \
+        "shared_gate_up" in params["layers"]
+    errs = np.zeros((e_tot + (1 if has_shared else 0), 3))
+
+    def perturbed(name, block_slice, value):
+        layers = dict(params["layers"])
+        layers[name] = layers[name].at[block_slice].set(value)
+        p2 = dict(params)
+        p2["layers"] = layers
+        return p2
+
+    gate_up = params["layers"]["expert_gate_up"]   # [L, E, H, 2N]
+    down = params["layers"]["expert_down"]
+    for e in range(e_tot):
+        for bi, lin in enumerate(LINEAR_NAMES):
+            if lin == "gate":
+                w = gate_up[layer_idx, e, :, :n]
+                fq = _fq_weight(w[None], qcfg)[0]
+                p2 = perturbed("expert_gate_up", (layer_idx, e, slice(None), slice(0, n)), fq)
+            elif lin == "up":
+                w = gate_up[layer_idx, e, :, n:]
+                fq = _fq_weight(w[None], qcfg)[0]
+                p2 = perturbed("expert_gate_up", (layer_idx, e, slice(None), slice(n, 2 * n)), fq)
+            else:
+                w = down[layer_idx, e]
+                fq = _fq_weight(w[None], qcfg)[0]
+                p2 = perturbed("expert_down", (layer_idx, e), fq)
+            out = fwd(p2)
+            errs[e, bi] = float(jnp.sqrt(jnp.sum(
+                (out.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2)))
+    if has_shared:
+        ns = cfg.shared_expert_intermediate_size
+        for bi, (name, sl) in enumerate((
+            ("shared_gate_up", (layer_idx, slice(None), slice(0, ns))),
+            ("shared_gate_up", (layer_idx, slice(None), slice(ns, 2 * ns))),
+            ("shared_down", (layer_idx,)),
+        )):
+            w = params["layers"][name][sl]
+            fq = _fq_weight(w[None], qcfg)[0]
+            p2 = perturbed(name, sl, fq)
+            out = fwd(p2)
+            errs[e_tot, bi] = float(jnp.sqrt(jnp.sum(
+                (out.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2)))
+    return errs
+
+
+def fisher_errors(*args, **kw):
+    """Fisher-information metric — a stub in the reference too
+    (``quant.py:662``); layer_out_norm is the production metric."""
+    raise NotImplementedError("fisher metric is a stub (reference parity)")
+
+
+def load_resumable(save_dir: str, model_id: str, method: str,
+                   schemes: dict) -> dict[str, dict]:
+    """Load per-layer calibration checkpoints for resume: returns partial
+    losses {scheme: {layer: ...}} from existing JSON files."""
+    out = {}
+    for name in schemes:
+        path = os.path.join(
+            save_dir, f"{model_id}-MOE-layer_out_norm-{method}-{name}.json"
+        )
+        if os.path.exists(path):
+            with open(path) as f:
+                out[name] = json.load(f)
+    return out

@@ -130,3 +130,29 @@ def test_calibrate_gptq_and_had_methods(tmp_path):
     assert np.isfinite(g).all() and np.isfinite(h).all()
     # GPTQ should reduce aggregate loss vs RTN
     assert g.sum() < r.sum(), (g.sum(), r.sum())
+
+
+def test_model_out_norm_metric_and_resume(tmp_path):
+    from mxmoe_tpu.quant.calibrate import model_out_norm_errors
+
+    cfg = configs.tiny_qwen2_moe(num_experts=3, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (1, 24), 0, cfg.vocab_size)
+    qcfg = QLinearConfig(w_bits=3, w_gsize=-1, w_sym=True, a_bits=16)
+
+    errs = model_out_norm_errors(params, tokens, cfg, qcfg, layer_idx=0)
+    assert errs.shape == (4, 3) and np.isfinite(errs).all() and (errs > 0).all()
+    # w8 should give smaller model-out error than w3
+    errs8 = model_out_norm_errors(
+        params, tokens, cfg,
+        QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=16), layer_idx=0)
+    assert errs8.sum() < errs.sum()
+
+    # resume: first run saves; second run with resume skips recompute but
+    # returns identical losses
+    schemes = {"w4a16_g-1_sym": QLinearConfig(w_bits=4, w_gsize=-1, w_sym=True, a_bits=16)}
+    a = calibrate_model(params, tokens, cfg, schemes, save_dir=str(tmp_path),
+                        model_id="t", method="rtn")
+    b = calibrate_model(params, tokens, cfg, schemes, save_dir=str(tmp_path),
+                        model_id="t", method="rtn", resume=True)
+    assert a == b
