@@ -10,7 +10,6 @@ harness, and bench.py.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,7 @@ import dataclasses
 import json
 import os
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def save_params(params: dict, out_dir: str) -> None:

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Callable, Mapping
+from typing import Mapping
 
 import numpy as np
 import jax.numpy as jnp

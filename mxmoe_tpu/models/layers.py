@@ -15,7 +15,6 @@ reference benchmarks (``gen_workload.py:95``: shapes [M, 2N, K]).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

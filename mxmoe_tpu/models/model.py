@@ -13,7 +13,6 @@ Layout (see ``init_params``):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

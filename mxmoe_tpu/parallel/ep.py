@@ -24,7 +24,6 @@ grouped matmuls via its latency-hiding scheduler.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ matmuls on the MXU.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from .schemes import QLinearConfig
 from .packing import quantize_weight_kn
-from .rtn import quantize as rtn_quantize
 
 
 class QuantLinearParams(NamedTuple):
@@ -115,8 +114,6 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
     e = model_cfg.num_experts
     num_layers = params["layers"]["router"].shape[0]
     layers = dict(params["layers"])
-    from .schemes import QLinearConfig as QLC
-
     new = {}
     act_gate, act_down = [], []
     for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):

@@ -17,7 +17,6 @@ surgery. GPTQ propagates layer inputs through already-quantized layers
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

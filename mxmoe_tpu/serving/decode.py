@@ -8,7 +8,6 @@ params, so prefill/decode each compile exactly once per shape.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

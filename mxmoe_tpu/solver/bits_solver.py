@@ -28,14 +28,13 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
-import os
 
 import numpy as np
 from scipy import sparse
 from scipy.optimize import LinearConstraint, milp
 
 from ..quant.schemes import (
-    QModelConfig, QLayerConfig, QExpertConfig, QLinearConfig,
+    QModelConfig, QLayerConfig, QExpertConfig,
     parse_scheme, strategy_bits, LINEAR_NAMES,
 )
 from .perf_model import PerfModel, AnalyticPerfModel

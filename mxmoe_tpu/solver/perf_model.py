@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -10,8 +10,6 @@ TPU; results feed :class:`mxmoe_tpu.solver.perf_model.PerfModel`.
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
 
 import jax
