@@ -54,15 +54,31 @@ def attention(
     k: jax.Array,       # [B, S, nKV, hd]
     v: jax.Array,       # [B, S, nKV, hd]
     causal: bool = True,
+    backend: str = "xla",
 ) -> jax.Array:
     """GQA attention; keys/values broadcast across query groups.
 
-    Plain-XLA implementation (flash-style fused attention on TPU comes via
-    XLA; a Pallas splash kernel is not needed for the MoE-focused bench).
+    backend 'xla': einsum softmax (materializes S×S scores — fine for
+    short calibration windows). 'flash': JAX's Pallas TPU flash-attention
+    kernel (O(S) memory, long-sequence ppl eval / prefill); requires S a
+    multiple of the kernel block and a TPU backend.
     """
     b, s, n_h, hd = q.shape
     n_kv = k.shape[2]
     groups = n_h // n_kv
+
+    if backend == "flash" and causal and jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        kr = jnp.repeat(k, groups, axis=2) if groups > 1 else k
+        vr = jnp.repeat(v, groups, axis=2) if groups > 1 else v
+        out = fa.flash_attention(
+            q.transpose(0, 2, 1, 3), kr.transpose(0, 2, 1, 3),
+            vr.transpose(0, 2, 1, 3),
+            causal=True, sm_scale=1.0 / float(hd) ** 0.5,
+        )
+        return out.transpose(0, 2, 1, 3)
+
     qg = q.reshape(b, s, n_kv, groups, hd)
     scores = jnp.einsum("bsngh,btnh->bngst", qg, k).astype(jnp.float32)
     scores = scores / jnp.sqrt(float(hd))
@@ -100,6 +116,7 @@ class MoEImpl:
     online_had: bool = False         # online Hadamard on down-proj inputs
                                      # (QuaRot R4; down weights must be
                                      # pre-rotated, rotation.rotate_down_weights)
+    attn_backend: str = "xla"        # 'xla' | 'flash' (Pallas TPU kernel)
 
 
 def silu_mul(gate_up: jax.Array) -> jax.Array:
@@ -355,6 +372,7 @@ def attention_block(
     cfg: MoEConfig,
     cos: jax.Array,
     sin: jax.Array,
+    attn_backend: str = "xla",
 ) -> jax.Array:
     b, s, _ = x.shape
     q = x @ layer_params["wq"]
@@ -369,7 +387,7 @@ def attention_block(
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = attention(q, k, v, causal=True)
+    out = attention(q, k, v, causal=True, backend=attn_backend)
     return out.reshape(b, s, -1) @ layer_params["wo"]
 
 
@@ -382,11 +400,17 @@ def decoder_layer(
     impl: MoEImpl = MoEImpl(),
     dense_mlp: bool = False,
 ) -> jax.Array:
-    attn = mla_attention_block if cfg.attention_type == "mla" else attention_block
-    h = x + attn(
-        rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
-        layer_params, cfg, cos, sin,
-    )
+    if cfg.attention_type == "mla":
+        h_attn = mla_attention_block(
+            rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
+            layer_params, cfg, cos, sin,
+        )
+    else:
+        h_attn = attention_block(
+            rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
+            layer_params, cfg, cos, sin, attn_backend=impl.attn_backend,
+        )
+    h = x + h_attn
     norm_h = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
     if dense_mlp:
         return h + dense_mlp_block(norm_h, layer_params, cfg)
