@@ -123,15 +123,46 @@ def _row_mask(m_tile: jax.Array, group_start: jax.Array, group_end: jax.Array,
 # bf16 / f32 GMM
 # ---------------------------------------------------------------------------
 
-def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, *, bm, bn):
+def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, acc_ref,
+                *, bm, bn, ksteps, acc_dtype=jnp.float32):
+    """Shared body for f16 and int8 GMM: k-blocked accumulation in a
+    persistent f32/i32 scratch, masked assembly on the last k step."""
     t = pl.program_id(1)
+    kk = pl.program_id(2)
     g = gids[t]
     m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    res = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+    part = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=acc_dtype)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kk > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(kk == ksteps - 1)
+    def _():
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
+                                 out_ref[...])
 
 
+
+
+def _auto_bk(k: int, bk):
+    """Resolve the k-block: 'auto' caps the K footprint at ~4k (VMEM) by
+    choosing the largest dividing block; None = full K; int = as given."""
+    if bk is None:
+        return k
+    if bk == "auto":
+        if k <= 4096:
+            return k
+        for cand in (4096, 2048, 1024, 512, 256, 128):
+            if k % cand == 0:
+                return cand
+        return k
+    return min(bk, k)
 
 def _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn):
     """Metadata + grid; exact grid when concrete sizes are provided."""
@@ -148,6 +179,7 @@ def gmm(
     group_sizes: jax.Array,  # [E] int32
     bm: int = 256,
     bn: int = 256,
+    bk="auto",               # k-block: 'auto' | None (full K) | int
     out_dtype=None,
     interpret: bool = False,
     static_sizes=None,
@@ -158,25 +190,30 @@ def gmm(
     out_dtype = out_dtype or lhs.dtype
     bm = min(bm, m)
     bn = min(bn, n)
-    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    bk = _auto_bk(k, bk)
+    assert k % bk == 0, (k, bk)
+    ksteps = k // bk
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    grid = (*grid2, ksteps)
 
-    kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn)
+    kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn, ksteps=ksteps)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
             ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),
@@ -196,14 +233,26 @@ gmm_bf16 = gmm
 # ---------------------------------------------------------------------------
 
 def _gmm_q8_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                   out_ref, *, bm, bn):
+                   out_ref, acc_ref, *, bm, bn, ksteps):
     t = pl.program_id(1)
+    kk = pl.program_id(2)
     g = gids[t]
     m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    acc = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
-    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+    part = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kk > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(kk == ksteps - 1)
+    def _():
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        res = acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
 def gmm_w8a8(
@@ -214,6 +263,7 @@ def gmm_w8a8(
     group_sizes: jax.Array,
     bm: int = 256,
     bn: int = 512,
+    bk="auto",
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
@@ -227,27 +277,32 @@ def gmm_w8a8(
     e, _, n = rhs_q.shape
     bm = min(bm, m)
     bn = min(bn, n)
-    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    bk = _auto_bk(k, bk)
+    assert k % bk == 0, (k, bk)
+    ksteps = k // bk
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    grid = (*grid2, ksteps)
 
-    kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn)
+    kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+                pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
             ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),

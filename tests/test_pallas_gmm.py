@@ -188,3 +188,32 @@ def test_gmm_w8a8_grouped_matches_fakequant_oracle():
     w_fq = (w_q.reshape(e, k // g, g, n).astype(jnp.float32) * w_scale[:, :, None, :]).reshape(e, k, n)
     ref = gmm_dense_reference(a_fq, w_fq, gs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("bk", [64, 128])
+def test_gmm_kblocked_matches_full(bk):
+    m, k, n, e = 192, 256, 128, 4
+    key = jax.random.PRNGKey(10)
+    lhs = jax.random.normal(key, (m, k), jnp.float32)
+    rhs = jax.random.normal(key, (e, k, n), jnp.float32)
+    gs = _rand_groups(key, e, m)
+    full = pallas_gmm.gmm(lhs, rhs, gs, bm=64, bn=128, interpret=INTERPRET)
+    blocked = pallas_gmm.gmm(lhs, rhs, gs, bm=64, bn=128, bk=bk, interpret=INTERPRET)
+    # k-blocked accumulation reorders the sum; tolerance covers fp noise
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full), rtol=2e-3, atol=2e-3)
+
+
+def test_gmm_w8a8_kblocked_matches_full():
+    m, k, n, e = 128, 256, 128, 3
+    key = jax.random.PRNGKey(11)
+    aq = jax.random.randint(key, (m, k), -127, 128, jnp.int8)
+    asc = jax.random.uniform(key, (m, 1), jnp.float32, 0.001, 0.02)
+    wq = jax.random.randint(key, (e, k, n), -127, 128, jnp.int8)
+    wsc = jax.random.uniform(key, (e, 1, n), jnp.float32, 0.001, 0.02)
+    gs = _rand_groups(key, e, m)
+    full = pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=64, bn=128,
+                               out_dtype=jnp.float32, interpret=INTERPRET)
+    blocked = pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=64, bn=128, bk=64,
+                                  out_dtype=jnp.float32, interpret=INTERPRET)
+    # int32 accumulation is exact -> bitwise equal
+    np.testing.assert_array_equal(np.asarray(blocked), np.asarray(full))
