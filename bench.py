@@ -19,8 +19,18 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+
+# Persistent compilation cache: repeat runs (e.g. the driver's) skip the
+# multi-minute Pallas/XLA compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mxmoe_jax_cache")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from mxmoe_tpu.bench import workloads
@@ -137,32 +147,43 @@ def _quantize_weights_mixed(operands, w4_mask_per_wl):
 
 def _mixed_step_factory(qmix):
     """Two bucketed launches per workload (w4-packed a4 + w8a8), exact
-    static grids (group sizes are concrete in the bench)."""
-    def step(qmix):
+    static grids. Static metadata (m4, group sizes) is captured in the
+    closure — only arrays flow through jit (ints in a jit-arg pytree
+    would become tracers and break static slicing)."""
+    statics = [(p["m4"], p["gs4"], p["gs8"], p["shared"] is not None)
+               for p in qmix]
+
+    def arrays_of(p):
+        out = {k: p[k] for k in ("lhs", "q4p", "sc4", "q8", "sc8")}
+        if p["shared"] is not None:
+            out["shared"] = p["shared"]
+        return out
+
+    def step(arrs):
         outs = []
-        for p in qmix:
-            lhs, m4 = p["lhs"], p["m4"]
+        for (m4, gs4, gs8, has_shared), p in zip(statics, arrs):
+            lhs = p["lhs"]
             l4, l8 = lhs[:m4], lhs[m4:]
             aq4, asc4 = quantize_act_per_token(l4, 4)
             outs.append(pallas_gmm.gmm_w4a8_packed(
                 aq4, asc4, p["q4p"], p["sc4"],
-                jnp.asarray(p["gs4"], jnp.int32), bm=256, bn=512,
-                static_sizes=p["gs4"],
+                jnp.asarray(gs4, jnp.int32), bm=256, bn=512,
+                static_sizes=gs4,
             ))
             aq8, asc8 = quantize_act_per_token(l8, 8)
             outs.append(pallas_gmm.gmm_w8a8(
                 aq8, asc8, p["q8"], p["sc8"],
-                jnp.asarray(p["gs8"], jnp.int32), bm=256, bn=512,
-                static_sizes=p["gs8"],
+                jnp.asarray(gs8, jnp.int32), bm=256, bn=512,
+                static_sizes=gs8,
             ))
-            if p["shared"] is not None:
+            if has_shared:
                 sl, swq, ssc = p["shared"]
                 saq, sasc = quantize_act_per_token(sl, 8)
                 acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
                 outs.append((acc.astype(jnp.float32) * sasc * ssc).astype(jnp.bfloat16))
         return outs
 
-    return step
+    return step, [arrays_of(p) for p in qmix]
 
 
 def main():
@@ -189,10 +210,10 @@ def main():
 
         masks = [np.arange(wl.num_experts) % 2 == 0 for wl in (gate_up, down)]
         qmix = _quantize_weights_mixed(operands, masks)
-        jax.block_until_ready(qmix)
-        step = _mixed_step_factory(qmix)
+        step, qarrs = _mixed_step_factory(qmix)
+        jax.block_until_ready(qarrs)
         ours = jax.jit(step)
-        ro = bench_fn(ours, qmix)
+        ro = bench_fn(ours, qarrs)
         metric = "qwen2_moe_l10_bs8192_moe_ffn_mixed_w4a4+w8a8_pallas"
     else:
         qoperands = jax.jit(_quantize_weights)(operands)
