@@ -87,7 +87,8 @@ def _w8a8_step(qoperands):
     outs = []
     for lhs, wq, wsc, gs, shared in qoperands:
         aq, asc = quantize_act_per_token(lhs, 8)
-        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=256, bn=512))
+        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=256,
+                                        bn=wq.shape[-1]))
         if shared is not None:
             sl, swq, ssc = shared
             saq, sasc = quantize_act_per_token(sl, 8)
@@ -163,17 +164,18 @@ def _mixed_step_factory(qmix):
         outs = []
         for (m4, gs4, gs8, has_shared), p in zip(statics, arrs):
             lhs = p["lhs"]
+            n_full = p["q8"].shape[-1]   # full-row tiles: no lhs refetch
             l4, l8 = lhs[:m4], lhs[m4:]
             aq4, asc4 = quantize_act_per_token(l4, 4)
             outs.append(pallas_gmm.gmm_w4a8_packed(
                 aq4, asc4, p["q4p"], p["sc4"],
-                jnp.asarray(gs4, jnp.int32), bm=256, bn=512,
+                jnp.asarray(gs4, jnp.int32), bm=256, bn=n_full,
                 static_sizes=gs4,
             ))
             aq8, asc8 = quantize_act_per_token(l8, 8)
             outs.append(pallas_gmm.gmm_w8a8(
                 aq8, asc8, p["q8"], p["sc8"],
-                jnp.asarray(gs8, jnp.int32), bm=256, bn=512,
+                jnp.asarray(gs8, jnp.int32), bm=256, bn=n_full,
                 static_sizes=gs8,
             ))
             if has_shared:
