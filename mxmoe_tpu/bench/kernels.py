@@ -32,7 +32,8 @@ DEFAULT_TILES = (
     TileSpec(128, 256),
     TileSpec(256, 256),
     TileSpec(256, 512),
-    TileSpec(512, 256),
+    TileSpec(256, 1024),
+    TileSpec(256, 2816),   # full-row for the canonical N (no lhs refetch)
     TileSpec(512, 512),
 )
 

@@ -170,12 +170,21 @@ def quantize_model_experts_uniform(params: dict, cfg: QLinearConfig) -> dict:
     replaced by QuantLinearParams fields (suffixes _q/_sc/_zp).
     """
     layers = dict(params["layers"])
+    quantize_layer = jax.jit(lambda w: quantize_expert_weights(w, cfg))
     for name in ("expert_gate_up", "expert_down"):
-        qp = quantize_expert_weights(layers[name], cfg)
+        w = layers[name]                      # [L, E, K, N]
+        # layer-streamed: whole-stack f32 intermediates would blow HBM on
+        # real model widths; one layer at a time bounds the peak
+        qs, scs, zps = [], [], []
+        for l in range(w.shape[0]):
+            qp = quantize_layer(w[l])
+            qs.append(qp.q)
+            scs.append(qp.scale)
+            zps.append(qp.zp)
         del layers[name]
-        layers[f"{name}_q"] = qp.q
-        layers[f"{name}_sc"] = qp.scale
-        layers[f"{name}_zp"] = qp.zp
+        layers[f"{name}_q"] = jnp.stack(qs)
+        layers[f"{name}_sc"] = jnp.stack(scs)
+        layers[f"{name}_zp"] = jnp.stack(zps)
     out = dict(params)
     out["layers"] = layers
     return out
