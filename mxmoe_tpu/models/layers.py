@@ -226,6 +226,10 @@ def moe_ffn_ragged_quant(
         sc = layer_params[f"{prefix}_sc"]
         zp = layer_params[f"{prefix}_zp"]
         k = acts.shape[-1]
+        n_out = wq.shape[-1]
+        # wide n-tiles cut lhs refetch and (for tiny decode M) make each
+        # expert's weights stream exactly once; cap the K x bn VMEM block
+        bn = min(n_out, max(512, (3 * 1024 * 1024) // max(k, 1)))
         if mixed:
             # per-expert mixed schemes in one int8 launch: bitwidths are
             # data (per-expert scales, per-row act clip ranges)
@@ -233,7 +237,7 @@ def moe_ffn_ragged_quant(
             row_bits = jnp.take(layer_params[bits_key], row_expert)
             aq, asc = quantize_act_per_row_bits(acts, row_bits)
             return pallas_gmm.gmm_w8a8(
-                aq, asc, wq, sc, disp.group_sizes,
+                aq, asc, wq, sc, disp.group_sizes, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret,
             )
         gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
@@ -241,11 +245,11 @@ def moe_ffn_ragged_quant(
             aq, asc = quantize_act_rtn(acts, qcfg)
             assert qcfg.w_gsize == -1, "grouped w×a kernel lands separately"
             return pallas_gmm.gmm_w8a8(
-                aq, asc, wq, sc, disp.group_sizes,
+                aq, asc, wq, sc, disp.group_sizes, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret,
             )
         return pallas_gmm.gmm_weight_only(
-            acts, wq, sc, zp, disp.group_sizes, gsize=gsz,
+            acts, wq, sc, zp, disp.group_sizes, gsize=gsz, bn=bn,
             out_dtype=acts.dtype, interpret=impl.interpret,
         )
 

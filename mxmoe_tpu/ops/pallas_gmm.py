@@ -97,7 +97,9 @@ def make_group_metadata(group_sizes: jax.Array, m: int, bm: int) -> GroupMetadat
     group_tiles = jnp.where(sizes > 0, last_tile - first_tile + 1, 0)
     num_logical = jnp.sum(group_tiles)
 
-    max_logical = _cdiv(m, bm) + e - 1
+    # intersections <= m-tiles + interior group boundaries; with few rows
+    # (decode) at most min(e, m) groups are nonempty, tightening the bound
+    max_logical = min(_cdiv(m, bm) + e - 1, _cdiv(m, bm) + min(e, m) - 1)
     tile_offsets = jnp.cumsum(group_tiles) - group_tiles  # exclusive
     group_ids = jnp.repeat(
         jnp.arange(e, dtype=jnp.int32), group_tiles,
