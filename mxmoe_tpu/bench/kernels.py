@@ -44,8 +44,8 @@ def scheme_kind(cfg: QLinearConfig) -> str:
     if cfg.a_bits >= 16:
         return "weight_only"
     if cfg.w_gsize == -1:
-        return "int8"           # wXaY per-channel/per-token sym (X,Y <= 8)
-    return "int8_grouped"       # grouped wXaX (kernel variant pending)
+        return "int8"           # wXaY per-channel/per-token (sym or asym)
+    return "int8_grouped"       # grouped wXaX (gmm_w8a8_grouped)
 
 
 def build_operands(
@@ -68,7 +68,14 @@ def build_operands(
     if kind in ("int8", "int8_grouped"):
         from ..quant.qparams import quantize_act_per_token, quantize_expert_weights
 
-        aq, asc = quantize_act_per_token(a, int(cfg.a_bits))
+        if kind == "int8_grouped":
+            g = cfg.a_gsize if cfg.a_gsize > 0 else cfg.w_gsize
+            upper = float((1 << (int(cfg.a_bits) - 1)) - 1)
+            ag = a.reshape(m, k // g, g)
+            asc = jnp.maximum(jnp.max(jnp.abs(ag), axis=-1), 1e-8) / upper
+            aq = jnp.round(ag / asc[..., None]).reshape(m, k).astype(jnp.int8)
+        else:
+            aq, asc = quantize_act_per_token(a, int(cfg.a_bits))
         qp = quantize_expert_weights(w, cfg)
         return {"lhs": aq, "lhs_sc": asc, "rhs": qp.q, "rhs_sc": qp.scale,
                 "rhs_zp": qp.zp, "gs": gs}
@@ -97,6 +104,14 @@ def make_launcher(
             )
         return fn
     if kind == "int8":
+        if not cfg.w_sym:
+            def fn(ops):
+                return pallas_gmm.gmm_w8a8_asym(
+                    ops["lhs"], ops["lhs_sc"], ops["rhs"], ops["rhs_sc"],
+                    ops["rhs_zp"], ops["gs"],
+                    bm=tile.bm, bn=tile.bn, interpret=interpret,
+                )
+            return fn
         def fn(ops):
             return pallas_gmm.gmm_w8a8(
                 ops["lhs"], ops["lhs_sc"], ops["rhs"], ops["rhs_sc"], ops["gs"],
@@ -111,6 +126,14 @@ def make_launcher(
                 ops["lhs"], ops["rhs"], ops["rhs_sc"], ops["rhs_zp"], ops["gs"],
                 gsize=(k if g == -1 else g),
                 bm=tile.bm, bn=tile.bn, interpret=interpret,
+            )
+        return fn
+    if kind == "int8_grouped":
+        g = gsize if gsize is not None else cfg.w_gsize
+        def fn(ops):
+            return pallas_gmm.gmm_w8a8_grouped(
+                ops["lhs"], ops["lhs_sc"], ops["rhs"], ops["rhs_sc"], ops["gs"],
+                gsize=g, bm=tile.bm, bn=tile.bn, interpret=interpret,
             )
         return fn
     raise NotImplementedError(f"kernel kind {kind} for scheme {cfg.scheme_name}")
@@ -128,7 +151,14 @@ def reference_output(ops: dict, scheme: str | QLinearConfig) -> jax.Array:
             ops["lhs"].astype(jnp.float32), ops["rhs"].astype(jnp.float32), ops["gs"]
         )
     if kind in ("int8", "int8_grouped"):
-        a = ops["lhs"].astype(jnp.float32) * ops["lhs_sc"]
+        lsc = ops["lhs_sc"]
+        if kind == "int8_grouped":
+            m_, k_ = ops["lhs"].shape
+            g = k_ // lsc.shape[-1]
+            a = (ops["lhs"].reshape(m_, -1, g).astype(jnp.float32)
+                 * lsc[..., None]).reshape(m_, k_)
+        else:
+            a = ops["lhs"].astype(jnp.float32) * lsc
         k = ops["rhs"].shape[1]
         gsz = k if cfg.w_gsize == -1 else cfg.w_gsize
         from ..quant.packing import PackedTensor, dequantize_weight_kn

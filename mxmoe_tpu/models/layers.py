@@ -244,6 +244,11 @@ def moe_ffn_ragged_quant(
         if qcfg.a_bits < 16:
             aq, asc = quantize_act_rtn(acts, qcfg)
             assert qcfg.w_gsize == -1, "grouped w×a kernel lands separately"
+            if not qcfg.w_sym:
+                return pallas_gmm.gmm_w8a8_asym(
+                    aq, asc, wq, sc, zp, disp.group_sizes, bn=bn,
+                    out_dtype=acts.dtype, interpret=impl.interpret,
+                )
             return pallas_gmm.gmm_w8a8(
                 aq, asc, wq, sc, disp.group_sizes, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret,

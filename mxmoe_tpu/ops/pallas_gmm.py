@@ -548,3 +548,101 @@ def gmm_w8a8_grouped(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       lhs_q, lhs_scale, rhs_q, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric-weight w×a GMM: zp correction via activation row-sums
+# ---------------------------------------------------------------------------
+
+def _gmm_q8_asym_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref,
+                        bsc_ref, bzp_ref, out_ref, acc_ref, rsum_ref,
+                        *, bm, bn, ksteps):
+    """out = (q_a·q_w) s_a s_w + rowsum(q_a) s_a zp_w  — the zp-correction
+    identity for asym weights with recentred signed codes
+    (packing.py convention: dequant = q·s + zp')."""
+    t = pl.program_id(1)
+    kk = pl.program_id(2)
+    g = gids[t]
+    m_tile = mtids[t]
+    a = lhs_ref[...]
+    part = jnp.dot(a, rhs_ref[0], preferred_element_type=jnp.int32)
+    rsum = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)   # [bm, 1]
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = part
+        rsum_ref[...] = rsum
+
+    @pl.when(kk > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + part
+        rsum_ref[...] = rsum_ref[...] + rsum
+
+    @pl.when(kk == ksteps - 1)
+    def _():
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        res = (
+            acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+            + rsum_ref[...].astype(jnp.float32) * asc_ref[...] * bzp_ref[0]
+        )
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_w8a8_asym(
+    lhs_q: jax.Array,        # [M, K] int8 codes (sym acts)
+    lhs_scale: jax.Array,    # [M, 1] f32
+    rhs_q: jax.Array,        # [E, K, N] int8 recentred asym codes
+    rhs_scale: jax.Array,    # [E, 1, N] f32
+    rhs_zp: jax.Array,       # [E, 1, N] f32 recentred zero points
+    group_sizes: jax.Array,
+    bm: int = 256,
+    bn: int = 512,
+    bk="auto",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """Per-channel ASYMMETRIC-weight int8 grouped matmul (wXaY_asym)."""
+    m, k = lhs_q.shape
+    e, _, n = rhs_q.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    bk = _auto_bk(k, bk)
+    assert k % bk == 0
+    ksteps = k // bk
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    grid = (*grid2, ksteps)
+
+    kernel = functools.partial(_gmm_q8_asym_kernel, bm=bm, bn=bn, ksteps=ksteps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+                pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bm, bn), jnp.int32),
+                pltpu.VMEM((bm, 1), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs_q, lhs_scale, rhs_q, rhs_scale, rhs_zp)

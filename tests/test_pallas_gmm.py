@@ -217,3 +217,36 @@ def test_gmm_w8a8_kblocked_matches_full():
                                   out_dtype=jnp.float32, interpret=INTERPRET)
     # int32 accumulation is exact -> bitwise equal
     np.testing.assert_array_equal(np.asarray(blocked), np.asarray(full))
+
+
+def test_gmm_w8a8_asym_matches_fakequant_oracle():
+    m, k, n, e = 128, 256, 128, 3
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32) + 0.5   # asym-friendly
+    gs = _rand_groups(k3, e, m)
+
+    from mxmoe_tpu.quant.packing import quantize_weight_kn, dequantize_weight_kn
+    from mxmoe_tpu.quant.qparams import quantize_act_per_token
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    cfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=False, a_bits=8)
+    p = quantize_weight_kn(w, cfg)
+    aq, asc = quantize_act_per_token(a, 8)
+
+    got = pallas_gmm.gmm_w8a8_asym(
+        aq, asc, p.values, p.scale, p.zp, gs, bm=64, bn=128,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    w_fq = dequantize_weight_kn(p)
+    a_fq = aq.astype(jnp.float32) * asc
+    ref = gmm_dense_reference(a_fq, w_fq, gs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # k-blocked variant identical
+    got2 = pallas_gmm.gmm_w8a8_asym(
+        aq, asc, p.values, p.scale, p.zp, gs, bm=64, bn=128, bk=64,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=1e-5, atol=1e-5)

@@ -80,3 +80,27 @@ def test_activation_trace():
     # percentiles monotone
     assert (np.diff(tr.percentiles, axis=1) >= -1e-6).all()
     np.testing.assert_allclose(tr.percentiles[:, -1], tr.amax, rtol=1e-5)
+
+
+def test_harness_check_grouped_and_asym_schemes():
+    """check mode covers grouped (g128-class) and asym int8 schemes."""
+    from mxmoe_tpu.bench.harness import run_check
+
+    wl = {
+        "num_tokens": 128,
+        "layer-0": {
+            "gate_up": [
+                {"shape": [48, 64, 128], "w_bits": 4, "a_bits": 4,
+                 "gsize": 32, "sym": True},
+                {"shape": [80, 64, 128], "w_bits": 4, "a_bits": 4,
+                 "gsize": 32, "sym": True},
+                {"shape": [64, 64, 128], "w_bits": 8, "a_bits": 8,
+                 "gsize": -1, "sym": False},
+            ],
+            "down": [
+                {"shape": [96, 128, 64], "w_bits": 8, "a_bits": 8,
+                 "gsize": -1, "sym": True},
+            ],
+        },
+    }
+    assert run_check(wl, tol=1.0, interpret=jax.default_backend() == "cpu")
