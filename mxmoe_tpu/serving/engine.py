@@ -72,21 +72,26 @@ class Engine:
 
         p = self.ecfg.prefill_chunk
         b = self.ecfg.batch_slots
-        prompt = prompt[-p:]
-        chunk = np.zeros((b, p), np.int32)
-        chunk[slot, : len(prompt)] = prompt
-        valid = np.zeros((b,), np.int32)
-        valid[slot] = len(prompt)
+        prompt = prompt[-(self.ecfg.max_len - max_new_tokens - 1):]
 
         # zero this slot's length before prefill (fresh sequence)
         lengths = np.array(self.cache.lengths)
         lengths[slot] = 0
-        cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(lengths))
-        logits, self.cache = self._prefill(
-            self.params, jnp.asarray(chunk), cache,
-            valid_lengths=jnp.asarray(valid),
-        )
-        last = np.asarray(logits)[slot, len(prompt) - 1]
+        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(lengths))
+
+        # long prompts stream through fixed-shape chunks (compiled once)
+        last = None
+        for off in range(0, len(prompt), p):
+            piece = prompt[off: off + p]
+            chunk = np.zeros((b, p), np.int32)
+            chunk[slot, : len(piece)] = piece
+            valid = np.zeros((b,), np.int32)
+            valid[slot] = len(piece)
+            logits, self.cache = self._prefill(
+                self.params, jnp.asarray(chunk), self.cache,
+                valid_lengths=jnp.asarray(valid),
+            )
+            last = np.asarray(logits)[slot, len(piece) - 1]
         first_tok = int(np.argmax(last)) if self.ecfg.temperature <= 0 else (
             int(np.asarray(sample_tokens(jnp.asarray(last[None]),
                                          self._split_key(),

@@ -172,3 +172,24 @@ def test_engine_with_quantized_model():
         logits = model.forward_logits(qp, jnp.asarray([seq], jnp.int32), cfg, impl)
         assert tok == int(jnp.argmax(logits[0, -1]))
         seq.append(tok)
+
+
+def test_engine_long_prompt_chunked_prefill():
+    """Prompts longer than prefill_chunk stream through fixed chunks and
+    still match the naive greedy loop exactly."""
+    cfg, params = _setup(seed=11)
+    prompt = list(range(3, 3 + 21))  # 21 tokens > chunk of 8
+    eng = Engine(params, cfg, EngineConfig(batch_slots=2, max_len=64,
+                                           prefill_chunk=8))
+    rid = eng.submit(prompt, max_new_tokens=4)
+    got = eng.run_to_completion()[rid]
+
+    seq = list(prompt)
+    want = []
+    for _ in range(4):
+        logits = model.forward_logits(
+            params, jnp.asarray([seq], jnp.int32), cfg, MoEImpl())
+        tok = int(jnp.argmax(logits[0, -1]))
+        want.append(tok)
+        seq.append(tok)
+    assert got == want, (got, want)
