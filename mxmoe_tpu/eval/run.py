@@ -46,12 +46,13 @@ def main():
     cfg = configs.config_for(args.model)
     if args.layers:
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
+    # bf16 params: full-width models in f32 blow HBM during fake-quant
     if args.ckpt:
         from ..models.hf_loader import params_from_safetensors
 
-        params = params_from_safetensors(args.ckpt, cfg, dtype=jnp.float32)
+        params = params_from_safetensors(args.ckpt, cfg, dtype=jnp.bfloat16)
     else:
-        params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
     tokenizer = None
     if args.tokenizer:
