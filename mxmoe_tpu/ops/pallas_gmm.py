@@ -152,6 +152,28 @@ def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, acc_ref,
 
 
 
+
+# A failed Mosaic compile can wedge the remote TPU backend for hours (see
+# CLAUDE.md), so tile choices are validated against the VMEM budget HERE,
+# before anything is sent to the compiler.
+_VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def _check_vmem(tag: str, *buffers: tuple[int, bool]):
+    """buffers: (bytes, double_buffered). Raises before compile on overflow."""
+    import os
+
+    if os.environ.get("MXMOE_SKIP_VMEM_CHECK"):
+        return
+    total = sum(b * (2 if dbl else 1) for b, dbl in buffers)
+    if total > _VMEM_LIMIT:
+        raise ValueError(
+            f"{tag}: estimated VMEM {total / 1e6:.1f} MB exceeds the "
+            f"~{_VMEM_LIMIT / 1e6:.0f} MB budget - reduce bn/bm or set a "
+            f"k-block (bk). (Oversized tiles fail in Mosaic and can wedge "
+            f"the TPU backend.)"
+        )
+
 def _auto_bk(k: int, bk):
     """Resolve the k-block: 'auto' caps the K footprint at ~4k (VMEM) by
     choosing the largest dividing block; None = full K; int = as given."""
@@ -198,6 +220,10 @@ def gmm(
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     grid = (*grid2, ksteps)
 
+    _check_vmem("gmm", (bm * bk * lhs.dtype.itemsize, True),
+                (bk * bn * rhs.dtype.itemsize, True),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True),
+                (bm * bn * 4, False))
     kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn, ksteps=ksteps)
     return pl.pallas_call(
         kernel,
@@ -285,6 +311,9 @@ def gmm_w8a8(
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     grid = (*grid2, ksteps)
 
+    _check_vmem("gmm_w8a8", (bm * bk, True), (bk * bn, True),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True),
+                (bm * bn * 4, False))
     kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
     return pl.pallas_call(
         kernel,
@@ -364,6 +393,9 @@ def gmm_weight_only(
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     ksc = k // gsize
 
+    _check_vmem("gmm_weight_only", (bm * k * lhs.dtype.itemsize, True),
+                (k * bn, True), (ksc * bn * 4 * 2, True),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_wq_kernel, bm=bm, bn=bn, gsize=gsize, k=k)
     return pl.pallas_call(
         kernel,
@@ -439,6 +471,9 @@ def gmm_w4a8_packed(
     bn = min(bn, n)
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
+    _check_vmem("gmm_w4a8_packed", (bm * k, True), (k2 * bn, True),
+                (k * bn * 4, False),  # unpacked int32 intermediate
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_q4p_kernel, bm=bm, bn=bn)
     return pl.pallas_call(
         kernel,
@@ -520,6 +555,10 @@ def gmm_w8a8_grouped(
     bn = min(bn, n)
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
+    _check_vmem("gmm_w8a8_grouped", (bm * k, True), (k * bn, True),
+                (bm * ksc * 4, True), (ksc * bn * 4, True),
+                (bm * bn * 4, False),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_q8g_kernel, bm=bm, bn=bn, gsize=gsize, ksc=ksc)
     return pl.pallas_call(
         kernel,
@@ -613,6 +652,9 @@ def gmm_w8a8_asym(
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     grid = (*grid2, ksteps)
 
+    _check_vmem("gmm_w8a8_asym", (bm * bk, True), (bk * bn, True),
+                (bm * bn * 4, False),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_q8_asym_kernel, bm=bm, bn=bn, ksteps=ksteps)
     return pl.pallas_call(
         kernel,
@@ -646,3 +688,83 @@ def gmm_w8a8_asym(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       lhs_q, lhs_scale, rhs_q, rhs_scale, rhs_zp)
+
+
+# ---------------------------------------------------------------------------
+# Fused act-quant GMM: bf16 activations quantized per-row inside the kernel
+# ---------------------------------------------------------------------------
+
+def _gmm_q8_fused_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref,
+                         out_ref, *, bm, bn, a_upper):
+    """Per-row sym act quant fused ahead of the int8 dot — the dispatch/
+    quant fusion intent of the reference's missing act_kernel.cuh
+    (``ref_bind.cu:434-592``), realized in-kernel: with full-K tiles each
+    row's amax is entirely in VMEM, so quantization adds no HBM pass."""
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    a = lhs_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / a_upper
+    q = jnp.round(a / scale).astype(jnp.int8)
+    acc = jnp.dot(q, rhs_ref[0], preferred_element_type=jnp.int32)
+    res = acc.astype(jnp.float32) * scale * bsc_ref[0]
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_w8a8_fusedquant(
+    lhs: jax.Array,          # [M, K] bf16/f32 activations (unquantized)
+    rhs_q: jax.Array,        # [E, K, N] int8 codes (sym per-channel)
+    rhs_scale: jax.Array,    # [E, 1, N] f32
+    group_sizes: jax.Array,
+    a_bits: int = 8,
+    bm: int = 256,
+    bn: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """int8 grouped matmul with IN-KERNEL per-token activation quant.
+
+    Bitwise-identical results to quantize_act_per_token + gmm_w8a8, minus
+    one full HBM round-trip over the activations and one launch.
+    Full-K tiles only (row amax needs the whole row in VMEM).
+    """
+    m, k = lhs.shape
+    e, _, n = rhs_q.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    upper = float((1 << (a_bits - 1)) - 1)
+
+    _check_vmem("gmm_w8a8_fusedquant",
+                (bm * k * lhs.dtype.itemsize, True), (k * bn, True),
+                (bm * k, False),  # int8 quantized intermediate
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
+    kernel = functools.partial(_gmm_q8_fused_kernel, bm=bm, bn=bn, a_upper=upper)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k * 2 + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets, lhs, rhs_q, rhs_scale)

@@ -250,3 +250,22 @@ def test_gmm_w8a8_asym_matches_fakequant_oracle():
         out_dtype=jnp.float32, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=1e-5, atol=1e-5)
+
+
+def test_gmm_fusedquant_matches_separate():
+    m, k, n, e = 128, 256, 128, 3
+    key = jax.random.PRNGKey(13)
+    a = jax.random.normal(key, (m, k), jnp.float32)
+    w = jax.random.normal(key, (e, k, n), jnp.float32)
+    gs = _rand_groups(key, e, m)
+
+    from mxmoe_tpu.quant.qparams import quantize_act_per_token, quantize_expert_weights
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    qp = quantize_expert_weights(w, QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8))
+    aq, asc = quantize_act_per_token(a, 8)
+    want = pallas_gmm.gmm_w8a8(aq, asc, qp.q, qp.scale, gs, bm=64, bn=128,
+                               out_dtype=jnp.float32, interpret=INTERPRET)
+    got = pallas_gmm.gmm_w8a8_fusedquant(a, qp.q, qp.scale, gs, bm=64, bn=128,
+                                         out_dtype=jnp.float32, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
