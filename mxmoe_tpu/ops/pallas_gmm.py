@@ -156,7 +156,7 @@ def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, acc_ref,
 # A failed Mosaic compile can wedge the remote TPU backend for hours (see
 # CLAUDE.md), so tile choices are validated against the VMEM budget HERE,
 # before anything is sent to the compiler.
-_VMEM_LIMIT = 14 * 1024 * 1024
+_VMEM_LIMIT = 16 * 1024 * 1024   # Mosaic's scoped-vmem limit
 
 
 def _check_vmem(tag: str, *buffers: tuple[int, bool]):
@@ -187,6 +187,26 @@ def _auto_bk(k: int, bk):
                 return cand
         return k
     return min(bk, k)
+
+
+def _gmm_kernel_1(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, *, bm, bn):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    res = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def _gmm_q8_kernel_1(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
+                     out_ref, *, bm, bn):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    acc = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
+    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 def _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn):
     """Metadata + grid; exact grid when concrete sizes are provided."""
@@ -223,25 +243,38 @@ def gmm(
     _check_vmem("gmm", (bm * bk * lhs.dtype.itemsize, True),
                 (bk * bn * rhs.dtype.itemsize, True),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True),
-                (bm * bn * 4, False))
-    kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn, ksteps=ksteps)
+                (bm * bn * 4 if ksteps > 1 else 0, False))
+    if ksteps == 1:
+        kernel = functools.partial(_gmm_kernel_1, bm=bm, bn=bn)
+        grid = grid2
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        scratch = []
+        dims = ("parallel", "arbitrary")
+    else:
+        kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn, ksteps=ksteps)
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+        dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
-            ],
-            out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
-            ),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=dims,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),
@@ -313,27 +346,42 @@ def gmm_w8a8(
 
     _check_vmem("gmm_w8a8", (bm * bk, True), (bk * bn, True),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True),
-                (bm * bn * 4, False))
-    kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
+                (bm * bn * 4 if ksteps > 1 else 0, False))
+    if ksteps == 1:
+        kernel = functools.partial(_gmm_q8_kernel_1, bm=bm, bn=bn)
+        grid = grid2
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        scratch = []
+        dims = ("parallel", "arbitrary")
+    else:
+        kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+            pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
+        dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-                pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
-            ],
-            out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
-            ),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=dims,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),
