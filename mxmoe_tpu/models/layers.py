@@ -214,7 +214,9 @@ def moe_ffn_ragged_quant(
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, cfg.num_experts)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
-    mixed = "act_bits_gateup" in layer_params and f"expert_gate_up_q" in layer_params
+    mixed = "act_bits_gateup" in layer_params and (
+        "expert_gate_up_q" in layer_params
+        or "expert_gate_up_q_packed" in layer_params)
     if mixed:
         row_expert = jnp.repeat(
             jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
@@ -222,10 +224,25 @@ def moe_ffn_ragged_quant(
         )
 
     def qgemm(acts, prefix):
-        wq = layer_params[f"{prefix}_q"]
         sc = layer_params[f"{prefix}_sc"]
-        zp = layer_params[f"{prefix}_zp"]
         k = acts.shape[-1]
+        if f"{prefix}_q_packed" in layer_params:
+            # nibble-packed w4 weights (convert --pack-int4): half the HBM
+            wqp = layer_params[f"{prefix}_q_packed"]
+            n_out = wqp.shape[-1]
+            bn = min(n_out, max(512, (3 * 1024 * 1024) // max(k, 1)))
+            aq, asc = quantize_act_rtn(acts, qcfg) if not mixed else (None, None)
+            if mixed:
+                bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
+                            else "act_bits_down")
+                row_bits = jnp.take(layer_params[bits_key], row_expert)
+                aq, asc = quantize_act_per_row_bits(acts, row_bits)
+            return pallas_gmm.gmm_w4a8_packed(
+                aq, asc, wqp, sc, disp.group_sizes, bn=bn,
+                out_dtype=acts.dtype, interpret=impl.interpret,
+            )
+        wq = layer_params[f"{prefix}_q"]
+        zp = layer_params[f"{prefix}_zp"]
         n_out = wq.shape[-1]
         # wide n-tiles cut lhs refetch and (for tiny decode M) make each
         # expert's weights stream exactly once; cap the K x bn VMEM block
@@ -289,7 +306,9 @@ def moe_block(
     x2d = x.reshape(-1, h)
     if impl.kind == "dense":
         y = moe_ffn_dense(x2d, layer_params, cfg)
-    elif impl.quant is not None and "expert_gate_up_q" in layer_params:
+    elif impl.quant is not None and (
+            "expert_gate_up_q" in layer_params
+            or "expert_gate_up_q_packed" in layer_params):
         y = moe_ffn_ragged_quant(x2d, layer_params, cfg, impl)
     else:
         y = moe_ffn_ragged(x2d, layer_params, cfg, impl)

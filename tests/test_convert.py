@@ -91,3 +91,31 @@ def test_convert_roundtrip_and_quantized(tmp_path, monkeypatch):
                     quant="w4a8_g-1_sym", pack_int4=True, dtype=jnp.float32)
     packed = q4["layers"]["expert_gate_up_q_packed"]
     assert packed.shape[2] == cfg.hidden_size // 2
+
+
+def test_packed_int4_forward_runs():
+    """convert --pack-int4 output executes through the packed kernel path."""
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    from mxmoe_tpu.quant.qparams import quantize_model_experts_uniform
+    from mxmoe_tpu.quant.packing import pack_int4_halves
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    qc = parse_scheme("w4a8_g-1_sym")
+    qp = quantize_model_experts_uniform(params, qc)
+    layers = dict(qp["layers"])
+    for name in ("expert_gate_up_q", "expert_down_q"):
+        layers[name + "_packed"] = pack_int4_halves(layers.pop(name))
+    qp = dict(qp)
+    qp["layers"] = layers
+
+    from mxmoe_tpu.models.layers import MoEImpl
+    impl = MoEImpl(kind="ragged", quant=qc, interpret=jax.default_backend() == "cpu")
+    toks = jax.random.randint(jax.random.PRNGKey(4), (1, 16), 0, cfg.vocab_size)
+    logits_packed = model.forward_logits(qp, toks, cfg, impl)
+
+    # unpacked path on the same codes gives identical results
+    qp2 = quantize_model_experts_uniform(params, qc)
+    logits_unpacked = model.forward_logits(qp2, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(logits_packed),
+                               np.asarray(logits_unpacked), rtol=1e-5, atol=1e-5)
