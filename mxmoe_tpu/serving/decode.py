@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 from ..models.configs import MoEConfig
 from ..models.layers import MoEImpl, moe_block, rms_norm
-from .kv_cache import KVCache, attention_with_cache, update_layer_cache
+from .kv_cache import (KVCache, QuantKVCache, attention_with_cache,
+                       attention_with_quant_cache, update_layer_cache,
+                       update_layer_cache_quant)
 
 
 def _rope_tables(cfg: MoEConfig, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -99,6 +101,58 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths):
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], ck, cv
 
 
+def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths):
+    """GQA attention over the int8 KV cache (QuantKVCache path)."""
+    ckq, cks, cvq, cvs = caches
+    b, s, _ = x.shape
+    q = x @ lp["wq"]
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    if cfg.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _apply_rope_bs(q, cos, sin)
+    k = _apply_rope_bs(k, cos, sin)
+    ckq, cks, cvq, cvs = update_layer_cache_quant(ckq, cks, cvq, cvs, k, v, lengths)
+    out = attention_with_quant_cache(q, ckq, cks, cvq, cvs, lengths, s)
+    return out.reshape(b, s, -1) @ lp["wo"], (ckq, cks, cvq, cvs)
+
+
+def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
+    """forward_cached over a QuantKVCache (GQA models)."""
+    assert cfg.attention_type != "mla", "int8 KV cache: GQA models only (yet)"
+    b, s_new = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
+    cos, sin = _rope_tables(cfg, positions)
+
+    def body(carry, layer_in):
+        x = carry
+        lp, ckq, cks, cvq, cvs = layer_in
+        h, caches = _attention_block_cached_quant(
+            rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
+            lp, cfg, cos, sin, (ckq, cks, cvq, cvs), cache.lengths,
+        )
+        h = x + h
+        out = h + moe_block(
+            rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps), lp, cfg, impl,
+        )
+        return out, caches
+
+    x, (nkq, nks, nvq, nvs) = jax.lax.scan(
+        body, x, (params["layers"], cache.k_q, cache.k_sc, cache.v_q, cache.v_sc)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    logits = x @ head
+    new_cache = QuantKVCache(nkq, nks, nvq, nvs, cache.lengths + valid_lengths)
+    return logits, new_cache
+
+
 def forward_cached(
     params: dict,
     tokens: jax.Array,        # [B, S_new]
@@ -109,6 +163,11 @@ def forward_cached(
 ) -> tuple[jax.Array, KVCache]:
     """Run a chunk against the cache -> (logits [B, S_new, V], new cache)."""
     b, s_new = tokens.shape
+    if valid_lengths is None:
+        valid_lengths = jnp.full((b,), s_new, jnp.int32)
+    if isinstance(cache, QuantKVCache):
+        return _forward_cached_quant(params, tokens, cache, cfg, impl,
+                                     valid_lengths)
     if valid_lengths is None:
         valid_lengths = jnp.full((b,), s_new, jnp.int32)
     x = jnp.take(params["embed"], tokens, axis=0)

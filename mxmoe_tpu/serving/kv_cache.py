@@ -91,3 +91,98 @@ def attention_with_cache(
     out = jnp.einsum("bngst,btnh->bsngh", probs, cache_v)
     # v head dim may differ from the qk head dim (MLA)
     return out.reshape(b, s_new, n_h, cache_v.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized KV cache: 2x memory / read bandwidth, per-vector scales
+# ---------------------------------------------------------------------------
+
+class QuantKVCache(NamedTuple):
+    """KV cache with int8 storage and per-(slot, pos, head) vector scales.
+
+    Scales factor out of both attention contractions, so dequant costs one
+    VPU multiply on scores / probs — no materialized f32 cache.
+    """
+
+    k_q: jax.Array        # [L, B, S_max, n_kv, hd] int8
+    k_sc: jax.Array       # [L, B, S_max, n_kv] f32
+    v_q: jax.Array
+    v_sc: jax.Array
+    lengths: jax.Array    # [B]
+
+    @property
+    def max_len(self) -> int:
+        return self.k_q.shape[2]
+
+
+def init_quant_kv_cache(cfg: MoEConfig, batch: int, max_len: int) -> QuantKVCache:
+    if cfg.attention_type == "mla":
+        n_kv, k_dim, v_dim = cfg.num_heads, cfg.qk_head_dim, cfg.v_head_dim
+    else:
+        n_kv = cfg.num_kv_heads
+        k_dim = v_dim = cfg.head_dim
+    shape_k = (cfg.num_layers, batch, max_len, n_kv, k_dim)
+    shape_v = (cfg.num_layers, batch, max_len, n_kv, v_dim)
+    sc = (cfg.num_layers, batch, max_len, n_kv)
+    return QuantKVCache(
+        k_q=jnp.zeros(shape_k, jnp.int8), k_sc=jnp.zeros(sc, jnp.float32),
+        v_q=jnp.zeros(shape_v, jnp.int8), v_sc=jnp.zeros(sc, jnp.float32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _quant_vec(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-vector sym int8 quant over the last axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    sc = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / sc[..., None]).astype(jnp.int8)
+    return q, sc
+
+
+def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths):
+    """Quantize new K/V vectors and scatter at each slot's offset."""
+    kq, ks = _quant_vec(new_k)
+    vq, vs = _quant_vec(new_v)
+
+    def upd(ckq, cks, cvq, cvs, kq, ks, vq, vs, off):
+        ckq = jax.lax.dynamic_update_slice(ckq, kq, (off, 0, 0))
+        cks = jax.lax.dynamic_update_slice(cks, ks, (off, 0))
+        cvq = jax.lax.dynamic_update_slice(cvq, vq, (off, 0, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs, (off, 0))
+        return ckq, cks, cvq, cvs
+
+    return jax.vmap(upd)(ckq, cks, cvq, cvs, kq, ks, vq, vs, lengths)
+
+
+def attention_with_quant_cache(
+    q: jax.Array,          # [B, S_new, n_h, hd]
+    ckq: jax.Array,        # [B, S_max, n_kv, hd] int8
+    cks: jax.Array,        # [B, S_max, n_kv] f32
+    cvq: jax.Array,
+    cvs: jax.Array,
+    lengths: jax.Array,
+    s_new: int,
+) -> jax.Array:
+    """GQA attention over the int8 cache; scales fold into scores/probs."""
+    b, _, n_h, hd = q.shape
+    s_max = ckq.shape[1]
+    n_kv = ckq.shape[2]
+    groups = n_h // n_kv
+
+    qg = q.reshape(b, s_new, n_kv, groups, hd)
+    scores = jnp.einsum(
+        "bsngh,btnh->bngst", qg.astype(jnp.float32), ckq.astype(jnp.float32)
+    )
+    scores = scores * jnp.moveaxis(cks, 1, -1)[:, :, None, None, :]  # [B,n,1,1,t]
+    scores = scores / jnp.sqrt(float(hd))
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 1)
+    q_end = lengths[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (s_new, s_max), 0
+    )[None]
+    mask = key_pos[None] <= q_end
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * jnp.moveaxis(cvs, 1, -1)[:, :, None, None, :]
+    out = jnp.einsum("bngst,btnh->bsngh", probs, cvq.astype(jnp.float32))
+    return out.reshape(b, s_new, n_h, cvq.shape[-1]).astype(q.dtype)

@@ -193,3 +193,24 @@ def test_engine_long_prompt_chunked_prefill():
         want.append(tok)
         seq.append(tok)
     assert got == want, (got, want)
+
+
+def test_int8_kv_cache_decode_close_to_fp():
+    from mxmoe_tpu.serving.kv_cache import init_quant_kv_cache
+
+    cfg, params = _setup(seed=12)
+    full = jax.random.randint(jax.random.PRNGKey(13), (2, 10), 0, cfg.vocab_size)
+
+    qcache = init_quant_kv_cache(cfg, batch=2, max_len=32)
+    logits_q, qcache = forward_cached(params, full[:, :6], qcache, cfg)
+    for i in range(6, 10):
+        logits_q, qcache = forward_cached(params, full[:, i: i + 1], qcache, cfg)
+    assert int(qcache.lengths[0]) == 10
+
+    ref = model.forward_logits(params, full, cfg, MoEImpl())[:, -1]
+    got = logits_q[:, -1]
+    # int8 KV quantization noise only — high agreement expected
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.999, corr
+    # top-1 prediction unchanged
+    assert (np.argmax(np.asarray(got), -1) == np.argmax(np.asarray(ref), -1)).all()
