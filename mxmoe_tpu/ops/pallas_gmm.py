@@ -519,8 +519,10 @@ def gmm_w4a8_packed(
     bn = min(bn, n)
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
+    # the nibble unpack fuses into the dot (observed: bm256/bn2816 fits);
+    # count the unpacked operand once at int8 width
     _check_vmem("gmm_w4a8_packed", (bm * k, True), (k2 * bn, True),
-                (k * bn * 4, False),  # unpacked int32 intermediate
+                (k * bn, False),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_q4p_kernel, bm=bm, bn=bn)
     return pl.pallas_call(
