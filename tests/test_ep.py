@@ -19,7 +19,8 @@ pytestmark = pytest.mark.skipif(
 def _dense_routed_oracle(x, router, gate_up, down, cfg):
     """Dense O(E) routed-expert output (no shared expert)."""
     logits = x @ router
-    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob,
+                         cfg.routed_scaling_factor)
     n = gate_up.shape[-1] // 2
     h = jnp.einsum("th,ehn->etn", x, gate_up)
     hh = jax.nn.silu(h[..., :n]) * h[..., n:]
@@ -189,3 +190,27 @@ def test_sharded_quantized_full_forward_runs():
     got_n = np.asarray(got).ravel()
     ref_n = np.asarray(single).ravel()
     assert np.corrcoef(got_n, ref_n)[0, 1] > 0.999
+
+
+def test_ep_with_ds2_routing_semantics():
+    """EP all-to-all under DeepSeek routing (scaling factor, no renorm)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    import dataclasses
+
+    from mxmoe_tpu.models.configs import tiny_ds2
+
+    cfg = dataclasses.replace(tiny_ds2(num_experts=8, num_layers=2),
+                              routed_scaling_factor=2.0)
+    params = model.init_params(cfg, jax.random.PRNGKey(30), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(31), (32, cfg.hidden_size), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fn = make_ep_moe_fn(cfg, mesh, EPConfig(capacity_factor=float(cfg.top_k * ep)))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"], lp["expert_gate_up"], lp["expert_down"])
+    ref = _dense_routed_oracle(x, lp["router"], lp["expert_gate_up"],
+                               lp["expert_down"], cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -112,3 +112,23 @@ def test_rtn_had_method_improves_w3_ppl():
     assert np.isfinite(ppl) and np.isfinite(ppl_had)
     # rotation flattens outliers; at w3 it should not be (much) worse
     assert ppl_had < ppl * 1.2
+
+
+def test_ds2_mixed_fake_quant_and_eval():
+    """Mixed fake-quant on the MLA + dense-first-layer family."""
+    from mxmoe_tpu.models.configs import tiny_ds2
+
+    cfg = tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(20), dtype=jnp.float32)
+    qcfg = _mixed_cfg(cfg.num_moe_layers, cfg.num_experts)
+    qp = quantize_model_fake(params, cfg, qcfg, method="rtn")
+    assert "dense_layers" in qp  # dense first layer untouched (reference scope)
+
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(21), (1, 32), 0, cfg.vocab_size))
+    ppl = eval_ppl_tokens(qp, toks, cfg)
+    assert np.isfinite(ppl)
+
+    ref = model.forward_logits(params, jnp.asarray(toks), cfg, MoEImpl())
+    got = model.forward_logits(qp, jnp.asarray(toks), cfg, MoEImpl())
+    assert bool(jnp.all(jnp.isfinite(got)))
+    assert float(jnp.abs(got - ref).mean()) > 0  # quantization took effect
