@@ -82,8 +82,16 @@ def gptq_quantize(
     cfg: QLinearConfig,
     blocksize: int = 128,
     percdamp: float = 0.01,
+    act_order: bool = False,
 ) -> GPTQResult:
-    """Blocked GPTQ sweep for all experts at once."""
+    """Blocked GPTQ sweep for all experts at once.
+
+    act_order: quantize columns in descending diag(H) order (reference
+    ``gptq.py`` actorder flag) — per-expert permutations batched via
+    take_along_axis; codes/weights are returned in the ORIGINAL order.
+    """
+    if act_order:
+        return _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp)
     e, n, k = w.shape
     bits, sym, clip = cfg.w_bits, cfg.w_sym, cfg.w_clip
     gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
@@ -206,4 +214,32 @@ def gptq_quantize_kn(
         codes=jnp.swapaxes(res.codes, -1, -2),
         scale=res.scale, zp=res.zp,
         w_fq=jnp.swapaxes(res.w_fq, -1, -2),
+    )
+
+
+def _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp):
+    e, n, k = w.shape
+    diag = jnp.diagonal(hessian, axis1=-2, axis2=-1)          # [E, K]
+    perm = jnp.argsort(-diag, axis=-1)                        # [E, K] desc
+    inv = jnp.argsort(perm, axis=-1)
+
+    w_p = jnp.take_along_axis(w, perm[:, None, :], axis=2)
+    h_p = jnp.take_along_axis(hessian, perm[:, :, None], axis=1)
+    h_p = jnp.take_along_axis(h_p, perm[:, None, :], axis=2)
+
+    res = gptq_quantize(w_p, h_p, cfg, blocksize, percdamp, act_order=False)
+
+    def unperm(x):
+        return jnp.take_along_axis(x, inv[:, None, :], axis=2)
+
+    gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
+    if cfg.w_gsize == -1:
+        scale, zp = res.scale, res.zp
+    else:
+        # grouped scales follow the permuted column order; expand to
+        # per-column, unpermute, keep per-column params (exact dequant)
+        scale = unperm(jnp.repeat(res.scale, gsize, axis=2))
+        zp = unperm(jnp.repeat(res.zp, gsize, axis=2))
+    return GPTQResult(
+        codes=unperm(res.codes), scale=scale, zp=zp, w_fq=unperm(res.w_fq),
     )

@@ -78,3 +78,29 @@ def test_hessian_grouped_accumulation():
     np.testing.assert_allclose(
         np.asarray(h[2]), np.asarray(2.0 * x[20:].T @ x[20:]), rtol=1e-4
     )
+
+
+def test_act_order_improves_or_matches_on_skewed_hessian():
+    e, n, k, m = 2, 24, 64, 512
+    key = jax.random.PRNGKey(7)
+    w = jax.random.normal(key, (e, n, k))
+    # strongly skewed per-column energies
+    x = jax.random.normal(key, (m, k)) * (jnp.arange(k) % 7 + 0.2)
+    h = jnp.broadcast_to(accumulate_hessian(x), (e, k, k))
+    cfg = QLinearConfig(w_bits=3, w_gsize=-1, w_sym=True)
+    plain = gptq_quantize(w, h, cfg)
+    ao = gptq_quantize(w, h, cfg, act_order=True)
+
+    def out_err(w_fq):
+        d = (w_fq - w) @ x.T
+        return float(jnp.sqrt(jnp.sum(d * d)))
+
+    assert np.isfinite(np.asarray(ao.w_fq)).all()
+    assert out_err(ao.w_fq) < out_err(plain.w_fq) * 1.05
+
+    # grouped act-order round-trips: dequant(codes, scale, zp) == w_fq
+    cfg_g = QLinearConfig(w_bits=4, w_gsize=16, w_sym=False)
+    ao_g = gptq_quantize(w, h, cfg_g, act_order=True)
+    deq = ao_g.codes * ao_g.scale + ao_g.zp   # per-column params
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(ao_g.w_fq),
+                               rtol=1e-5, atol=1e-6)
