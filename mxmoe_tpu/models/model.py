@@ -146,6 +146,22 @@ def forward_hidden(
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
+def head_logits(params: dict, h: jax.Array, cfg: MoEConfig) -> jax.Array:
+    """Final projection; supports the int8-quantized lm_head
+    (quant.qparams.quantize_lm_head) via a per-token int8 dot."""
+    if "lm_head_q" in params:
+        from ..quant.qparams import quantize_act_per_token
+
+        shape = h.shape[:-1]
+        h2 = h.reshape(-1, h.shape[-1])
+        hq, hsc = quantize_act_per_token(h2, 8)
+        acc = jnp.dot(hq, params["lm_head_q"], preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * hsc * params["lm_head_sc"]
+        return out.reshape(*shape, -1).astype(h.dtype)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return h @ head
+
+
 def forward_logits(
     params: dict,
     tokens: jax.Array,
@@ -153,8 +169,7 @@ def forward_logits(
     impl: MoEImpl = MoEImpl(),
 ) -> jax.Array:
     h = forward_hidden(params, tokens, cfg, impl)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return h @ head
+    return head_logits(params, h, cfg)
 
 
 def make_forward_fn(cfg: MoEConfig, impl: MoEImpl = MoEImpl()):

@@ -188,3 +188,19 @@ def quantize_model_experts_uniform(params: dict, cfg: QLinearConfig) -> dict:
     out = dict(params)
     out["layers"] = layers
     return out
+
+
+def quantize_lm_head(params: dict) -> dict:
+    """Per-channel int8 lm_head (decode is lm-head-bandwidth-heavy).
+
+    Adds ``lm_head_q`` [H, V] int8 + ``lm_head_sc`` [1, V]; the forward
+    quantizes hidden states per token and uses the int8 MXU
+    (models/model.py::_head_logits).
+    """
+    w = params["lm_head"].astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8) / 127.0
+    out = dict(params)
+    out["lm_head_q"] = jnp.round(w / sc).astype(jnp.int8)
+    out["lm_head_sc"] = sc
+    del out["lm_head"]
+    return out

@@ -147,8 +147,9 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
         body, x, (params["layers"], cache.k_q, cache.k_sc, cache.v_q, cache.v_sc)
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = x @ head
+    from ..models.model import head_logits
+
+    logits = head_logits(params, x, cfg)
     new_cache = QuantKVCache(nkq, nks, nvq, nvs, cache.lengths + valid_lengths)
     return logits, new_cache
 
@@ -216,8 +217,9 @@ def forward_cached(
             make_body(False), x, (params["layers"], cache.k, cache.v)
         )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = x @ head
+    from ..models.model import head_logits
+
+    logits = head_logits(params, x, cfg)
     new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + valid_lengths)
     return logits, new_cache
 

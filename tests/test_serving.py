@@ -214,3 +214,19 @@ def test_int8_kv_cache_decode_close_to_fp():
     assert corr > 0.999, corr
     # top-1 prediction unchanged
     assert (np.argmax(np.asarray(got), -1) == np.argmax(np.asarray(ref), -1)).all()
+
+
+def test_int8_lm_head_generation_agrees():
+    from mxmoe_tpu.quant.qparams import quantize_lm_head
+
+    cfg, params = _setup(seed=14)
+    qp = quantize_lm_head(params)
+    toks = jax.random.randint(jax.random.PRNGKey(15), (1, 12), 0, cfg.vocab_size)
+    ref = model.forward_logits(params, toks, cfg, MoEImpl())
+    got = model.forward_logits(qp, toks, cfg, MoEImpl())
+    # int8 head noise only; argmax parity
+    assert (np.argmax(np.asarray(got), -1) == np.argmax(np.asarray(ref), -1)).mean() > 0.95
+
+    eng = Engine(qp, cfg, EngineConfig(batch_slots=1, max_len=48, prefill_chunk=8))
+    rid = eng.submit([1, 2, 3], max_new_tokens=3)
+    assert len(eng.run_to_completion()[rid]) == 3
