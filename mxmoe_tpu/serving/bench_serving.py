@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--max-len", type=int, default=1024)
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--quant", default="w8a8_g-1_sym")
+    ap.add_argument("--int8-head", action="store_true")
+    ap.add_argument("--int8-kv", action="store_true")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(configs.config_for(args.model),
@@ -54,8 +56,18 @@ def main():
         params = quantize_model_experts_uniform(params, qc)
         impl = MoEImpl(kind="ragged", quant=qc)
 
+    if args.int8_head:
+        from ..quant.qparams import quantize_lm_head
+
+        params = quantize_lm_head(params)
+
     b = args.slots
-    cache = init_kv_cache(cfg, b, args.max_len, jnp.bfloat16)
+    if args.int8_kv:
+        from .kv_cache import init_quant_kv_cache
+
+        cache = init_quant_kv_cache(cfg, b, args.max_len)
+    else:
+        cache = init_kv_cache(cfg, b, args.max_len, jnp.bfloat16)
 
     from functools import partial
 
@@ -76,7 +88,8 @@ def main():
 
     out = {
         "model": args.model, "layers": args.layers, "slots": b,
-        "quant": args.quant,
+        "quant": args.quant, "int8_head": args.int8_head,
+        "int8_kv": args.int8_kv,
         "prefill_ms": round(r_pref.median_ms, 2),
         "prefill_tokens_per_s": round(b * args.prefill / (r_pref.median_ms / 1e3), 1),
         "decode_step_ms": round(r_dec.median_ms, 3),
