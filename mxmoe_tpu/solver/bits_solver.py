@@ -337,24 +337,58 @@ def export_qconfig(
 
 def _main():
     import argparse
+    import os
 
     ap = argparse.ArgumentParser(
         description="bitwidth ILP (reference CLI: python -m mxmoe.quant.bits_solver)"
     )
-    ap.add_argument("--trace", required=True, help="moe-gate.json path")
-    ap.add_argument("--loss", nargs="+", required=True,
-                    help="scheme=path pairs of calib loss JSONs")
+    ap.add_argument("--trace", default=None, help="moe-gate.json path")
+    ap.add_argument("--loss", nargs="+", default=None,
+                    help="scheme=path pairs of calib loss JSONs (explicit mode)")
+    # registry mode (reference CLI shape: --model --qtype --filter_list)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--qtype", default="rtn",
+                    choices=["rtn", "gptq", "rtn-had", "gptq-had"])
+    ap.add_argument("--filter_list", nargs="+", default=None,
+                    help="schemes to consider (registry mode)")
+    ap.add_argument("--calib_dir", default="calib")
+    ap.add_argument("--dataset", default="auto")
+    ap.add_argument("--seqlen", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--layers", type=int, required=True)
+    ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--wbits", type=float, default=5.0)
     ap.add_argument("--r", type=float, default=0.5)
     ap.add_argument("--perf_table", default=None)
     ap.add_argument("--solve_mode", choices=["layer", "model"], default="layer")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.loss is None:
+        # registry mode: conventional artifact paths (config.py layout)
+        assert args.model and args.filter_list, (
+            "either --loss scheme=path pairs, or --model + --filter_list"
+        )
+        args.trace = args.trace or (
+            f"{args.calib_dir}/gate/{args.model}/{args.dataset}/"
+            f"{args.seqlen}/moe-gate.json"
+        )
+        args.loss = [
+            f"{s}={args.calib_dir}/{args.model}-MOE-layer_out_norm-"
+            f"{args.qtype}-{s}.json"
+            for s in args.filter_list
+        ]
+    if args.out is None:
+        mix = "+".join(sorted(p.split("=", 1)[0] for p in args.loss))
+        args.out = (
+            f"qconfigs/{mix}/{args.model or 'model'}_{args.qtype}_"
+            f"S{args.solve_mode}_bs{args.batch}_wbits{args.wbits}_r{args.r}.json"
+        )
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     with open(args.trace) as f:
         trace = json.load(f)
+    if args.layers is None:
+        args.layers = int(trace.get("num_layers"))
     losses = {}
     for pair in args.loss:
         scheme, path = pair.split("=", 1)
