@@ -277,6 +277,10 @@ def moe_ffn_ragged_quant(
 
     h = qgemm(xs, "expert_gate_up")                                  # [T*k, 2N]
     h = silu_mul(h)
+    if impl.online_had:
+        from ..quant.hadamard import matmul_hadU
+
+        h = matmul_hadU(h)
     out = qgemm(h, "expert_down")                                    # [T*k, H]
     return combine_tokens(out, disp, x2d.shape[0])
 

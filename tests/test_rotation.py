@@ -84,3 +84,32 @@ def test_online_had_model_forward_invariance():
     got = model.forward_logits(rot, jnp.arange(24).reshape(1, 24) % cfg.vocab_size,
                                cfg, MoEImpl(kind="ragged", online_had=True))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_online_had_with_real_quant_path():
+    """R4 online Hadamard composes with real-quantized execution: rotated
+    down weights + online transform keep logits close to the plain
+    quantized model (the rotation is function-preserving pre-quantization)."""
+    from mxmoe_tpu.quant.qparams import quantize_model_experts_uniform
+    from mxmoe_tpu.quant.rotation import rotate_down_weights
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(23), dtype=jnp.float32)
+    qc = parse_scheme("w8a8_g-1_sym")
+
+    rot = dict(params)
+    rot["layers"] = dict(params["layers"])
+    rot["layers"]["expert_down"] = rotate_down_weights(params["layers"]["expert_down"])
+    qp_rot = quantize_model_experts_uniform(rot, qc)
+    qp = quantize_model_experts_uniform(params, qc)
+
+    impl_r = MoEImpl(kind="ragged", quant=qc, online_had=True,
+                     interpret=jax.default_backend() == "cpu")
+    impl_p = MoEImpl(kind="ragged", quant=qc,
+                     interpret=jax.default_backend() == "cpu")
+    toks = jax.random.randint(jax.random.PRNGKey(24), (1, 16), 0, cfg.vocab_size)
+    got = model.forward_logits(qp_rot, toks, cfg, impl_r)
+    ref = model.forward_logits(qp, toks, cfg, impl_p)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.99, corr
