@@ -230,7 +230,7 @@ def moe_ffn_ragged_quant(
             # nibble-packed w4 weights (convert --pack-int4): half the HBM
             wqp = layer_params[f"{prefix}_q_packed"]
             n_out = wqp.shape[-1]
-            bn = min(n_out, max(512, (3 * 1024 * 1024) // max(k, 1)))
+            bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
             aq, asc = quantize_act_rtn(acts, qcfg) if not mixed else (None, None)
             if mixed:
                 bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
@@ -246,7 +246,8 @@ def moe_ffn_ragged_quant(
         n_out = wq.shape[-1]
         # wide n-tiles cut lhs refetch and (for tiny decode M) make each
         # expert's weights stream exactly once; cap the K x bn VMEM block
-        bn = min(n_out, max(512, (3 * 1024 * 1024) // max(k, 1)))
+        # and keep bn lane-aligned
+        bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
         if mixed:
             # per-expert mixed schemes in one int8 launch: bitwidths are
             # data (per-expert scales, per-row act clip ranges)
