@@ -235,3 +235,124 @@ def make_ep_moe_quant_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig(),
         out_specs=P(ax, None),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
+
+
+def _pack_nibbles_lastdim(q: jax.Array) -> jax.Array:
+    """Pack signed int4 codes [..., H] -> int8 [..., H//2] (low nibble =
+    even index) for the all-to-all wire format."""
+    lo = q[..., 0::2].astype(jnp.int32) & 0xF
+    hi = q[..., 1::2].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_nibbles_lastdim(p: jax.Array) -> jax.Array:
+    x = p.astype(jnp.int32)
+    lo = ((x & 0xF) ^ 8) - 8
+    hi = (((x >> 4) & 0xF) ^ 8) - 8
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*p.shape[:-1], 2 * p.shape[-1]).astype(jnp.int8)
+
+
+def moe_ffn_ep_quant_a4(
+    x_local: jax.Array,
+    layer_params: dict,
+    cfg: MoEConfig,
+    ep_cfg: EPConfig = EPConfig(),
+) -> jax.Array:
+    """EP dispatch with 4-bit activations nibble-packed on the wire: 4x
+    less all-to-all traffic than bf16 (2x less than the int8 dispatch).
+    Receivers unpack to int8 and run the same int8 MXU kernel.
+    Call inside shard_map; weights pre-quantized.
+    """
+    from ..quant.qparams import quantize_act_per_token
+    from ..ops import pallas_gmm
+
+    axis = ep_cfg.axis
+    ep = jax.lax.axis_size(axis)
+    e_local = cfg.num_experts // ep
+    t_l, h = x_local.shape
+    assert h % 2 == 0
+    k = cfg.top_k
+
+    logits = x_local @ layer_params["router"]
+    routing = route_topk(logits, k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
+    flat_exp = routing.expert_ids.reshape(-1)
+    flat_w = routing.weights.reshape(-1)
+    dest = flat_exp // e_local
+    local_exp = flat_exp % e_local
+
+    cap = _cdiv(int(t_l * k * ep_cfg.capacity_factor), ep)
+    one_hot = jax.nn.one_hot(dest, ep, dtype=jnp.int32)
+    ranks = jnp.cumsum(one_hot, axis=0) - one_hot
+    slot = jnp.take_along_axis(ranks, dest[:, None], axis=1)[:, 0]
+    valid = slot < cap
+    slot_safe = jnp.where(valid, slot, cap)
+
+    xq, xscale = quantize_act_per_token(x_local, 4)       # codes in [-7, 7]
+    xq_packed = _pack_nibbles_lastdim(xq)                 # [T_l, H//2]
+    token_ids = jnp.repeat(jnp.arange(t_l), k)
+
+    send_x = jnp.zeros((ep, cap + 1, h // 2), jnp.int8)
+    send_x = send_x.at[dest, slot_safe].set(xq_packed[token_ids], mode="drop")[:, :cap]
+    send_s = jnp.zeros((ep, cap + 1), jnp.float32)
+    send_s = send_s.at[dest, slot_safe].set(xscale[token_ids, 0], mode="drop")[:, :cap]
+    send_le = jnp.zeros((ep, cap + 1), jnp.int32)
+    send_le = send_le.at[dest, slot_safe].set(local_exp, mode="drop")[:, :cap]
+
+    recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)       # packed nibbles
+    recv_s = jax.lax.all_to_all(send_s, axis, 0, 0)
+    recv_le = jax.lax.all_to_all(send_le, axis, 0, 0)
+
+    rows = _unpack_nibbles_lastdim(recv_x.reshape(ep * cap, h // 2))
+    rscale = recv_s.reshape(ep * cap, 1)
+    les = recv_le.reshape(ep * cap)
+    order = jnp.argsort(les, stable=True)
+    rows_s = jnp.take(rows, order, axis=0)
+    rscale_s = jnp.take(rscale, order, axis=0)
+    group_sizes = jnp.bincount(les, length=e_local).astype(jnp.int32)
+
+    interpret = jax.default_backend() == "cpu"
+    hh = pallas_gmm.gmm_w8a8(
+        rows_s, rscale_s, layer_params["expert_gate_up_q"],
+        layer_params["expert_gate_up_sc"], group_sizes, interpret=interpret,
+    )
+    hh = silu_mul(hh)
+    from ..quant.qparams import quantize_act_per_token as q8
+
+    hq, hscale = q8(hh, 8)
+    out_s = pallas_gmm.gmm_w8a8(
+        hq, hscale, layer_params["expert_down_q"],
+        layer_params["expert_down_sc"], group_sizes, interpret=interpret,
+    )
+    unsort = jnp.argsort(order, stable=True)
+    out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, cap, h)
+
+    back = jax.lax.all_to_all(out_rows, axis, 0, 0)
+    gathered = back[dest, slot_safe.clip(0, cap - 1)]
+    w = jnp.where(valid, flat_w, 0.0).astype(jnp.float32)
+    y = jax.ops.segment_sum(gathered.astype(jnp.float32) * w[:, None],
+                            token_ids, num_segments=t_l)
+    return y.astype(x_local.dtype)
+
+
+def make_ep_moe_quant_a4_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def inner(x_local, router, gq, gsc, dq, dsc):
+        lp = {
+            "router": router,
+            "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
+            "expert_down_q": dq, "expert_down_sc": dsc,
+        }
+        return moe_ffn_ep_quant_a4(x_local, lp, cfg, ep_cfg)
+
+    ax = ep_cfg.axis
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(ax, None), P(None, None),
+                  P(ax, None, None), P(ax, None, None),
+                  P(ax, None, None), P(ax, None, None)),
+        out_specs=P(ax, None),
+        check_vma=False,
+    )

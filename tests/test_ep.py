@@ -214,3 +214,49 @@ def test_ep_with_ds2_routing_semantics():
     ref = _dense_routed_oracle(x, lp["router"], lp["expert_gate_up"],
                                lp["expert_down"], cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_ep_a4_packed_dispatch_matches_oracle():
+    """4-bit nibble-packed all-to-all dispatch vs same-quant-point oracle."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    from mxmoe_tpu.parallel.ep import make_ep_moe_quant_a4_fn
+    from mxmoe_tpu.quant.qparams import (
+        quantize_expert_weights, quantize_act_per_token)
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(40), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    qc = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=4)
+    qg = quantize_expert_weights(lp["expert_gate_up"], qc)
+    qd = quantize_expert_weights(lp["expert_down"], qc)
+
+    t = 16 * ep
+    x = jax.random.normal(jax.random.PRNGKey(41), (t, cfg.hidden_size), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fn = make_ep_moe_quant_a4_fn(cfg, mesh, EPConfig(capacity_factor=float(cfg.top_k * ep)))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"], qg.q, qg.scale, qd.q, qd.scale)
+
+    # oracle at the same quant points (a4 input, a8 mid, w8 weights)
+    xq, xs = quantize_act_per_token(x, 4)
+    x_fq = xq.astype(jnp.float32) * xs
+    wg_fq = qg.q.astype(jnp.float32) * qg.scale
+    wd_fq = qd.q.astype(jnp.float32) * qd.scale
+    logits = x @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    n = cfg.moe_intermediate_size
+    hmat = jnp.einsum("th,ehn->etn", x_fq, wg_fq)
+    hh = jax.nn.silu(hmat[..., :n]) * hmat[..., n:]
+    hq = []
+    for e in range(cfg.num_experts):
+        q, s = quantize_act_per_token(hh[e], 8)
+        hq.append(q.astype(jnp.float32) * s)
+    out_all = jnp.einsum("etn,enh->eth", jnp.stack(hq), wd_fq)
+    one_hot = jax.nn.one_hot(routing.expert_ids, cfg.num_experts, dtype=x.dtype)
+    w = (routing.weights.astype(x.dtype)[..., None] * one_hot).sum(1)
+    ref = jnp.einsum("eth,te->th", out_all, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
