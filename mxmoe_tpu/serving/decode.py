@@ -122,30 +122,85 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths):
     return out.reshape(b, s, -1) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
+def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths):
+    """MLA attention over the int8 KV cache."""
+    ckq, cks, cvq, cvs = caches
+    b, s, _ = x.shape
+    n_h = cfg.num_heads
+    d_nope, d_rope, d_v = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d_qk = d_nope + d_rope
+
+    q = (x @ lp["wq"]).reshape(b, s, n_h, d_qk)
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+    ckv = x @ lp["kv_a"]
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    c_kv = rms_norm(c_kv, lp["kv_a_norm"], cfg.rms_norm_eps)
+    kv = (c_kv @ lp["kv_b"]).reshape(b, s, n_h, d_nope + d_v)
+    k_nope, v = kv[..., :d_nope], kv[..., d_nope:]
+    q_pe = _apply_rope_interleaved_bs(q_pe, cos, sin)
+    k_pe = _apply_rope_interleaved_bs(k_pe[:, :, None, :], cos, sin)
+    k_pe = jnp.broadcast_to(k_pe, (b, s, n_h, d_rope))
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+
+    ckq, cks, cvq, cvs = update_layer_cache_quant(
+        ckq, cks, cvq, cvs, k_full, v, lengths)
+    out = attention_with_quant_cache(q_full, ckq, cks, cvq, cvs, lengths, s)
+    return out.reshape(b, s, n_h * d_v) @ lp["wo"], (ckq, cks, cvq, cvs)
+
+
 def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
-    """forward_cached over a QuantKVCache (GQA models)."""
-    assert cfg.attention_type != "mla", "int8 KV cache: GQA models only (yet)"
+    """forward_cached over a QuantKVCache (GQA and MLA)."""
     b, s_new = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
-    cos, sin = _rope_tables(cfg, positions)
+    if cfg.attention_type == "mla":
+        cos, sin = _rope_tables_mla(cfg, positions)
+        attn_q = _attention_block_cached_quant_mla
+    else:
+        cos, sin = _rope_tables(cfg, positions)
+        attn_q = _attention_block_cached_quant
 
-    def body(carry, layer_in):
-        x = carry
-        lp, ckq, cks, cvq, cvs = layer_in
-        h, caches = _attention_block_cached_quant(
-            rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
-            lp, cfg, cos, sin, (ckq, cks, cvq, cvs), cache.lengths,
-        )
-        h = x + h
-        out = h + moe_block(
-            rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps), lp, cfg, impl,
-        )
-        return out, caches
+    def make_body(dense_mlp: bool):
+        def body(carry, layer_in):
+            x = carry
+            lp, ckq, cks, cvq, cvs = layer_in
+            h, caches = attn_q(
+                rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
+                lp, cfg, cos, sin, (ckq, cks, cvq, cvs), cache.lengths,
+            )
+            h = x + h
+            norm_h = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+            if dense_mlp:
+                from ..models.layers import dense_mlp_block
 
-    x, (nkq, nks, nvq, nvs) = jax.lax.scan(
-        body, x, (params["layers"], cache.k_q, cache.k_sc, cache.v_q, cache.v_sc)
-    )
+                out = h + dense_mlp_block(norm_h, lp, cfg)
+            else:
+                out = h + moe_block(norm_h, lp, cfg, impl)
+            return out, caches
+        return body
+
+    d = cfg.first_dense_layers
+    if d > 0 and "dense_layers" in params:
+        x, (dkq, dks, dvq, dvs) = jax.lax.scan(
+            make_body(True), x,
+            (params["dense_layers"], cache.k_q[:d], cache.k_sc[:d],
+             cache.v_q[:d], cache.v_sc[:d]),
+        )
+        x, (mkq, mks, mvq, mvs) = jax.lax.scan(
+            make_body(False), x,
+            (params["layers"], cache.k_q[d:], cache.k_sc[d:],
+             cache.v_q[d:], cache.v_sc[d:]),
+        )
+        nkq = jnp.concatenate([dkq, mkq], axis=0)
+        nks = jnp.concatenate([dks, mks], axis=0)
+        nvq = jnp.concatenate([dvq, mvq], axis=0)
+        nvs = jnp.concatenate([dvs, mvs], axis=0)
+    else:
+        x, (nkq, nks, nvq, nvs) = jax.lax.scan(
+            make_body(False), x,
+            (params["layers"], cache.k_q, cache.k_sc, cache.v_q, cache.v_sc)
+        )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     from ..models.model import head_logits
 

@@ -230,3 +230,22 @@ def test_int8_lm_head_generation_agrees():
     eng = Engine(qp, cfg, EngineConfig(batch_slots=1, max_len=48, prefill_chunk=8))
     rid = eng.submit([1, 2, 3], max_new_tokens=3)
     assert len(eng.run_to_completion()[rid]) == 3
+
+
+def test_int8_kv_cache_mla_ds2():
+    from mxmoe_tpu.serving.kv_cache import init_quant_kv_cache
+
+    cfg = configs.tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(16), dtype=jnp.float32)
+    full = jax.random.randint(jax.random.PRNGKey(17), (1, 10), 0, cfg.vocab_size)
+
+    qcache = init_quant_kv_cache(cfg, batch=1, max_len=32)
+    logits, qcache = forward_cached(params, full[:, :6], qcache, cfg)
+    for i in range(6, 10):
+        logits, qcache = forward_cached(params, full[:, i: i + 1], qcache, cfg)
+    assert int(qcache.lengths[0]) == 10
+
+    ref = model.forward_logits(params, full, cfg, MoEImpl())[:, -1]
+    got = logits[:, -1]
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.995, corr
