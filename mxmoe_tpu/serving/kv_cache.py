@@ -17,13 +17,14 @@ from ..models.configs import MoEConfig
 
 
 class KVCache(NamedTuple):
-    k: jax.Array          # [L, B, S_max, n_kv, hd]
-    v: jax.Array          # [L, B, S_max, n_kv, hd]
+    k: jax.Array          # [L, B, n_kv, S_max, hd] (head-major: attention
+                          # contractions need no cache transpose at decode)
+    v: jax.Array          # [L, B, n_kv, S_max, hd]
     lengths: jax.Array    # [B] int32 valid tokens per slot
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
@@ -36,49 +37,47 @@ def init_kv_cache(
         n_kv = cfg.num_kv_heads
         k_dim = v_dim = cfg.head_dim
     return KVCache(
-        k=jnp.zeros((cfg.num_layers, batch, max_len, n_kv, k_dim), dtype),
-        v=jnp.zeros((cfg.num_layers, batch, max_len, n_kv, v_dim), dtype),
+        k=jnp.zeros((cfg.num_layers, batch, n_kv, max_len, k_dim), dtype),
+        v=jnp.zeros((cfg.num_layers, batch, n_kv, max_len, v_dim), dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
 
 def update_layer_cache(
-    cache_k: jax.Array,   # [B, S_max, n_kv, hd] one layer's K
+    cache_k: jax.Array,   # [B, n_kv, S_max, hd] one layer's K
     cache_v: jax.Array,
-    new_k: jax.Array,     # [B, S_new, n_kv, hd]
+    new_k: jax.Array,     # [B, S_new, n_kv, hd] (token-major, as produced)
     new_v: jax.Array,
     lengths: jax.Array,   # [B] current lengths (write offsets)
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter new entries at each slot's current length."""
-    b, s_new = new_k.shape[0], new_k.shape[1]
+    nk = jnp.swapaxes(new_k, 1, 2)   # [B, n_kv, S_new, hd] (tiny at decode)
+    nv = jnp.swapaxes(new_v, 1, 2)
 
     def upd(ck, cv, nk, nv, off):
-        ck = jax.lax.dynamic_update_slice(ck, nk, (off, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, nv, (off, 0, 0))
+        ck = jax.lax.dynamic_update_slice(ck, nk, (0, off, 0))
+        cv = jax.lax.dynamic_update_slice(cv, nv, (0, off, 0))
         return ck, cv
 
-    return jax.vmap(upd)(cache_k, cache_v, new_k, new_v, lengths)
+    return jax.vmap(upd)(cache_k, cache_v, nk, nv, lengths)
 
 
 def attention_with_cache(
     q: jax.Array,          # [B, S_new, n_h, hd]
-    cache_k: jax.Array,    # [B, S_max, n_kv, hd] (already updated)
+    cache_k: jax.Array,    # [B, n_kv, S_max, hd] (already updated)
     cache_v: jax.Array,
     lengths: jax.Array,    # [B] lengths BEFORE this step
     s_new: int,
 ) -> jax.Array:
-    """GQA attention over the cache with causal + validity masking.
-
-    Query position i (0-based within the new chunk) attends cache slots
-    [0, lengths + i]. Static shapes: full S_max keys, masked.
-    """
+    """GQA attention over the head-major cache with causal + validity
+    masking. Query position i attends cache slots [0, lengths + i]."""
     b, _, n_h, hd = q.shape
-    s_max = cache_k.shape[1]
-    n_kv = cache_k.shape[2]
+    n_kv = cache_k.shape[1]
+    s_max = cache_k.shape[2]
     groups = n_h // n_kv
 
     qg = q.reshape(b, s_new, n_kv, groups, hd)
-    scores = jnp.einsum("bsngh,btnh->bngst", qg, cache_k).astype(jnp.float32)
+    scores = jnp.einsum("bsngh,bnth->bngst", qg, cache_k).astype(jnp.float32)
     scores = scores / jnp.sqrt(float(hd))
 
     key_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 1)
@@ -88,7 +87,7 @@ def attention_with_cache(
     mask = key_pos[None] <= q_end              # [B, S_new, S_max]
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bngst,btnh->bsngh", probs, cache_v)
+    out = jnp.einsum("bngst,bnth->bsngh", probs, cache_v)
     # v head dim may differ from the qk head dim (MLA)
     return out.reshape(b, s_new, n_h, cache_v.shape[-1])
 
@@ -104,15 +103,15 @@ class QuantKVCache(NamedTuple):
     VPU multiply on scores / probs — no materialized f32 cache.
     """
 
-    k_q: jax.Array        # [L, B, S_max, n_kv, hd] int8
-    k_sc: jax.Array       # [L, B, S_max, n_kv] f32
+    k_q: jax.Array        # [L, B, n_kv, S_max, hd] int8 (head-major)
+    k_sc: jax.Array       # [L, B, n_kv, S_max] f32
     v_q: jax.Array
     v_sc: jax.Array
     lengths: jax.Array    # [B]
 
     @property
     def max_len(self) -> int:
-        return self.k_q.shape[2]
+        return self.k_q.shape[3]
 
 
 def init_quant_kv_cache(cfg: MoEConfig, batch: int, max_len: int) -> QuantKVCache:
@@ -121,9 +120,9 @@ def init_quant_kv_cache(cfg: MoEConfig, batch: int, max_len: int) -> QuantKVCach
     else:
         n_kv = cfg.num_kv_heads
         k_dim = v_dim = cfg.head_dim
-    shape_k = (cfg.num_layers, batch, max_len, n_kv, k_dim)
-    shape_v = (cfg.num_layers, batch, max_len, n_kv, v_dim)
-    sc = (cfg.num_layers, batch, max_len, n_kv)
+    shape_k = (cfg.num_layers, batch, n_kv, max_len, k_dim)
+    shape_v = (cfg.num_layers, batch, n_kv, max_len, v_dim)
+    sc = (cfg.num_layers, batch, n_kv, max_len)
     return QuantKVCache(
         k_q=jnp.zeros(shape_k, jnp.int8), k_sc=jnp.zeros(sc, jnp.float32),
         v_q=jnp.zeros(shape_v, jnp.int8), v_sc=jnp.zeros(sc, jnp.float32),
@@ -141,14 +140,14 @@ def _quant_vec(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths):
     """Quantize new K/V vectors and scatter at each slot's offset."""
-    kq, ks = _quant_vec(new_k)
-    vq, vs = _quant_vec(new_v)
+    kq, ks = _quant_vec(jnp.swapaxes(new_k, 1, 2))   # [B, n, S_new, hd]
+    vq, vs = _quant_vec(jnp.swapaxes(new_v, 1, 2))
 
     def upd(ckq, cks, cvq, cvs, kq, ks, vq, vs, off):
-        ckq = jax.lax.dynamic_update_slice(ckq, kq, (off, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, ks, (off, 0))
-        cvq = jax.lax.dynamic_update_slice(cvq, vq, (off, 0, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs, (off, 0))
+        ckq = jax.lax.dynamic_update_slice(ckq, kq, (0, off, 0))
+        cks = jax.lax.dynamic_update_slice(cks, ks, (0, off))
+        cvq = jax.lax.dynamic_update_slice(cvq, vq, (0, off, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, off))
         return ckq, cks, cvq, cvs
 
     return jax.vmap(upd)(ckq, cks, cvq, cvs, kq, ks, vq, vs, lengths)
@@ -156,8 +155,8 @@ def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths):
 
 def attention_with_quant_cache(
     q: jax.Array,          # [B, S_new, n_h, hd]
-    ckq: jax.Array,        # [B, S_max, n_kv, hd] int8
-    cks: jax.Array,        # [B, S_max, n_kv] f32
+    ckq: jax.Array,        # [B, n_kv, S_max, hd] int8 (head-major)
+    cks: jax.Array,        # [B, n_kv, S_max] f32
     cvq: jax.Array,
     cvs: jax.Array,
     lengths: jax.Array,
@@ -165,15 +164,15 @@ def attention_with_quant_cache(
 ) -> jax.Array:
     """GQA attention over the int8 cache; scales fold into scores/probs."""
     b, _, n_h, hd = q.shape
-    s_max = ckq.shape[1]
-    n_kv = ckq.shape[2]
+    n_kv = ckq.shape[1]
+    s_max = ckq.shape[2]
     groups = n_h // n_kv
 
     qg = q.reshape(b, s_new, n_kv, groups, hd)
     scores = jnp.einsum(
-        "bsngh,btnh->bngst", qg.astype(jnp.float32), ckq.astype(jnp.float32)
+        "bsngh,bnth->bngst", qg.astype(jnp.float32), ckq.astype(jnp.float32)
     )
-    scores = scores * jnp.moveaxis(cks, 1, -1)[:, :, None, None, :]  # [B,n,1,1,t]
+    scores = scores * cks[:, :, None, None, :]          # [B, n, 1, 1, t]
     scores = scores / jnp.sqrt(float(hd))
 
     key_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 1)
@@ -183,6 +182,6 @@ def attention_with_quant_cache(
     mask = key_pos[None] <= q_end
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    probs = probs * jnp.moveaxis(cvs, 1, -1)[:, :, None, None, :]
-    out = jnp.einsum("bngst,btnh->bsngh", probs, cvq.astype(jnp.float32))
+    probs = probs * cvs[:, :, None, None, :]
+    out = jnp.einsum("bngst,bnth->bsngh", probs, cvq.astype(jnp.float32))
     return out.reshape(b, s_new, n_h, cvq.shape[-1]).astype(q.dtype)
