@@ -424,6 +424,22 @@ def attention_block(
     return out.reshape(b, s, -1) @ layer_params["wo"]
 
 
+
+def make_rope_tables(cfg: MoEConfig, positions: jax.Array):
+    """cos/sin tables matching the model family's rope convention."""
+    if cfg.attention_type == "mla":
+        return rope_frequencies_interleaved(
+            cfg.qk_rope_head_dim, cfg.rope_theta, positions
+        )
+    return rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+
+
+def attention_dispatch(x, layer_params, cfg, cos, sin, attn_backend="xla"):
+    """GQA or MLA attention per the config."""
+    if cfg.attention_type == "mla":
+        return mla_attention_block(x, layer_params, cfg, cos, sin)
+    return attention_block(x, layer_params, cfg, cos, sin, attn_backend=attn_backend)
+
 def decoder_layer(
     x: jax.Array,
     layer_params: dict,

