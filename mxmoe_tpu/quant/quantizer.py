@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.configs import MoEConfig
-from ..models.layers import rope_frequencies
+from ..models.layers import make_rope_tables
 from .calibrate import layer_forward_fp
 from .gptq import accumulate_hessian, gptq_quantize_kn
 from .rtn import fake_quant
@@ -176,8 +176,16 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
 
     b, s = tokens.shape
     positions = jnp.arange(s)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, positions)
+    cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0)
+    if "dense_layers" in params:
+        from ..models.layers import decoder_layer
+
+        dense_fwd = jax.jit(partial(
+            decoder_layer, cfg=cfg, cos=cos, sin=sin, dense_mlp=True))
+        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            x = dense_fwd(x, dlp)
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
     @jax.jit

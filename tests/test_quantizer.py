@@ -132,3 +132,17 @@ def test_ds2_mixed_fake_quant_and_eval():
     got = model.forward_logits(qp, jnp.asarray(toks), cfg, MoEImpl())
     assert bool(jnp.all(jnp.isfinite(got)))
     assert float(jnp.abs(got - ref).mean()) > 0  # quantization took effect
+
+
+def test_ds2_gptq_method():
+    """GPTQ layer streaming on the MLA + dense-first family."""
+    from mxmoe_tpu.models.configs import tiny_ds2
+
+    cfg = tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(22), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(23), (1, 32), 0, cfg.vocab_size)
+    qcfg = _mixed_cfg(cfg.num_moe_layers, cfg.num_experts)
+    qp = quantize_model_fake(params, cfg, qcfg, method="gptq",
+                             calib_tokens=toks, backend="dense")
+    out = model.forward_logits(qp, toks, cfg, MoEImpl())
+    assert bool(jnp.all(jnp.isfinite(out)))
