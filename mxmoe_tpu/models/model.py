@@ -117,7 +117,8 @@ def forward_hidden(
     positions: jax.Array | None = None,
 ) -> jax.Array:
     """Token ids -> final hidden states [B, S, H] (pre-norm applied)."""
-    x = jnp.take(params["embed"], tokens, axis=0)
+    # OOB ids would gather NaN fill values and silently poison routing
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     s = tokens.shape[1]
     if positions is None:
         positions = jnp.arange(s)

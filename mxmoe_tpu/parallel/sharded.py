@@ -39,7 +39,7 @@ def make_sharded_forward(
         ep_fn = make_ep_moe_fn(cfg, mesh, ep_cfg)
 
     def forward(params, tokens):
-        x = jnp.take(params["embed"], tokens, axis=0)
+        x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
         b, s = tokens.shape
         cos, sin = rope_frequencies(cfg.head_dim, cfg.rope_theta, jnp.arange(s))
 

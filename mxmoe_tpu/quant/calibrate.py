@@ -208,7 +208,7 @@ def calibrate_model(
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     if "dense_layers" in params:
         # ds2: first dense layer(s) run FP ahead of the MoE layer stream
         dense_fwd = jax.jit(partial(
@@ -341,7 +341,9 @@ def _main():
 
     from .data import get_calibration_tokens
 
-    tokens = get_calibration_tokens(args.nsamples, args.seqlen)
+    tokens = get_calibration_tokens(
+        args.nsamples, args.seqlen, vocab_size=cfg.vocab_size
+    )
     schemes = {name: parse_scheme(name) for name in args.qcfg}
     calibrate_model(
         params, tokens, cfg, schemes,

@@ -177,7 +177,7 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     if "dense_layers" in params:
         from ..models.layers import decoder_layer
 

@@ -152,7 +152,7 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths):
 def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     """forward_cached over a QuantKVCache (GQA and MLA)."""
     b, s_new = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -226,7 +226,7 @@ def forward_cached(
                                      valid_lengths)
     if valid_lengths is None:
         valid_lengths = jnp.full((b,), s_new, jnp.int32)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
     if mla:

@@ -55,7 +55,7 @@ def trace_gate_stats(
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     if "dense_layers" in params:
         from functools import partial as _p
 
@@ -224,7 +224,7 @@ def trace_activation_stats(
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     if "dense_layers" in params:
         from functools import partial as _p
 
