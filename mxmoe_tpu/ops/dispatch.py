@@ -26,7 +26,6 @@ class Dispatch(NamedTuple):
     """Sorted ragged layout for grouped matmul over T*k expanded rows."""
 
     sort_idx: jax.Array     # [T*k] position in expanded (token-major) order
-    unsort_idx: jax.Array   # [T*k] inverse permutation
     group_sizes: jax.Array  # [E] rows per expert (sums to T*k)
     token_ids: jax.Array    # [T*k] source token per sorted row
     combine_weights: jax.Array  # [T*k] weight per sorted row
@@ -64,11 +63,9 @@ def make_dispatch(routing: Routing, num_experts: int) -> Dispatch:
         jax.lax.broadcasted_iota(jnp.int32, (t, k), 0).reshape(-1)
     )
     sort_idx = jnp.argsort(flat_experts, stable=True)
-    unsort_idx = jnp.argsort(sort_idx, stable=True)
     group_sizes = jnp.bincount(flat_experts, length=num_experts).astype(jnp.int32)
     return Dispatch(
         sort_idx=sort_idx,
-        unsort_idx=unsort_idx,
         group_sizes=group_sizes,
         token_ids=jnp.take(token_ids, sort_idx),
         combine_weights=jnp.take(flat_weights, sort_idx),
