@@ -110,53 +110,72 @@ def eval_tasks(
     except ImportError:
         return {}
 
+    from ..utils.logging import init_logger
+
+    log = init_logger("mxmoe_tpu.eval")
     results = {}
+    failures = []
     for task in tasks:
         try:
             results[task] = _eval_single_task(
                 params, cfg, tokenizer, task, impl, limit
             )
-        except Exception:
-            continue
+        except Exception as exc:  # logged, never silently dropped
+            log.warning("zero-shot task %s failed: %r", task, exc)
+            failures.append(task)
     if results:
         results["average"] = float(np.mean([v for v in results.values()]))
+    if failures:
+        results["failed_tasks"] = failures
     return results
 
 
-def _eval_single_task(params, cfg, tokenizer, task, impl, limit):
-    from datasets import load_dataset
+def task_items(task: str, rows) -> list[tuple[str, list[str], int]]:
+    """Map raw dataset rows to (context, choices, gold) items.
 
+    Pure string surgery, separated from dataset loading so fixture tests
+    can exercise every task schema offline (tests/test_eval_tasks.py).
+    """
     if task == "piqa":
-        ds = load_dataset("piqa", split="validation")
-        items = [(r["goal"], [r["sol1"], r["sol2"]], r["label"]) for r in ds]
-    elif task == "hellaswag":
-        ds = load_dataset("hellaswag", split="validation")
-        items = [(r["ctx"], r["endings"], int(r["label"])) for r in ds]
-    elif task in ("arc_easy", "arc_challenge"):
-        name = "ARC-Easy" if task == "arc_easy" else "ARC-Challenge"
-        ds = load_dataset("ai2_arc", name, split="validation")
+        return [(r["goal"], [r["sol1"], r["sol2"]], int(r["label"]))
+                for r in rows]
+    if task == "hellaswag":
+        return [(r["ctx"], list(r["endings"]), int(r["label"])) for r in rows]
+    if task in ("arc_easy", "arc_challenge"):
         items = []
-        for r in ds:
+        for r in rows:
             if r["answerKey"] not in r["choices"]["label"]:
                 continue
             gold = r["choices"]["label"].index(r["answerKey"])
-            items.append((r["question"], r["choices"]["text"], gold))
-    elif task == "winogrande":
-        ds = load_dataset("winogrande", "winogrande_xl", split="validation")
-        items = [
-            (r["sentence"].split("_")[0],
-             [r["option1"] + r["sentence"].split("_")[1],
-              r["option2"] + r["sentence"].split("_")[1]],
-             int(r["answer"]) - 1)
-            for r in ds
-        ]
-    elif task == "lambada_openai":
-        ds = load_dataset("EleutherAI/lambada_openai", split="test")
-        items = [(" ".join(r["text"].split()[:-1]), [" " + r["text"].split()[-1]], 0)
-                 for r in ds]
-    else:
-        raise ValueError(task)
+            items.append((r["question"], list(r["choices"]["text"]), gold))
+        return items
+    if task == "winogrande":
+        items = []
+        for r in rows:
+            head, _, tail = r["sentence"].partition("_")
+            items.append((head, [r["option1"] + tail, r["option2"] + tail],
+                          int(r["answer"]) - 1))
+        return items
+    if task == "lambada_openai":
+        return [(" ".join(r["text"].split()[:-1]),
+                 [" " + r["text"].split()[-1]], 0) for r in rows]
+    raise ValueError(f"unknown zero-shot task: {task}")
 
+
+_TASK_DATASETS = {
+    "piqa": ("piqa", None, "validation"),
+    "hellaswag": ("hellaswag", None, "validation"),
+    "arc_easy": ("ai2_arc", "ARC-Easy", "validation"),
+    "arc_challenge": ("ai2_arc", "ARC-Challenge", "validation"),
+    "winogrande": ("winogrande", "winogrande_xl", "validation"),
+    "lambada_openai": ("EleutherAI/lambada_openai", None, "test"),
+}
+
+
+def score_items(params, cfg, tokenizer, items, impl=MoEImpl(),
+                limit: int | None = None) -> float:
+    """acc_norm over (context, choices, gold) items: pick the choice with
+    the highest length-normalized loglikelihood."""
     if limit:
         items = items[:limit]
     correct = 0
@@ -170,3 +189,13 @@ def _eval_single_task(params, cfg, tokenizer, task, impl, limit):
         if int(np.argmax(scores)) == gold:
             correct += 1
     return correct / max(len(items), 1)
+
+
+def _eval_single_task(params, cfg, tokenizer, task, impl, limit):
+    from datasets import load_dataset
+
+    path, name, split = _TASK_DATASETS[task]
+    ds = load_dataset(path, name, split=split) if name else \
+        load_dataset(path, split=split)
+    return score_items(params, cfg, tokenizer, task_items(task, ds),
+                       impl, limit)

@@ -61,6 +61,15 @@ def convert(
         qcfg = parse_scheme(quant)
         params = quantize_model_experts_uniform(params, qcfg)
         if pack_int4 and qcfg.w_bits <= 4:
+            # The packed serving kernel (gmm_w4a8_packed) assumes symmetric
+            # per-channel scales and never reads the stored _zp; packing an
+            # asym/grouped scheme would serve silently wrong outputs.
+            if not (qcfg.w_sym and qcfg.w_gsize == -1):
+                raise ValueError(
+                    "--pack-int4 requires a symmetric per-channel weight "
+                    f"scheme (w_sym, g=-1); got {quant}. Convert without "
+                    "--pack-int4 to serve this scheme via the unpacked path."
+                )
             from ..quant.packing import pack_int4_halves
 
             layers_d = dict(params["layers"])

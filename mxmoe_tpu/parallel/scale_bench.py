@@ -42,6 +42,7 @@ def bench_ep_scaling(
         mesh = Mesh(np.array(jax.devices()[:nd]), axis_names=("expert",))
         t = tokens_per_device * nd
         x = jax.random.normal(jax.random.PRNGKey(1), (t, cfg.hidden_size), jnp.float32)
+        ecfg = EPConfig(capacity_factor=capacity_factor, return_stats=True)
         if quantized:
             from ..quant.qparams import quantize_expert_weights
             from ..quant.schemes import QLinearConfig
@@ -49,15 +50,17 @@ def bench_ep_scaling(
             qc = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8)
             qg = quantize_expert_weights(lp["expert_gate_up"], qc)
             qd = quantize_expert_weights(lp["expert_down"], qc)
-            fn = make_ep_moe_quant_fn(cfg, mesh, EPConfig(capacity_factor=capacity_factor))
+            fn = make_ep_moe_quant_fn(cfg, mesh, ecfg)
             args = (x, lp["router"], qg.q, qg.scale, qd.q, qd.scale)
         else:
-            fn = make_ep_moe_fn(cfg, mesh, EPConfig(capacity_factor=capacity_factor))
+            fn = make_ep_moe_fn(cfg, mesh, ecfg)
             args = (x, lp["router"], lp["expert_gate_up"], lp["expert_down"])
-        jfn = jax.jit(fn)
+        jfn = jax.jit(lambda *a: fn(*a)[0])     # timed path: output only
         with mesh:
             r = bench_fn(jfn, *args, repeats=3, n1=3, n2=12, max_seconds=20.0)
+            _, drops = jax.jit(fn)(*args)       # observability, untimed
         rate = t / (r.median_ms * 1e-3)
+        dropped = int(np.asarray(drops).sum())
         if base_rate is None:
             base_rate = rate / nd
         rows.append({
@@ -66,6 +69,8 @@ def bench_ep_scaling(
             "ms_per_step": round(r.median_ms, 3),
             "tokens_per_s": round(rate, 1),
             "scaling_efficiency": round(rate / (base_rate * nd), 4),
+            "dropped_assignments": dropped,
+            "drop_rate": round(dropped / (t * cfg.top_k), 5),
         })
     return rows
 

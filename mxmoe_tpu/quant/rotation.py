@@ -28,20 +28,18 @@ from ..models.configs import MoEConfig
 from .hadamard import random_hadamard_matrix, matmul_hadU
 
 
-_HIDDEN_IN = ("wq", "wk", "wv", "router", "shared_gate")     # [.., H, out]
+# Hidden-consuming linears ([.., H, out]; GQA uses wq/wk/wv, MLA uses
+# wq/kv_a — kv_b consumes the latent, not the hidden, so it is untouched).
+_HIDDEN_IN = ("wq", "wk", "wv", "kv_a", "router", "shared_gate")
 _HIDDEN_IN_STACKED = ("expert_gate_up",)                     # [L, E, H, out]
-_HIDDEN_OUT = ("wo", "shared_down")                          # [.., in, H]
+_HIDDEN_OUT = ("wo", "shared_down", "mlp_down")              # [.., in, H]
 _HIDDEN_OUT_STACKED = ("expert_down",)                       # [L, E, in, H]
 
 
-def fuse_layer_norms(params: dict) -> dict:
-    """Fold RMSNorm scale vectors into the following linears; set norms to 1.
-
-    input_norm -> wq/wk/wv; post_attn_norm -> router, gate_up (experts +
-    shared), shared_gate; final_norm -> lm_head. (Reference
-    ``fuse_ln_linear``, rotation.py:132-155.)
-    """
-    layers = dict(params["layers"])
+def _fuse_layer_stack(layers: dict) -> dict:
+    """Fold input_norm/post_attn_norm of one stacked layer subtree into its
+    hidden-consuming linears; set the norms to 1."""
+    layers = dict(layers)
     g_in = layers["input_norm"]                  # [L, H]
     g_post = layers["post_attn_norm"]            # [L, H]
 
@@ -51,23 +49,51 @@ def fuse_layer_norms(params: dict) -> dict:
             return w * g[:, :, None]
         return w * g[:, None, :, None]
 
-    for name in ("wq", "wk", "wv"):
-        layers[name] = scale_rows(layers[name], g_in)
-    layers["router"] = scale_rows(layers["router"], g_post)
-    layers["expert_gate_up"] = scale_rows(layers["expert_gate_up"], g_post)
-    if "shared_gate_up" in layers:
-        layers["shared_gate_up"] = scale_rows(layers["shared_gate_up"], g_post)
-    if "shared_gate" in layers:
-        layers["shared_gate"] = scale_rows(layers["shared_gate"], g_post)
+    for name in ("wq", "wk", "wv", "kv_a"):
+        if name in layers:
+            layers[name] = scale_rows(layers[name], g_in)
+    for name in ("router", "expert_gate_up", "shared_gate_up", "shared_gate",
+                 "mlp_gate_up"):
+        if name in layers:
+            layers[name] = scale_rows(layers[name], g_post)
 
     layers["input_norm"] = jnp.ones_like(g_in)
     layers["post_attn_norm"] = jnp.ones_like(g_post)
+    return layers
 
+
+def fuse_layer_norms(params: dict) -> dict:
+    """Fold RMSNorm scale vectors into the following linears; set norms to 1.
+
+    input_norm -> wq/wk/wv (GQA) or wq/kv_a (MLA); post_attn_norm ->
+    router, gate_up (experts + shared + dense-MLP), shared_gate;
+    final_norm -> lm_head. Handles ds2's ``dense_layers`` subtree too.
+    (Reference ``fuse_ln_linear``, rotation.py:132-155.)
+    """
     out = dict(params)
-    out["layers"] = layers
+    out["layers"] = _fuse_layer_stack(params["layers"])
+    if "dense_layers" in params:
+        out["dense_layers"] = _fuse_layer_stack(params["dense_layers"])
     out["lm_head"] = params["lm_head"] * params["final_norm"][:, None]
     out["final_norm"] = jnp.ones_like(params["final_norm"])
     return out
+
+
+def _rotate_layer_stack(layers: dict, q: jax.Array) -> dict:
+    layers = dict(layers)
+    for name in _HIDDEN_IN + ("shared_gate_up", "mlp_gate_up"):
+        if name in layers:
+            layers[name] = jnp.einsum("hk,lhd->lkd", q, layers[name])
+    for name in _HIDDEN_IN_STACKED:
+        if name in layers:
+            layers[name] = jnp.einsum("hk,lehd->lekd", q, layers[name])
+    for name in _HIDDEN_OUT:
+        if name in layers:
+            layers[name] = jnp.einsum("lih,hk->lik", layers[name], q)
+    for name in _HIDDEN_OUT_STACKED:
+        if name in layers:
+            layers[name] = jnp.einsum("leih,hk->leik", layers[name], q)
+    return layers
 
 
 def rotate_model(params: dict, q: jax.Array) -> dict:
@@ -76,20 +102,10 @@ def rotate_model(params: dict, q: jax.Array) -> dict:
     W' = Qᵀ W for hidden-consuming linears (contract Q's first axis with
     the H input axis), W' = W Q for hidden-producing ones, E' = E Q.
     """
-    layers = dict(params["layers"])
-    for name in _HIDDEN_IN + ("shared_gate_up",):
-        if name in layers:
-            layers[name] = jnp.einsum("hk,lhd->lkd", q, layers[name])
-    for name in _HIDDEN_IN_STACKED:
-        layers[name] = jnp.einsum("hk,lehd->lekd", q, layers[name])
-    for name in _HIDDEN_OUT:
-        if name in layers:
-            layers[name] = jnp.einsum("lih,hk->lik", layers[name], q)
-    for name in _HIDDEN_OUT_STACKED:
-        layers[name] = jnp.einsum("leih,hk->leik", layers[name], q)
-
     out = dict(params)
-    out["layers"] = layers
+    out["layers"] = _rotate_layer_stack(params["layers"], q)
+    if "dense_layers" in params:
+        out["dense_layers"] = _rotate_layer_stack(params["dense_layers"], q)
     out["embed"] = params["embed"] @ q
     out["lm_head"] = jnp.einsum("hk,hv->kv", q, params["lm_head"])
     return out

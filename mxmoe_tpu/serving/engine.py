@@ -21,6 +21,39 @@ from .decode import forward_cached, sample_tokens
 from .kv_cache import KVCache, init_kv_cache
 
 
+def _slice_slot_cache(cache, slot):
+    """View one slot's cache as a batch-1 cache (all cache leaves carry the
+    batch at axis 1; lengths at axis 0)."""
+    arrays = list(cache)
+    out = [jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+           for a in arrays[:-1]]
+    out.append(jax.lax.dynamic_slice_in_dim(arrays[-1], slot, 1, axis=0))
+    return type(cache)(*out)
+
+
+def _unslice_slot_cache(cache, cache1, slot):
+    arrays, arrays1 = list(cache), list(cache1)
+    out = [jax.lax.dynamic_update_slice_in_dim(a, a1, slot, axis=1)
+           for a, a1 in zip(arrays[:-1], arrays1[:-1])]
+    out.append(jax.lax.dynamic_update_slice_in_dim(
+        arrays[-1], arrays1[-1], slot, axis=0))
+    return type(cache)(*out)
+
+
+def _prefill_slot(params, tokens, cache, slot, valid, *, cfg, impl):
+    """Prefill ONE slot with a batch-1 forward against its cache slice.
+
+    vs the round-1 full-width prefill: (a) no other slot's cache rows are
+    ever written (the clamped dynamic_update_slice could overwrite a
+    near-full slot's real KV history with dummy rows — round-1 advisor
+    finding), and (b) prefill costs 1/B of the batched-forward FLOPs.
+    """
+    c1 = _slice_slot_cache(cache, slot)
+    logits, c1 = forward_cached(params, tokens, c1, cfg=cfg, impl=impl,
+                                valid_lengths=valid)
+    return logits, _unslice_slot_cache(cache, c1, slot)
+
+
 @dataclasses.dataclass
 class EngineConfig:
     batch_slots: int = 4
@@ -57,7 +90,7 @@ class Engine:
         self._last_tokens = np.zeros((ecfg.batch_slots,), np.int32)
         self._results: dict[int, list[int]] = {}
 
-        self._prefill = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
+        self._prefill = jax.jit(partial(_prefill_slot, cfg=cfg, impl=impl))
         self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
 
     # -- request management ------------------------------------------------
@@ -71,27 +104,26 @@ class Engine:
         self._next_req += 1
 
         p = self.ecfg.prefill_chunk
-        b = self.ecfg.batch_slots
         prompt = prompt[-(self.ecfg.max_len - max_new_tokens - 1):]
 
         # zero this slot's length before prefill (fresh sequence)
         lengths = np.array(self.cache.lengths)
         lengths[slot] = 0
-        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(lengths))
+        self.cache = type(self.cache)(*self.cache[:-1], jnp.asarray(lengths))
 
-        # long prompts stream through fixed-shape chunks (compiled once)
+        # long prompts stream through fixed-shape batch-1 chunks (compiled
+        # once); only this slot's cache rows are touched
         last = None
         for off in range(0, len(prompt), p):
             piece = prompt[off: off + p]
-            chunk = np.zeros((b, p), np.int32)
-            chunk[slot, : len(piece)] = piece
-            valid = np.zeros((b,), np.int32)
-            valid[slot] = len(piece)
+            chunk = np.zeros((1, p), np.int32)
+            chunk[0, : len(piece)] = piece
             logits, self.cache = self._prefill(
                 self.params, jnp.asarray(chunk), self.cache,
-                valid_lengths=jnp.asarray(valid),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray([len(piece)], jnp.int32),
             )
-            last = np.asarray(logits)[slot, len(piece) - 1]
+            last = np.asarray(logits)[0, len(piece) - 1]
         first_tok = int(np.argmax(last)) if self.ecfg.temperature <= 0 else (
             int(np.asarray(sample_tokens(jnp.asarray(last[None]),
                                          self._split_key(),

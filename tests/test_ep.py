@@ -260,3 +260,46 @@ def test_ep_a4_packed_dispatch_matches_oracle():
     w = (routing.weights.astype(x.dtype)[..., None] * one_hot).sum(1)
     ref = jnp.einsum("eth,te->th", out_all, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_ep_drop_stats_and_sentinel():
+    """return_stats exposes per-shard drop counts; generous capacity is
+    dropless and exact (sentinel padding must not perturb expert 0)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs 4 devices")
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(6), (32, cfg.hidden_size), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+
+    fn = make_ep_moe_fn(cfg, mesh, EPConfig(
+        capacity_factor=float(cfg.top_k * ep), return_stats=True))
+    with mesh:
+        got, drops = jax.jit(fn)(x, lp["router"], lp["expert_gate_up"],
+                                 lp["expert_down"])
+    assert drops.shape == (ep,)
+    assert int(np.asarray(drops).sum()) == 0
+    ref = _dense_routed_oracle(x, lp["router"], lp["expert_gate_up"],
+                               lp["expert_down"], cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    tight = make_ep_moe_fn(cfg, mesh, EPConfig(capacity_factor=0.25,
+                                               return_stats=True))
+    with mesh:
+        _, drops2 = jax.jit(tight)(x, lp["router"], lp["expert_gate_up"],
+                                   lp["expert_down"])
+    assert int(np.asarray(drops2).sum()) > 0
+
+
+def test_capacity_factor_from_freq():
+    from mxmoe_tpu.parallel.ep import capacity_factor_from_freq
+
+    uniform = np.ones(8)
+    cf = capacity_factor_from_freq(uniform, ep=4, margin=1.25)
+    assert abs(cf - 1.25) < 1e-6
+    skewed = np.array([8.0, 8, 1, 1, 1, 1, 1, 1])   # shard 0 holds 16/22
+    cf2 = capacity_factor_from_freq(skewed, ep=4, margin=1.0)
+    assert abs(cf2 - 4 * (16 / 22)) < 1e-6
+    assert cf2 > 1.0

@@ -113,3 +113,31 @@ def test_online_had_with_real_quant_path():
     ref = model.forward_logits(qp, toks, cfg, impl_p)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_rotation_preserves_function_ds2_mla_dense():
+    """MLA (wq/kv_a) + dense-first-layer models rotate correctly too
+    (round-1 advisor finding: fuse_layer_norms crashed on ds2)."""
+    cfg = configs.tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    for tree in ("layers", "dense_layers"):
+        if tree not in params:
+            continue
+        sub = dict(params[tree])
+        k1, k2 = jax.random.split(jax.random.PRNGKey(12), 2)
+        sub["input_norm"] = 1.0 + 0.3 * jax.random.normal(k1, sub["input_norm"].shape)
+        sub["post_attn_norm"] = 1.0 + 0.3 * jax.random.normal(k2, sub["post_attn_norm"].shape)
+        params[tree] = sub
+    toks = jax.random.randint(jax.random.PRNGKey(13), (2, 12), 0, cfg.vocab_size)
+    impl = MoEImpl(kind="dense")
+    ref = model.forward_logits(params, toks, cfg, impl)
+
+    fused = fuse_layer_norms(params)
+    got_f = model.forward_logits(fused, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    rotated = rotate_model_hadamard(params, cfg, jax.random.PRNGKey(14))
+    got = model.forward_logits(rotated, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    d = np.abs(np.asarray(rotated["layers"]["kv_a"] - params["layers"]["kv_a"])).max()
+    assert d > 1e-3

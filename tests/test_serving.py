@@ -249,3 +249,30 @@ def test_int8_kv_cache_mla_ds2():
     got = logits[:, -1]
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
     assert corr > 0.995, corr
+
+
+def test_engine_prefill_does_not_corrupt_other_slots():
+    """Submitting into a free slot while another slot is near max_len must
+    not overwrite the active slot's KV history (round-1 advisor finding:
+    full-width prefill chunks clobbered other slots via clamped writes)."""
+    cfg, params = _setup(seed=7)
+    ecfg = EngineConfig(batch_slots=2, max_len=24, prefill_chunk=8)
+    key = jax.random.PRNGKey(8)
+    prompt_a = list(np.asarray(
+        jax.random.randint(key, (14,), 0, cfg.vocab_size)))
+    prompt_b = [1, 2, 3, 4, 5]
+
+    # reference: slot-0 prompt alone in a single-slot engine (greedy)
+    solo = Engine(params, cfg, EngineConfig(batch_slots=1, max_len=24,
+                                            prefill_chunk=8))
+    rid_solo = solo.submit(prompt_a, max_new_tokens=8)
+    solo.run_to_completion()
+    want = solo.result(rid_solo)
+
+    eng = Engine(params, cfg, ecfg)
+    rid_a = eng.submit(prompt_a, max_new_tokens=8)
+    eng.step()  # slot 0 now has length 15+: within prefill_chunk of max_len
+    rid_b = eng.submit(prompt_b, max_new_tokens=4)  # must not clobber slot 0
+    eng.run_to_completion()
+    assert eng.result(rid_a) == want
+    assert len(eng.result(rid_b)) == 4
