@@ -61,14 +61,17 @@ def convert(
         qcfg = parse_scheme(quant)
         params = quantize_model_experts_uniform(params, qcfg)
         if pack_int4 and qcfg.w_bits <= 4:
-            # The packed serving kernel (gmm_w4a8_packed) assumes symmetric
-            # per-channel scales and never reads the stored _zp; packing an
-            # asym/grouped scheme would serve silently wrong outputs.
-            if not (qcfg.w_sym and qcfg.w_gsize == -1):
+            # The packed w×a serving kernel (gmm_w4a8_packed) assumes
+            # symmetric per-channel scales and never reads the stored _zp;
+            # packing an asym/grouped w×a scheme would serve silently wrong
+            # outputs. Weight-only (a16) schemes go through
+            # gmm_weight_only_packed, which dequantizes with scale+zp and
+            # supports groups, so any w4a16 variant may pack.
+            if qcfg.a_bits < 16 and not (qcfg.w_sym and qcfg.w_gsize == -1):
                 raise ValueError(
-                    "--pack-int4 requires a symmetric per-channel weight "
-                    f"scheme (w_sym, g=-1); got {quant}. Convert without "
-                    "--pack-int4 to serve this scheme via the unpacked path."
+                    "--pack-int4 with a quantized-activation scheme requires "
+                    f"symmetric per-channel weights (w_sym, g=-1); got {quant}. "
+                    "Convert without --pack-int4 to serve it unpacked."
                 )
             from ..quant.packing import pack_int4_halves
 

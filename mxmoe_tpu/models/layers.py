@@ -231,6 +231,15 @@ def moe_ffn_ragged_quant(
             wqp = layer_params[f"{prefix}_q_packed"]
             n_out = wqp.shape[-1]
             bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
+            if not mixed and qcfg.a_bits >= 16:
+                # w4a16: bf16 acts against packed weights (in-kernel dequant)
+                zp_p = layer_params.get(f"{prefix}_zp",
+                                        jnp.zeros_like(sc))
+                return pallas_gmm.gmm_weight_only_packed(
+                    acts, wqp, sc, zp_p, disp.group_sizes,
+                    gsize=qcfg.w_gsize, bn=bn,
+                    out_dtype=acts.dtype, interpret=impl.interpret,
+                )
             aq, asc = quantize_act_rtn(acts, qcfg) if not mixed else (None, None)
             if mixed:
                 bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
@@ -260,8 +269,22 @@ def moe_ffn_ragged_quant(
             )
         gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
         if qcfg.a_bits < 16:
+            if qcfg.w_gsize != -1:
+                # g128-class w×a: per-(token, k-group) act scales feeding the
+                # Atom-style grouped-rescale kernel (same group size both
+                # sides, as in the reference's w4a4_g128)
+                if not qcfg.w_sym:
+                    raise NotImplementedError(
+                        "grouped ASYM w×a has no zp-corrected kernel; use "
+                        "sym grouped or per-channel asym")
+                from ..quant.qparams import quantize_act_grouped
+
+                aq, asc = quantize_act_grouped(acts, int(qcfg.a_bits), gsz)
+                return pallas_gmm.gmm_w8a8_grouped(
+                    aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bn=bn,
+                    out_dtype=acts.dtype, interpret=impl.interpret,
+                )
             aq, asc = quantize_act_rtn(acts, qcfg)
-            assert qcfg.w_gsize == -1, "grouped w×a kernel lands separately"
             if not qcfg.w_sym:
                 return pallas_gmm.gmm_w8a8_asym(
                     aq, asc, wq, sc, zp, disp.group_sizes, bn=bn,
@@ -392,10 +415,22 @@ def mla_attention_block(
 
 
 def dense_mlp_block(x: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
-    """Plain SwiGLU MLP for ds2's first dense layer(s)."""
+    """Plain SwiGLU MLP for ds2's first dense layer(s).
+
+    Honors the dense pseudo-expert's activation widths (``act_bits_dense``
+    [2] = gate_up input / down input) when the quantizer assigned the layer
+    a scheme (qconfig key ``dense-<i>``)."""
     b, s, h = x.shape
     x2d = x.reshape(-1, h)
-    y = silu_mul(x2d @ layer_params["mlp_gate_up"]) @ layer_params["mlp_down"]
+    x_in = x2d
+    fq = "act_bits_dense" in layer_params
+    if fq:
+        bits = layer_params["act_bits_dense"]
+        x_in = _act_fq_per_row(x2d, jnp.full((x2d.shape[0],), bits[0]))
+    hmid = silu_mul(x_in @ layer_params["mlp_gate_up"])
+    if fq:
+        hmid = _act_fq_per_row(hmid, jnp.full((hmid.shape[0],), bits[1]))
+    y = hmid @ layer_params["mlp_down"]
     return y.reshape(b, s, h)
 
 

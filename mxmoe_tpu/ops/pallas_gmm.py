@@ -555,6 +555,95 @@ def gmm_w4a8_packed(
 
 
 # ---------------------------------------------------------------------------
+# int4-packed WEIGHT-ONLY GMM: bf16 acts × nibble-packed weights
+# ---------------------------------------------------------------------------
+
+def _gmm_wqp_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref, bzp_ref,
+                    out_ref, *, bm, bn, gsize, k):
+    t = pl.program_id(1)
+    g = gids[t]
+    m_tile = mtids[t]
+    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+    # unpack halves layout (low nibble = first K/2 rows) then dequantize
+    p = rhs_ref[0].astype(jnp.int32)                        # [K//2, bn]
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = (((p >> 4) & 0xF) ^ 8) - 8
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # [K, bn]
+    ngroups = k // gsize
+    qg = q.reshape(ngroups, gsize, bn)
+    w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
+    w = w.reshape(k, bn).astype(lhs_ref.dtype)
+    res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+
+def gmm_weight_only_packed(
+    lhs: jax.Array,          # [M, K] bf16
+    rhs_packed: jax.Array,   # [E, K//2, N] int8 nibble-packed (halves layout)
+    rhs_scale: jax.Array,    # [E, K//gsize, N] f32
+    rhs_zp: jax.Array,       # [E, K//gsize, N] f32 (zeros when symmetric)
+    group_sizes: jax.Array,
+    gsize: int,
+    bm: int = 128,
+    bn: int = 256,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """w4a16 grouped matmul on nibble-PACKED weights: half the weight HBM
+    traffic of the int8-stored weight-only path — exactly where weight
+    streaming is the whole game (decode M is tiny). TPU answer to the
+    reference's packed weight-only mainloop (``cta_gemm.cuh:112-286`` with
+    PackDim::MN int4 fragments): VPU nibble unpack + dequant fused ahead of
+    the bf16 MXU dot. Weights packed by quant.packing.pack_int4_halves.
+    """
+    m, k2 = lhs.shape[0], rhs_packed.shape[1]
+    k = 2 * k2
+    assert lhs.shape[1] == k, (lhs.shape, rhs_packed.shape)
+    e, _, n = rhs_packed.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    gsize = k if gsize == -1 else gsize
+    assert k % gsize == 0
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    ksc = k // gsize
+
+    _check_vmem("gmm_weight_only_packed",
+                (bm * k * lhs.dtype.itemsize, True),
+                (k2 * bn, True), (ksc * bn * 4 * 2, True),
+                (k * bn * 4, False),   # unpacked+dequantized intermediate
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
+    kernel = functools.partial(_gmm_wqp_kernel, bm=bm, bn=bn, gsize=gsize, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k * 2 + e * k2 * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      lhs, rhs_packed, rhs_scale, rhs_zp)
+
+
+# ---------------------------------------------------------------------------
 # Grouped-scale w×a GMM (g128-class): per-k-group rescale inside the k loop
 # ---------------------------------------------------------------------------
 
@@ -579,6 +668,39 @@ def _gmm_q8g_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
     out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
 
+def _gmm_q8g_kernel_kb(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
+                       out_ref, acc_ref, *, bm, bn, gsize, ksc_blk, ksteps):
+    """k-blocked variant: each grid step covers bk = ksc_blk·gsize of K,
+    rescaling + accumulating its k-groups into a persistent f32 scratch."""
+    t = pl.program_id(1)
+    kk = pl.program_id(2)
+    g = gids[t]
+    m_tile = mtids[t]
+
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for i in range(ksc_blk):
+        a = lhs_ref[:, i * gsize:(i + 1) * gsize]
+        b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]
+        part = jnp.dot(a, b, preferred_element_type=jnp.int32)
+        sa = asc_ref[:, i:i + 1]
+        sb = bsc_ref[0, i:i + 1, :]
+        acc = acc + part.astype(jnp.float32) * sa * sb
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = acc
+
+    @pl.when(kk > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + acc
+
+    @pl.when(kk == ksteps - 1)
+    def _():
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
+                                 out_ref[...])
+
+
 def gmm_w8a8_grouped(
     lhs_q: jax.Array,        # [M, K] int8 codes
     lhs_scale: jax.Array,    # [M, K//g] f32 per-token-per-group scales
@@ -588,6 +710,7 @@ def gmm_w8a8_grouped(
     gsize: int = 128,
     bm: int = 256,
     bn: int = 256,
+    bk="auto",               # k-block (multiple of gsize); 'auto' | None | int
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
@@ -596,38 +719,63 @@ def gmm_w8a8_grouped(
     per-group rescale of the reference's ``cta_gemm_w4a4g128``
     (``cta_gemm.cuh:610-772``) — each K-group's int32 partial product is
     rescaled by s_a[m,g]·s_b[g,n] and accumulated in f32; a K-group (128)
-    is one full MXU contraction so the loop stays MXU-bound."""
+    is one full MXU contraction so the loop stays MXU-bound. K larger than
+    the VMEM budget is k-blocked (bk) with a persistent f32 accumulator, so
+    mixtral-scale K=14336 works (round-1 gap: full-K tiles only)."""
     m, k = lhs_q.shape
     e, _, n = rhs_q.shape
     assert k % gsize == 0
-    ksc = k // gsize
     bm = min(bm, m)
     bn = min(bn, n)
-    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    bk = _auto_bk(k, bk)
+    bk = max(gsize, (bk // gsize) * gsize)   # align the block to k-groups
+    assert k % bk == 0, (k, bk)
+    ksteps = k // bk
+    ksc_blk = bk // gsize
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
-    _check_vmem("gmm_w8a8_grouped", (bm * k, True), (k * bn, True),
-                (bm * ksc * 4, True), (ksc * bn * 4, True),
+    _check_vmem("gmm_w8a8_grouped", (bm * bk, True), (bk * bn, True),
+                (bm * ksc_blk * 4, True), (ksc_blk * bn * 4, True),
                 (bm * bn * 4, False),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
-    kernel = functools.partial(_gmm_q8g_kernel, bm=bm, bn=bn, gsize=gsize, ksc=ksc)
+    if ksteps == 1:
+        kernel = functools.partial(_gmm_q8g_kernel, bm=bm, bn=bn, gsize=gsize,
+                                   ksc=ksc_blk)
+        grid = grid2
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((bm, ksc_blk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        scratch = []
+        dims = ("parallel", "arbitrary")
+    else:
+        kernel = functools.partial(_gmm_q8g_kernel_kb, bm=bm, bn=bn,
+                                   gsize=gsize, ksc_blk=ksc_blk, ksteps=ksteps)
+        grid = (*grid2, ksteps)
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+            pl.BlockSpec((bm, ksc_blk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+        ]
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+        dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((bm, ksc), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-            ],
-            out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
-            ),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=dims,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),

@@ -82,6 +82,22 @@ def quantize_act_rtn(x: jax.Array, cfg: QLinearConfig) -> tuple[jax.Array, jax.A
     return quantize_act_per_token(x, int(cfg.a_bits))
 
 
+def quantize_act_grouped(
+    x: jax.Array, bits: int, gsize: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-token-per-k-group sym quant -> (int8 [M,K], scale [M,K//g]);
+    the activation side of g128-class w×a schemes (Atom-style, reference
+    ``cta_gemm_w4a4g128`` operands)."""
+    m, k = x.shape
+    assert k % gsize == 0, (k, gsize)
+    upper = float((1 << (bits - 1)) - 1)
+    xg = x.astype(jnp.float32).reshape(m, k // gsize, gsize)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / upper              # [M, K//g]
+    q = jnp.round(xg / scale[..., None]).reshape(m, k)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_act_per_row_bits(
     x: jax.Array, bits_per_row: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -269,3 +269,70 @@ def test_gmm_fusedquant_matches_separate():
     got = pallas_gmm.gmm_w8a8_fusedquant(a, qp.q, qp.scale, gs, bm=64, bn=128,
                                          out_dtype=jnp.float32, interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gsize,sym", [(64, True), (32, False)])
+def test_gmm_weight_only_packed_matches_unpacked(gsize, sym):
+    """Nibble-packed w4a16 kernel == int8-stored weight-only kernel."""
+    m, k, n, e = 128, 256, 128, 3
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32)
+    gs = _rand_groups(k3, e, m)
+
+    from mxmoe_tpu.quant.packing import quantize_weight_kn, pack_int4_halves
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    cfg = QLinearConfig(w_bits=4, w_gsize=gsize, w_sym=sym, a_bits=16)
+    packed = quantize_weight_kn(w, cfg)
+    wq = packed.values.astype(jnp.int8)
+
+    ref = pallas_gmm.gmm_weight_only(
+        a, wq, packed.scale, packed.zp, gs, gsize=gsize,
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    got = pallas_gmm.gmm_weight_only_packed(
+        a, pack_int4_halves(wq), packed.scale, packed.zp, gs, gsize=gsize,
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bk", [128, 256])
+def test_gmm_w8a8_grouped_kblocked_matches_full(bk):
+    """k-blocked grouped w×a == full-K grouped w×a (mixtral-scale enabler)."""
+    m, k, n, e, gsize = 128, 512, 128, 3, 64
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32)
+    gs = _rand_groups(k3, e, m)
+
+    from mxmoe_tpu.quant.qparams import quantize_act_grouped
+    from mxmoe_tpu.quant.packing import quantize_weight_kn
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    aq, asc = quantize_act_grouped(a, 8, gsize)
+    packed = quantize_weight_kn(w, QLinearConfig(w_bits=8, w_gsize=gsize,
+                                                 w_sym=True, a_bits=8))
+    wq = packed.values.astype(jnp.int8)
+
+    full = pallas_gmm.gmm_w8a8_grouped(
+        aq, asc, wq, packed.scale, gs, gsize=gsize, bm=64, bn=128, bk=None,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    blocked = pallas_gmm.gmm_w8a8_grouped(
+        aq, asc, wq, packed.scale, gs, gsize=gsize, bm=64, bn=128, bk=bk,
+        out_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    # and both match the fake-quant dense oracle
+    a_fq = aq.astype(jnp.float32).reshape(m, k // gsize, gsize) * asc[..., None]
+    w_fq = wq.astype(jnp.float32).reshape(e, k // gsize, gsize, n) * \
+        packed.scale[:, :, None, :]
+    ref = gmm_dense_reference(a_fq.reshape(m, k), w_fq.reshape(e, k, n), gs)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

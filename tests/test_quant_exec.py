@@ -149,3 +149,58 @@ def test_mixed_real_quant_single_launch_matches_oracle():
     from mxmoe_tpu.models.layers import shared_expert_ffn
     ref = ref_moe + shared_expert_ffn(x2d, lp, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_grouped_wxa_moe_matches_oracle():
+    """g128-class w×a schemes run end-to-end through the model forward
+    (round-1 gap: layers.py hard-asserted grouped w×a away)."""
+    cfg, _, lp, x = _tiny_setup(seed=11)
+    gsz = 16
+    qcfg = QLinearConfig(w_bits=4, w_gsize=gsz, w_sym=True,
+                         a_bits=4, a_gsize=gsz, a_sym=True)
+    qlp = _quantize_layer(lp, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+    got = moe_block(x[None], qlp, cfg, impl)[0]
+
+    # oracle: dense path on the same grouped-fake-quantized operands
+    logits = x @ qlp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x, disp)
+
+    def fq_gemm(acts, name):
+        k = acts.shape[-1]
+        w_fq = dequantize_weight_kn(PackedTensor(
+            qlp[f"{name}_q"], qlp[f"{name}_sc"], qlp[f"{name}_zp"],
+            4, gsz, True,
+        ))
+        aq, asc = qparams.quantize_act_grouped(acts, 4, gsz)
+        a_fq = (aq.astype(jnp.float32).reshape(-1, k // gsz, gsz)
+                * asc[..., None]).reshape(-1, k)
+        return gmm_dense_reference(a_fq, w_fq, disp.group_sizes)
+
+    h = silu_mul(fq_gemm(xs, "expert_gate_up"))
+    out = fq_gemm(h, "expert_down")
+    ref_moe = combine_tokens(out, disp, x.shape[0])
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    ref = ref_moe + shared_expert_ffn(x, qlp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_w4a16_packed_weight_only_moe_matches_unpacked():
+    """Packed w4a16 serving path == unpacked weight-only path."""
+    from mxmoe_tpu.quant.packing import pack_int4_halves
+
+    cfg, _, lp, x = _tiny_setup(seed=13)
+    qcfg = QLinearConfig(w_bits=4, w_gsize=16, w_sym=False, a_bits=16)
+    qlp = _quantize_layer(lp, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+    ref = moe_block(x[None], qlp, cfg, impl)[0]
+
+    plp = dict(qlp)
+    for name in ("expert_gate_up", "expert_down"):
+        plp[f"{name}_q_packed"] = pack_int4_halves(plp.pop(f"{name}_q"))
+    got = moe_block(x[None], plp, cfg, impl)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
