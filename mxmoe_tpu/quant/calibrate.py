@@ -148,6 +148,53 @@ def moe_calib_errors(
     return errs  # [E(+1 shared), 3]
 
 
+def dense_calib_errors(
+    x2d: jax.Array,            # [T, H] dense-MLP inputs (post-attn-norm)
+    dlp: dict,                 # one dense layer's params (mlp_gate_up/down)
+    cfg: MoEConfig,
+    qcfg: QLinearConfig,
+    fq_weights: dict | None = None,
+) -> jax.Array:
+    """Squared layer-out error [1, 3] for a dense first layer's MLP — the
+    ds2 layer-0 pseudo-expert (reference special-cases it in
+    ``moe_utils.py:94-128``; here it gets its own calib row ``dense-<i>``)."""
+    nd = dlp["mlp_gate_up"].shape[-1] // 2
+    wg, wu = dlp["mlp_gate_up"][..., :nd], dlp["mlp_gate_up"][..., nd:]
+    wd = dlp["mlp_down"]
+    fqw = fq_weights or {}
+
+    g_fp = x2d @ wg
+    u_fp = x2d @ wu
+    h_fp = jax.nn.silu(g_fp) * u_fp
+    d_fp = h_fp @ wd
+    x_fq = _fq_act(x2d, qcfg)
+
+    def tot_sq(delta):
+        return jnp.sum(delta.astype(jnp.float32) ** 2)
+
+    g_q = x_fq @ (fqw["gate"] if "gate" in fqw else _fq_weight(wg, qcfg))
+    e_g = tot_sq((jax.nn.silu(g_q) * u_fp - h_fp) @ wd)
+    u_q = x_fq @ (fqw["up"] if "up" in fqw else _fq_weight(wu, qcfg))
+    e_u = tot_sq((jax.nn.silu(g_fp) * u_q - h_fp) @ wd)
+    d_q = _fq_act(h_fp, qcfg) @ (fqw["down"] if "down" in fqw else _fq_weight(wd, qcfg))
+    e_d = tot_sq(d_q - d_fp)
+    return jnp.stack([e_g, e_u, e_d])[None]     # [1, 3]
+
+
+def dense_layer_forward_fp(
+    x: jax.Array, dlp: dict, cfg: MoEConfig, cos, sin,
+) -> tuple[jax.Array, jax.Array]:
+    """FP dense decoder layer returning (layer_out, mlp_input_2d)."""
+    h = x + attention_dispatch(
+        rms_norm(x, dlp["input_norm"], cfg.rms_norm_eps), dlp, cfg, cos, sin,
+    )
+    mlp_in = rms_norm(h, dlp["post_attn_norm"], cfg.rms_norm_eps)
+    b, s, hid = mlp_in.shape
+    x2d = mlp_in.reshape(-1, hid)
+    y = silu_mul(x2d @ dlp["mlp_gate_up"]) @ dlp["mlp_down"]
+    return h + y.reshape(b, s, hid), x2d
+
+
 def layer_forward_fp(
     x: jax.Array, layer_params: dict, cfg: MoEConfig, cos, sin,
     backend: str = "ragged_dot",
@@ -209,13 +256,6 @@ def calibrate_model(
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
-    if "dense_layers" in params:
-        # ds2: first dense layer(s) run FP ahead of the MoE layer stream
-        dense_fwd = jax.jit(partial(
-            decoder_layer, cfg=cfg, cos=cos, sin=sin, dense_mlp=True))
-        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
-            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
-            x = dense_fwd(x, dlp)
 
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
     errf = {
@@ -224,6 +264,29 @@ def calibrate_model(
     }
 
     losses: dict[str, dict] = {name: {} for name in schemes}
+
+    if "dense_layers" in params:
+        # ds2: first dense layer(s) are calibrated as pseudo-experts
+        # (layer key "dense-<i>", single expert "0") while propagating FP
+        dense_fwd = jax.jit(partial(dense_layer_forward_fp, cfg=cfg,
+                                    cos=cos, sin=sin))
+        derrf = {
+            name: jax.jit(partial(dense_calib_errors, cfg=cfg, qcfg=qc))
+            for name, qc in schemes.items()
+        }
+        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            x, dx2d = dense_fwd(x, dlp)
+            for name, qc in schemes.items():
+                fqw = None
+                if base_method == "gptq":
+                    fqw = _gptq_dense_fq_weights(dx2d, dlp, qc)
+                err2 = np.asarray(derrf[name](dx2d, dlp, fq_weights=fqw),
+                                  np.float64)
+                err = np.sqrt(err2)
+                losses[name][f"dense-{dl}"] = {
+                    "0": [float(v) for v in err[0]]
+                }
     if resume and save_dir:
         prior = load_resumable(save_dir, model_id, method, schemes)
         for name, d in prior.items():
@@ -260,6 +323,25 @@ def calibrate_model(
         x = x_next
 
     return losses
+
+
+def _gptq_dense_fq_weights(x2d, dlp, qcfg: QLinearConfig) -> dict:
+    """GPTQ-quantize one dense layer's MLP linears (hessian from x2d)."""
+    from .gptq import accumulate_hessian, gptq_quantize_kn
+
+    if qcfg.w_bits >= 16:
+        return {}
+    nd = dlp["mlp_gate_up"].shape[-1] // 2
+    wg, wu = dlp["mlp_gate_up"][..., :nd], dlp["mlp_gate_up"][..., nd:]
+    wd = dlp["mlp_down"]
+    sh = jax.nn.silu(x2d @ wg) * (x2d @ wu)
+    h_x = accumulate_hessian(x2d)[None]
+    h_s = accumulate_hessian(sh)[None]
+    return {
+        "gate": gptq_quantize_kn(wg[None], h_x, qcfg).w_fq[0],
+        "up": gptq_quantize_kn(wu[None], h_x, qcfg).w_fq[0],
+        "down": gptq_quantize_kn(wd[None], h_s, qcfg).w_fq[0],
+    }
 
 
 def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,

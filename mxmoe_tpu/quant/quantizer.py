@@ -146,7 +146,67 @@ def _quantize_layer_params(lp: dict, cfg: MoEConfig, layer_cfg,
     return out
 
 
+def _dense_cfgs(qmodel_cfg, dl: int):
+    """Scheme slot for ds2's dense first layer dl (qconfig key dense-<dl>,
+    single pseudo-expert '0'; reference layer-0 special case,
+    ``moe_utils.py:94-128``)."""
+    lc = qmodel_cfg.layers.get(f"dense-{dl}")
+    if lc is None:
+        return None
+    return lc.experts["0"].qmap()
+
+
+def _quantize_dense_layer(dlp: dict, qm: dict, hessians: dict | None = None):
+    """Fake-quant one dense layer's MLP in place (gate/up tied via the
+    fused mlp_gate_up operand, like the routed expert convention)."""
+    out = dict(dlp)
+    cg, cd = qm["gate"], qm["down"]
+    if cg.w_bits < 16:
+        if hessians is not None:
+            out["mlp_gate_up"] = gptq_quantize_kn(
+                dlp["mlp_gate_up"][None], hessians["mlp_gate_up"][None], cg
+            ).w_fq[0].astype(dlp["mlp_gate_up"].dtype)
+        else:
+            out["mlp_gate_up"] = _fq_weight_kn(dlp["mlp_gate_up"], cg)
+    if cd.w_bits < 16:
+        if hessians is not None:
+            out["mlp_down"] = gptq_quantize_kn(
+                dlp["mlp_down"][None], hessians["mlp_down"][None], cd
+            ).w_fq[0].astype(dlp["mlp_down"].dtype)
+        else:
+            out["mlp_down"] = _fq_weight_kn(dlp["mlp_down"], cd)
+    act_bits = jnp.asarray([float(cg.a_bits), float(cd.a_bits)], jnp.float32)
+    return out, act_bits
+
+
+def _quantize_dense_stack_rtn(params: dict, qmodel_cfg) -> dict:
+    """RTN path for the dense_layers subtree; emits act_bits_dense [Ld, 2]."""
+    if "dense_layers" not in params:
+        return params
+    dls = params["dense_layers"]
+    n_dense = dls["input_norm"].shape[0]
+    if not any(f"dense-{dl}" in qmodel_cfg.layers for dl in range(n_dense)):
+        return params
+    new = {k: [] for k in dls}
+    act = []
+    for dl in range(n_dense):
+        dlp = jax.tree_util.tree_map(lambda a: a[dl], dls)
+        qm = _dense_cfgs(qmodel_cfg, dl)
+        if qm is not None:
+            dlp, ab = _quantize_dense_layer(dlp, qm)
+        else:
+            ab = jnp.asarray([16.0, 16.0], jnp.float32)
+        for k in new:
+            new[k].append(dlp[k])
+        act.append(ab)
+    out = dict(params)
+    out["dense_layers"] = {k: jnp.stack(v) for k, v in new.items()}
+    out["dense_layers"]["act_bits_dense"] = jnp.stack(act)
+    return out
+
+
 def _quantize_rtn(params: dict, cfg: MoEConfig, qmodel_cfg: QModelConfig) -> dict:
+    params = _quantize_dense_stack_rtn(params, qmodel_cfg)
     num_layers = params["layers"]["router"].shape[0]
     new_layers = {k: [] for k in params["layers"]}
     extra = {"act_bits_gateup": [], "act_bits_down": []}
@@ -178,14 +238,38 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
+    new_dense = None
     if "dense_layers" in params:
-        from ..models.layers import decoder_layer
+        from .calibrate import dense_layer_forward_fp
 
-        dense_fwd = jax.jit(partial(
-            decoder_layer, cfg=cfg, cos=cos, sin=sin, dense_mlp=True))
-        for dl in range(params["dense_layers"]["input_norm"].shape[0]):
-            dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
-            x = dense_fwd(x, dlp)
+        dense_fwd = jax.jit(partial(dense_layer_forward_fp, cfg=cfg,
+                                    cos=cos, sin=sin))
+        dls = params["dense_layers"]
+        new_dls = {k: [] for k in dls}
+        act_dense = []
+        any_dense_cfg = False
+        for dl in range(dls["input_norm"].shape[0]):
+            dlp = jax.tree_util.tree_map(lambda a: a[dl], dls)
+            _, dx2d = dense_fwd(x, dlp)
+            qm = _dense_cfgs(qmodel_cfg, dl)
+            if qm is not None:
+                any_dense_cfg = True
+                nd = dlp["mlp_gate_up"].shape[-1] // 2
+                sh_mid = jax.nn.silu(dx2d @ dlp["mlp_gate_up"][:, :nd]) * \
+                    (dx2d @ dlp["mlp_gate_up"][:, nd:])
+                hs = {"mlp_gate_up": accumulate_hessian(dx2d),
+                      "mlp_down": accumulate_hessian(sh_mid)}
+                dlp, ab = _quantize_dense_layer(dlp, qm, hessians=hs)
+            else:
+                ab = jnp.asarray([16.0, 16.0], jnp.float32)
+            for k in new_dls:
+                new_dls[k].append(dlp[k])
+            act_dense.append(ab)
+            # propagate through the QUANTIZED dense layer
+            x, _ = dense_fwd(x, dlp)
+        if any_dense_cfg:
+            new_dense = {k: jnp.stack(v) for k, v in new_dls.items()}
+            new_dense["act_bits_dense"] = jnp.stack(act_dense)
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
     @jax.jit
@@ -227,4 +311,6 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
     stacked.update({k: jnp.stack(v) for k, v in extra.items()})
     out = dict(params)
     out["layers"] = stacked
+    if new_dense is not None:
+        out["dense_layers"] = new_dense
     return out

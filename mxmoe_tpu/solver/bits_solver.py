@@ -63,7 +63,12 @@ def _n_out(problem: LayerProblem, e: int, b: int) -> int:
     return int(problem.ns[e]) if b < 2 else problem.k
 
 
-def _cost_vectors(problem: LayerProblem, schemes: list[str], perf: PerfModel):
+def _cost_vectors(problem: LayerProblem, schemes: list[str], perf: PerfModel,
+                  tiles: dict | None = None):
+    """Loss/time/bits/size per binary. With ``tiles`` (scheme -> TileCost),
+    each problem is costed under its bucket's FIXED tile — the launch model
+    of scheme-bucketed execution; otherwise each problem gets its own best
+    tile (optimistic bound, used to seed the fixed point)."""
     e_tot = problem.ms.shape[0]
     s_tot = len(schemes)
     loss = np.zeros(e_tot * 3 * s_tot)
@@ -75,7 +80,11 @@ def _cost_vectors(problem: LayerProblem, schemes: list[str], perf: PerfModel):
             for si, s in enumerate(schemes):
                 i = (e * 3 + b) * s_tot + si
                 loss[i] = problem.losses[s][e, b]
-                time[i] = perf.problem_ms(s, int(problem.ms[e]), _n_out(problem, e, b))
+                m, n_o = int(problem.ms[e]), _n_out(problem, e, b)
+                if tiles is not None and s in tiles:
+                    time[i] = tiles[s].problem_ms(m, n_o)
+                else:
+                    time[i] = perf.problem_ms(s, m, n_o)
                 bits[i] = strategy_bits(s)[0]
                 size[i] = problem.sizes[e]
     return loss, time, bits, size
@@ -100,14 +109,23 @@ def solve_layer(
     r: float = 1.0,
     perf: PerfModel | None = None,
     n_sweep: int = 12,
+    max_tile_iters: int = 4,
 ) -> SolveResult:
-    """Solve one layer's scheme assignment."""
+    """Solve one layer's scheme assignment.
+
+    Tile choice is INSIDE the optimization (reference couples y[e,n,s,t]
+    into the BIP, ``bits_solver.py:301-332,370-379``): with scheme-bucketed
+    launches the tile is per bucket, so the coupling is solved as an
+    assignment <-> tile fixed point — cost each problem under its bucket's
+    fixed tile, re-solve, re-pick each bucket's exact argmin tile over the
+    bucket's actual (M, N) list, repeat until stable.
+    """
     e_tot = problem.ms.shape[0]
     s_tot = len(schemes)
     n = e_tot * 3 * s_tot
     perf = perf or AnalyticPerfModel(k=problem.k)
 
-    loss_v, time_v, bits_v, size_v = _cost_vectors(problem, schemes, perf)
+    loss_v, _, bits_v, size_v = _cost_vectors(problem, schemes, perf)
 
     rows, cols, vals = [], [], []
     lb, ub = [], []
@@ -133,63 +151,80 @@ def solve_layer(
     a_base = sparse.csr_matrix((vals, (rows, cols)), shape=(nrow, n))
     base = LinearConstraint(a_base, np.array(lb), np.array(ub))
 
-    def with_time_cap(tau):
-        a_t = sparse.csr_matrix(
-            (time_v, (np.zeros(n, int), np.arange(n))), shape=(1, n)
-        )
-        return [base, LinearConstraint(a_t, -np.inf, tau)]
+    all_probs = [(int(problem.ms[e]), _n_out(problem, e, b))
+                 for e in range(e_tot) for b in range(3)]
 
-    def build(x):
-        sel = x.reshape(e_tot, 3, s_tot)
-        assign = {
-            e: {LINEAR_NAMES[b]: schemes[int(np.argmax(sel[e, b]))] for b in range(3)}
-            for e in range(e_tot)
-        }
-        l_val = float(loss_v @ x)
-        t_val = float(time_v @ x)
-        return assign, l_val, t_val
-
-    if r >= 1.0:
-        x = _solve_milp(loss_v, [base], n)
-    elif r <= 0.0:
-        x = _solve_milp(time_v, [base], n)
-    else:
-        # ε-constraint sweep on T
-        x_t = _solve_milp(time_v, [base], n)
-        x_l = _solve_milp(loss_v, [base], n)
-        if x_t is None or x_l is None:
-            raise RuntimeError("layer MILP infeasible (budget too tight?)")
-        t_min = float(time_v @ x_t)
-        t_max = max(float(time_v @ x_l), t_min * 1.0001)
-        best, best_obj = None, np.inf
-        for tau in np.geomspace(t_min, t_max, n_sweep):
-            x = _solve_milp(loss_v, with_time_cap(tau * 1.0000001), n)
-            if x is None:
-                continue
-            _, l_val, t_val = build(x)
-            obj = r * math.log(max(l_val, 1e-30)) + (1 - r) * math.log(max(t_val, 1e-30))
-            if obj < best_obj:
-                best, best_obj = x, obj
-        x = best
-    if x is None:
-        raise RuntimeError("layer MILP infeasible (budget too tight?)")
-
-    assign, l_val, t_val = build(x)
-
-    # per-scheme bucket tile choice: minimize bucket total over candidate tiles
-    tile_cfg = {}
-    for si, s in enumerate(schemes):
-        probs = [
+    def bucket_probs(assign, s):
+        return [
             (int(problem.ms[e]), _n_out(problem, e, b))
             for e in range(e_tot) for b in range(3)
             if assign[e][LINEAR_NAMES[b]] == s
         ]
-        if not probs:
-            continue
-        m_mean = int(np.mean([p[0] for p in probs]))
-        n_mean = int(np.mean([p[1] for p in probs]))
-        tile_cfg[s] = perf.best_tile(s, m_mean, n_mean)[0]
 
+    def solve_for_times(time_v):
+        def with_time_cap(tau):
+            a_t = sparse.csr_matrix(
+                (time_v, (np.zeros(n, int), np.arange(n))), shape=(1, n)
+            )
+            return [base, LinearConstraint(a_t, -np.inf, tau)]
+
+        def build(x):
+            sel = x.reshape(e_tot, 3, s_tot)
+            assign = {
+                e: {LINEAR_NAMES[b]: schemes[int(np.argmax(sel[e, b]))]
+                    for b in range(3)}
+                for e in range(e_tot)
+            }
+            return assign, float(loss_v @ x), float(time_v @ x)
+
+        if r >= 1.0:
+            x = _solve_milp(loss_v, [base], n)
+        elif r <= 0.0:
+            x = _solve_milp(time_v, [base], n)
+        else:
+            # ε-constraint sweep on T
+            x_t = _solve_milp(time_v, [base], n)
+            x_l = _solve_milp(loss_v, [base], n)
+            if x_t is None or x_l is None:
+                raise RuntimeError("layer MILP infeasible (budget too tight?)")
+            t_min = float(time_v @ x_t)
+            t_max = max(float(time_v @ x_l), t_min * 1.0001)
+            best, best_obj = None, np.inf
+            for tau in np.geomspace(t_min, t_max, n_sweep):
+                x = _solve_milp(loss_v, with_time_cap(tau * 1.0000001), n)
+                if x is None:
+                    continue
+                _, l_val, t_val = build(x)
+                obj = r * math.log(max(l_val, 1e-30)) + (1 - r) * math.log(max(t_val, 1e-30))
+                if obj < best_obj:
+                    best, best_obj = x, obj
+            x = best
+        if x is None:
+            raise RuntimeError("layer MILP infeasible (budget too tight?)")
+        return build(x)
+
+    # seed: every scheme costed under its all-problems bucket tile
+    tiles = {s: perf.bucket_tile(s, all_probs) for s in schemes}
+    assign = l_val = t_val = None
+    for _ in range(max(1, max_tile_iters)):
+        tcosts = {s: tc for s, (_, tc) in tiles.items()}
+        _, time_v, _, _ = _cost_vectors(problem, schemes, perf, tcosts)
+        assign, l_val, t_val = solve_for_times(time_v)
+        new_tiles = {}
+        for s in schemes:
+            probs = bucket_probs(assign, s)
+            if probs:
+                new_tiles[s] = perf.bucket_tile(s, probs)
+            else:
+                new_tiles[s] = tiles[s]
+        if all(new_tiles[s][0] == tiles[s][0] for s in schemes):
+            tiles = new_tiles
+            break
+        tiles = new_tiles
+
+    tile_cfg = {
+        s: tiles[s][0] for s in schemes if bucket_probs(assign, s)
+    }
     return SolveResult(assignment=assign, loss=l_val, time_ms=t_val, tile_cfg=tile_cfg)
 
 
@@ -198,8 +233,11 @@ def build_layer_problems(
     gate_trace: dict,            # loaded moe-gate.json
     batch: int,
     num_layers: int,
-) -> list[LayerProblem]:
-    """Assemble per-layer problems (reference ``build_workloads``)."""
+) -> list[tuple[str, LayerProblem]]:
+    """Assemble per-layer problems (reference ``build_workloads``), keyed by
+    the qconfig layer key. Dense first layers (ds2) appear as pseudo-layers
+    ``dense-<i>`` with a single pseudo-expert seeing every token (reference
+    layer-0 special case, ``moe_utils.py:94-128``)."""
     n, k = gate_trace["NK"]
     topk = gate_trace["topk"]
     n_shared = gate_trace["num_shared_experts"]
@@ -223,10 +261,30 @@ def build_layer_problems(
             for e in range(e_tot):
                 arr[e] = np.asarray(ld[str(e)], dtype=np.float64)
             layer_losses[s] = arr
-        out.append(LayerProblem(
+        out.append((str(l), LayerProblem(
             losses=layer_losses, ms=np.asarray(ms), ns=np.asarray(ns),
             k=k, sizes=np.asarray(sizes),
-        ))
+        )))
+
+    # dense pseudo-layers: present iff calibration emitted dense-<i> rows
+    dense_keys = sorted(
+        {key for d in losses.values() for key in d if key.startswith("dense-")},
+        key=lambda s: int(s.split("-")[1]),
+    )
+    if dense_keys:
+        dn, dk = gate_trace.get("dense_NK", (n, k))
+        for key in dense_keys:
+            layer_losses = {
+                s: np.asarray([losses[s][key]["0"]], dtype=np.float64)
+                for s in schemes
+            }
+            out.append((key, LayerProblem(
+                losses=layer_losses,
+                ms=np.asarray([batch]),           # every token runs dense
+                ns=np.asarray([dn]),
+                k=dk,
+                sizes=np.asarray([dn / max(n, 1)]),
+            )))
     return out
 
 
@@ -245,7 +303,7 @@ def solve_model(
     layers = {}
     lt = {}
     tiles = {}
-    for l, prob in enumerate(problems):
+    for key, prob in problems:
         res = solve_layer(prob, schemes, wbits_target, r, perf)
         experts = {
             str(e): QExpertConfig(
@@ -255,9 +313,9 @@ def solve_model(
             )
             for e in res.assignment
         }
-        layers[str(l)] = QLayerConfig(experts=experts)
-        lt[str(l)] = (res.loss, res.time_ms)
-        tiles[str(l)] = res.tile_cfg
+        layers[key] = QLayerConfig(experts=experts)
+        lt[key] = (res.loss, res.time_ms)
+        tiles[key] = res.tile_cfg
     return QModelConfig(layers=layers, lt=lt), tiles
 
 
@@ -273,7 +331,7 @@ def solve_model_level(
     problems = build_layer_problems(losses, gate_trace, batch, num_layers)
     schemes = list(losses.keys())
     s_tot = len(schemes)
-    per_layer_n = [p.ms.shape[0] * 3 * s_tot for p in problems]
+    per_layer_n = [p.ms.shape[0] * 3 * s_tot for _, p in problems]
     n = sum(per_layer_n)
     offs = np.cumsum([0] + per_layer_n)
 
@@ -282,7 +340,7 @@ def solve_model_level(
     rows, cols, vals, lb, ub = [], [], [], [], []
     nrow = 0
     total_size = 0.0
-    for l, p in enumerate(problems):
+    for l, (_, p) in enumerate(problems):
         e_tot = p.ms.shape[0]
         perf = AnalyticPerfModel(k=p.k)
         lv, _, bv, sv = _cost_vectors(p, schemes, perf)
@@ -310,7 +368,7 @@ def solve_model_level(
         raise RuntimeError("model-level MILP infeasible")
 
     layers = {}
-    for l, p in enumerate(problems):
+    for l, (key, p) in enumerate(problems):
         e_tot = p.ms.shape[0]
         sel = x[offs[l]: offs[l + 1]].reshape(e_tot, 3, s_tot)
         experts = {}
@@ -320,7 +378,7 @@ def solve_model_level(
                 for b in range(3)
             }
             experts[str(e)] = QExpertConfig(gate=qm["gate"], up=qm["up"], down=qm["down"])
-        layers[str(l)] = QLayerConfig(experts=experts)
+        layers[key] = QLayerConfig(experts=experts)
     return QModelConfig(layers=layers)
 
 

