@@ -1,0 +1,121 @@
+"""Multi-host runtime: jax.distributed init + (host, expert) mesh over
+DCN × ICI.
+
+Net-new vs the single-node reference (SURVEY.md §2.3 / §7.9): the reference
+has no collective backend at all; here a multi-process job initializes the
+JAX distributed service, builds a 2-level mesh with the HOST axis on DCN
+(outer) and the per-host device axis on ICI (inner), and runs the SAME
+capacity-bucketed EP all-to-all as single-process execution — the EP layer
+takes the axis pair ("host", "expert"), so the all-to-all rides ICI within
+a host and DCN across hosts, with XLA's hierarchical collective lowering.
+
+Testing without hardware: 2 spawned CPU-backend processes × 4 virtual
+devices each (tests/test_multihost.py), plus a single-process (2, 4) mesh
+exercising the same tuple-axis code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..models.configs import MoEConfig
+from .ep import EPConfig, moe_ffn_ep, moe_ffn_ep_quant
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Join (or start) the jax.distributed coordination service.
+
+    No-op for single-process runs (every argument None and no cluster env
+    detected). On TPU pods the arguments auto-detect; on CPU/dev clusters
+    pass them explicitly.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def host_expert_mesh(axis_names: tuple[str, str] = ("host", "expert")) -> Mesh:
+    """Mesh [n_hosts, devices_per_host] with the host axis OUTER.
+
+    Device order groups each process's local devices contiguously, so the
+    inner axis maps to ICI-connected chips and the outer axis crosses
+    hosts (DCN). Collectives over the axis pair then lower hierarchically.
+    """
+    n_proc = jax.process_count()
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    local = len(devs) // n_proc
+    arr = np.array(devs).reshape(n_proc, local)
+    return Mesh(arr, axis_names)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultihostEPConfig:
+    host_axis: str = "host"
+    expert_axis: str = "expert"
+    capacity_factor: float = 2.0
+    gmm_backend: str = "ragged_dot"
+    quantized: bool = False
+    a_bits: int = 8
+    return_stats: bool = False
+
+    @property
+    def axis(self) -> tuple[str, str]:
+        return (self.host_axis, self.expert_axis)
+
+
+def make_multihost_ep_fn(cfg: MoEConfig, mesh: Mesh,
+                         mh: MultihostEPConfig = MultihostEPConfig()):
+    """shard_map EP MoE over the flattened (host, expert) axis pair.
+
+    Tokens and expert weights shard over BOTH axes jointly (host-major
+    expert order — expert e lives on global shard e // (E/(H*D))); the
+    existing EP all-to-all works unchanged because jax.lax collectives
+    accept axis tuples and treat them as one flattened axis.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axes = mh.axis
+    ep_cfg = EPConfig(
+        axis=axes, capacity_factor=mh.capacity_factor,
+        gmm_backend=mh.gmm_backend, return_stats=mh.return_stats,
+    )
+    if mh.quantized:
+        def inner(x_local, router, gq, gsc, dq, dsc):
+            lp = {
+                "router": router,
+                "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
+                "expert_down_q": dq, "expert_down_sc": dsc,
+            }
+            return moe_ffn_ep_quant(x_local, lp, cfg, ep_cfg, mh.a_bits)
+
+        in_specs = (P(axes, None), P(None, None),
+                    P(axes, None, None), P(axes, None, None),
+                    P(axes, None, None), P(axes, None, None))
+    else:
+        def inner(x_local, router, gate_up, down):
+            lp = {"router": router, "expert_gate_up": gate_up,
+                  "expert_down": down}
+            return moe_ffn_ep(x_local, lp, cfg, ep_cfg)
+
+        in_specs = (P(axes, None), P(None, None),
+                    P(axes, None, None), P(axes, None, None))
+    out_specs = (P(axes, None), P(axes)) if mh.return_stats else P(axes, None)
+    return shard_map(inner, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)

@@ -1,0 +1,117 @@
+"""Multi-host scaffolding: (host, expert) mesh EP — single-process 2x4
+mesh path and a genuine 2-process jax.distributed CPU integration test
+(SURVEY §2.3 / §7.9 net-new; round-1 verdict missing #2)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mxmoe_tpu.models import configs, model
+from mxmoe_tpu.parallel.multihost import (
+    MultihostEPConfig, make_multihost_ep_fn, initialize,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _dense_oracle(x, lp, cfg):
+    from mxmoe_tpu.ops.dispatch import route_topk
+
+    logits = x @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob,
+                         cfg.routed_scaling_factor)
+    n = lp["expert_gate_up"].shape[-1] // 2
+    h = jnp.einsum("th,ehn->etn", x, lp["expert_gate_up"])
+    hh = jax.nn.silu(h[..., :n]) * h[..., n:]
+    out_all = jnp.einsum("etn,enh->eth", hh, lp["expert_down"])
+    one_hot = jax.nn.one_hot(routing.expert_ids, cfg.num_experts, dtype=x.dtype)
+    w = (routing.weights.astype(x.dtype)[..., None] * one_hot).sum(1)
+    return jnp.einsum("eth,te->th", out_all, w)
+
+
+def test_host_expert_mesh_ep_matches_oracle():
+    """Single-process (2, 4) mesh: the tuple-axis EP path (same code that
+    runs across real hosts) matches the dense oracle."""
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, cfg.hidden_size),
+                          jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "expert"))
+    fn = make_multihost_ep_fn(
+        cfg, mesh, MultihostEPConfig(capacity_factor=float(cfg.top_k * 8)))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"], lp["expert_gate_up"],
+                          lp["expert_down"])
+    ref = _dense_oracle(x, lp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_host_expert_mesh_ep_quantized_with_stats():
+    from mxmoe_tpu.quant.qparams import quantize_expert_weights
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, cfg.hidden_size),
+                          jnp.float32)
+    qc = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8)
+    qg = quantize_expert_weights(lp["expert_gate_up"][None], qc)
+    qd = quantize_expert_weights(lp["expert_down"][None], qc)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "expert"))
+    fn = make_multihost_ep_fn(cfg, mesh, MultihostEPConfig(
+        capacity_factor=float(cfg.top_k * 8), quantized=True,
+        return_stats=True))
+    with mesh:
+        got, drops = jax.jit(fn)(x, lp["router"], qg.q[0], qg.scale[0],
+                                 qd.q[0], qd.scale[0])
+    assert drops.shape == (8,)
+    assert int(np.asarray(drops).sum()) == 0
+    ref = _dense_oracle(x, lp, cfg)
+    rel = float(jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-9))
+    assert rel < 0.1, rel  # int8 quantization error only
+
+
+def test_initialize_noop_single_process():
+    initialize()  # no cluster args, single process: must be a no-op
+    assert jax.process_count() == 1
+
+
+def test_two_process_distributed_ep():
+    """Spawn 2 real processes × 4 virtual CPU devices; jax.distributed
+    coordination + cross-process collectives run the EP layer."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_multihost_worker.py")
+    port = "12391"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=root, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "MULTIHOST-OK" in out, out[-3000:]
