@@ -117,6 +117,14 @@ class MoEImpl:
                                      # (QuaRot R4; down weights must be
                                      # pre-rotated, rotation.rotate_down_weights)
     attn_backend: str = "xla"        # 'xla' | 'flash' (Pallas TPU kernel)
+    decode_attn: str = "auto"        # cached single-step attention:
+                                     # 'fused' (Pallas decode kernel) |
+                                     # 'xla' | 'auto' (fused on TPU)
+
+    def use_fused_decode(self) -> bool:
+        if self.decode_attn == "auto":
+            return self.interpret or jax.default_backend() == "tpu"
+        return self.decode_attn == "fused"
 
 
 def silu_mul(gate_up: jax.Array) -> jax.Array:

@@ -42,19 +42,23 @@ def main():
     ap.add_argument("--quant", default="w8a8_g-1_sym")
     ap.add_argument("--int8-head", action="store_true")
     ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--decode-attn", default="auto",
+                    choices=["auto", "fused", "xla"],
+                    help="cached attention at decode: fused Pallas kernel "
+                    "vs XLA einsum (A/B lever)")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(configs.config_for(args.model),
                               num_layers=args.layers)
     params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    impl = MoEImpl(kind="ragged")
+    impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
     if args.quant and args.quant != "none":
         from ..quant.qparams import quantize_model_experts_uniform
         from ..quant.schemes import parse_scheme
 
         qc = parse_scheme(args.quant)
         params = quantize_model_experts_uniform(params, qc)
-        impl = MoEImpl(kind="ragged", quant=qc)
+        impl = MoEImpl(kind="ragged", quant=qc, decode_attn=args.decode_attn)
 
     if args.int8_head:
         from ..quant.qparams import quantize_lm_head
@@ -92,6 +96,7 @@ def main():
         "int8_kv": args.int8_kv,
         "prefill_ms": round(r_pref.median_ms, 2),
         "prefill_tokens_per_s": round(b * args.prefill / (r_pref.median_ms / 1e3), 1),
+        "decode_attn": args.decode_attn,
         "decode_step_ms": round(r_dec.median_ms, 3),
         "decode_tokens_per_s": round(b / (r_dec.median_ms / 1e3), 1),
     }

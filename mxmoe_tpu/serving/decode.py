@@ -38,7 +38,8 @@ def _apply_rope_bs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
-def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths):
+def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths,
+                            fused=False, interpret=False):
     b, s, _ = x.shape
     q = x @ lp["wq"]
     k = x @ lp["wk"]
@@ -53,7 +54,13 @@ def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths):
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
     ck, cv = update_layer_cache(ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths)
-    out = attention_with_cache(q, ck, cv, lengths, s)
+    if fused and s == 1:
+        from .decode_attention import decode_attention
+
+        out = decode_attention(q[:, 0], ck, cv, lengths,
+                               interpret=interpret)[:, None]
+    else:
+        out = attention_with_cache(q, ck, cv, lengths, s)
     return out.reshape(b, s, -1) @ lp["wo"], ck, cv
 
 
@@ -75,7 +82,8 @@ def _apply_rope_interleaved_bs(x, cos, sin):
     return out.reshape(x.shape).astype(x.dtype)
 
 
-def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths):
+def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
+                                fused=False, interpret=False):
     b, s, _ = x.shape
     n_h = cfg.num_heads
     d_nope, d_rope, d_v = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
@@ -97,11 +105,18 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths):
 
     ck, cv = update_layer_cache(ck, cv, k_full.astype(ck.dtype),
                                 v.astype(cv.dtype), lengths)
-    out = attention_with_cache(q_full, ck, cv, lengths, s)
+    if fused and s == 1:
+        from .decode_attention import decode_attention
+
+        out = decode_attention(q_full[:, 0], ck, cv, lengths,
+                               interpret=interpret)[:, None]
+    else:
+        out = attention_with_cache(q_full, ck, cv, lengths, s)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], ck, cv
 
 
-def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths):
+def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
+                                  fused=False, interpret=False):
     """GQA attention over the int8 KV cache (QuantKVCache path)."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
@@ -118,11 +133,18 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths):
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
     ckq, cks, cvq, cvs = update_layer_cache_quant(ckq, cks, cvq, cvs, k, v, lengths)
-    out = attention_with_quant_cache(q, ckq, cks, cvq, cvs, lengths, s)
+    if fused and s == 1:
+        from .decode_attention import decode_attention_q8
+
+        out = decode_attention_q8(q[:, 0], ckq, cks, cvq, cvs, lengths,
+                                  interpret=interpret)[:, None]
+    else:
+        out = attention_with_quant_cache(q, ckq, cks, cvq, cvs, lengths, s)
     return out.reshape(b, s, -1) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
-def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths):
+def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths,
+                                      fused=False, interpret=False):
     """MLA attention over the int8 KV cache."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
@@ -145,21 +167,32 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths):
 
     ckq, cks, cvq, cvs = update_layer_cache_quant(
         ckq, cks, cvq, cvs, k_full, v, lengths)
-    out = attention_with_quant_cache(q_full, ckq, cks, cvq, cvs, lengths, s)
+    if fused and s == 1:
+        from .decode_attention import decode_attention_q8
+
+        out = decode_attention_q8(q_full[:, 0], ckq, cks, cvq, cvs, lengths,
+                                  interpret=interpret)[:, None]
+    else:
+        out = attention_with_quant_cache(q_full, ckq, cks, cvq, cvs, lengths, s)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
 def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     """forward_cached over a QuantKVCache (GQA and MLA)."""
     b, s_new = tokens.shape
+    from functools import partial
+
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
+    fused = s_new == 1 and impl.use_fused_decode()
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
-        attn_q = _attention_block_cached_quant_mla
+        attn_q = partial(_attention_block_cached_quant_mla, fused=fused,
+                         interpret=impl.interpret)
     else:
         cos, sin = _rope_tables(cfg, positions)
-        attn_q = _attention_block_cached_quant
+        attn_q = partial(_attention_block_cached_quant, fused=fused,
+                         interpret=impl.interpret)
 
     def make_body(dense_mlp: bool):
         def body(carry, layer_in):
@@ -226,15 +259,20 @@ def forward_cached(
                                      valid_lengths)
     if valid_lengths is None:
         valid_lengths = jnp.full((b,), s_new, jnp.int32)
+    from functools import partial
+
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
+    fused = s_new == 1 and impl.use_fused_decode()
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)
-        attn_cached = _attention_block_cached_mla
+        attn_cached = partial(_attention_block_cached_mla, fused=fused,
+                              interpret=impl.interpret)
     else:
         cos, sin = _rope_tables(cfg, positions)
-        attn_cached = _attention_block_cached
+        attn_cached = partial(_attention_block_cached, fused=fused,
+                              interpret=impl.interpret)
 
     def make_body(dense_mlp: bool):
         def body(carry, layer_in):

@@ -454,6 +454,10 @@ def _main():
             losses[scheme] = json.load(f)
 
     perf = None
+    if args.perf_table is None and os.path.exists("perf/performance_table.json"):
+        # prefer measured costs over the analytic roofline whenever the
+        # profiler has produced a table (SURVEY §7 risk note)
+        args.perf_table = "perf/performance_table.json"
     if args.perf_table:
         from .perf_model import load_perf_table
 

@@ -1,0 +1,101 @@
+"""Fused decode-attention kernel vs the XLA cached-attention oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mxmoe_tpu.serving.decode_attention import (
+    decode_attention, decode_attention_q8,
+)
+from mxmoe_tpu.serving.kv_cache import (
+    attention_with_cache, attention_with_quant_cache, _quant_vec,
+)
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+@pytest.mark.parametrize("n_h,n_kv,dk,dv,s_max,block_s", [
+    (8, 2, 32, 32, 128, 64),      # GQA
+    (4, 4, 40, 24, 96, 96),       # MLA-style: dk != dv, no grouping
+    (8, 8, 32, 32, 200, 64),      # ragged s_max vs block
+])
+def test_decode_attention_matches_oracle(n_h, n_kv, dk, dv, s_max, block_s):
+    b = 4
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (b, 1, n_h, dk), jnp.float32)
+    ck = jax.random.normal(k2, (b, n_kv, s_max, dk), jnp.float32)
+    cv = jax.random.normal(k3, (b, n_kv, s_max, dv), jnp.float32)
+    lengths = jax.random.randint(k4, (b,), 0, s_max - 1)
+
+    ref = attention_with_cache(q, ck, cv, lengths, 1)          # [B,1,n_h,dv]
+    got = decode_attention(q[:, 0], ck, cv, lengths,
+                           block_s=block_s, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_q8_matches_oracle():
+    b, n_h, n_kv, hd, s_max = 4, 8, 2, 32, 160
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (b, 1, n_h, hd), jnp.float32)
+    ck = jax.random.normal(k2, (b, n_kv, s_max, hd), jnp.float32)
+    cv = jax.random.normal(k3, (b, n_kv, s_max, hd), jnp.float32)
+    lengths = jax.random.randint(k4, (b,), 1, s_max - 1)
+    ckq, cks = _quant_vec(ck)
+    cvq, cvs = _quant_vec(cv)
+
+    ref = attention_with_quant_cache(q, ckq, cks, cvq, cvs, lengths, 1)
+    got = decode_attention_q8(q[:, 0], ckq, cks, cvq, cvs, lengths,
+                              block_s=64, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attention_zero_length():
+    """A fresh slot (length 0) attends only the just-written position."""
+    b, n_h, n_kv, hd, s_max = 2, 4, 2, 32, 64
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (b, 1, n_h, hd), jnp.float32)
+    ck = jax.random.normal(key, (b, n_kv, s_max, hd), jnp.float32)
+    cv = jax.random.normal(key, (b, n_kv, s_max, hd), jnp.float32)
+    lengths = jnp.zeros((b,), jnp.int32)
+    ref = attention_with_cache(q, ck, cv, lengths, 1)
+    got = decode_attention(q[:, 0], ck, cv, lengths, block_s=32,
+                           interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("family", ["qwen2_moe", "ds2"])
+def test_forward_cached_fused_decode_matches_xla(family):
+    """Full decode step through forward_cached: fused kernel == XLA path
+    (bf16 cache and int8 cache, GQA and MLA)."""
+    from mxmoe_tpu.models import configs, model
+    from mxmoe_tpu.models.layers import MoEImpl
+    from mxmoe_tpu.serving.decode import forward_cached
+    from mxmoe_tpu.serving.kv_cache import init_kv_cache, init_quant_kv_cache
+
+    cfg = (configs.tiny_qwen2_moe(num_experts=4, num_layers=2) if
+           family == "qwen2_moe" else configs.tiny_ds2(num_experts=4,
+                                                       num_layers=3))
+    params = model.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (2, 6), 0, cfg.vocab_size)
+    step_tok = jax.random.randint(jax.random.PRNGKey(5), (2, 1), 0,
+                                  cfg.vocab_size)
+
+    for make_cache in (init_kv_cache, init_quant_kv_cache):
+        kwargs = {} if make_cache is init_quant_kv_cache else \
+            {"dtype": jnp.float32}
+        cache = make_cache(cfg, 2, 32, **kwargs)
+        _, cache = forward_cached(params, toks, cache, cfg,
+                                  impl=MoEImpl(decode_attn="xla"))
+        ref, _ = forward_cached(params, step_tok, cache, cfg,
+                                impl=MoEImpl(decode_attn="xla"))
+        got, _ = forward_cached(params, step_tok, cache, cfg,
+                                impl=MoEImpl(decode_attn="fused",
+                                             interpret=INTERPRET))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -217,3 +217,22 @@ def test_tile_fixed_point_couples_assignment_and_tiles():
         ]
         want, _ = perf.bucket_tile(s, probs)
         assert tile == want
+
+
+def test_analytic_model_ranks_like_measured_table():
+    """SURVEY §7 risk: the analytic roofline must predict the measured
+    kernel ranking before the ILP may trust it as a fallback."""
+    import os
+
+    from mxmoe_tpu.solver.perf_model import (
+        load_perf_table, AnalyticPerfModel, validate_analytic_against_measured,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "perf",
+                        "performance_table.json")
+    if not os.path.exists(path):
+        pytest.skip("no measured table")
+    measured = load_perf_table(path)
+    r = validate_analytic_against_measured(AnalyticPerfModel(k=2048), measured)
+    assert r["pairs"] > 50
+    assert r["agreement"] >= 0.8, r["disagreements"][:5]
