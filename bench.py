@@ -33,6 +33,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+# routed-GMM row-tile size: smaller bm cuts the boundary-tile recompute
+# (each group boundary re-runs one bm-row tile); sweepable for tuning
+BENCH_BM = int(os.environ.get("MXMOE_BENCH_BM", "256"))
+
 from mxmoe_tpu.bench import workloads
 from mxmoe_tpu.bench.timing import bench_fn
 from mxmoe_tpu.ops import pallas_gmm
@@ -87,7 +91,7 @@ def _w8a8_step(qoperands):
     outs = []
     for lhs, wq, wsc, gs, shared in qoperands:
         aq, asc = quantize_act_per_token(lhs, 8)
-        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=256,
+        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=BENCH_BM,
                                         bn=wq.shape[-1]))
         if shared is not None:
             sl, swq, ssc = shared
@@ -169,13 +173,13 @@ def _mixed_step_factory(qmix):
             aq4, asc4 = quantize_act_per_token(l4, 4)
             outs.append(pallas_gmm.gmm_w4a8_packed(
                 aq4, asc4, p["q4p"], p["sc4"],
-                jnp.asarray(gs4, jnp.int32), bm=256, bn=n_full,
+                jnp.asarray(gs4, jnp.int32), bm=BENCH_BM, bn=n_full,
                 static_sizes=gs4,
             ))
             aq8, asc8 = quantize_act_per_token(l8, 8)
             outs.append(pallas_gmm.gmm_w8a8(
                 aq8, asc8, p["q8"], p["sc8"],
-                jnp.asarray(gs8, jnp.int32), bm=256, bn=n_full,
+                jnp.asarray(gs8, jnp.int32), bm=BENCH_BM, bn=n_full,
                 static_sizes=gs8,
             ))
             if has_shared:

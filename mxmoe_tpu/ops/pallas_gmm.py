@@ -125,29 +125,37 @@ def _row_mask(m_tile: jax.Array, group_start: jax.Array, group_end: jax.Array,
 # bf16 / f32 GMM
 # ---------------------------------------------------------------------------
 
-def _gmm_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, acc_ref,
+def _gmm_kernel(gids, mtids, goffs, nlog, lhs_ref, rhs_ref, out_ref, acc_ref,
                 *, bm, bn, ksteps, acc_dtype=jnp.float32):
     """Shared body for f16 and int8 GMM: k-blocked accumulation in a
-    persistent f32/i32 scratch, masked assembly on the last k step."""
+    persistent f32/i32 scratch, masked assembly on the last k step.
+
+    The ``t < nlog`` guard skips the dynamic-metadata padded tail entirely
+    (its clamped indices already suppress the DMAs via revisit detection;
+    the guard kills the redundant MXU work — round-1 weak #3)."""
     t = pl.program_id(1)
     kk = pl.program_id(2)
-    g = gids[t]
-    m_tile = mtids[t]
-    part = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=acc_dtype)
 
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[...] = part
+    @pl.when(t < nlog[0])
+    def _body():
+        g = gids[t]
+        m_tile = mtids[t]
+        part = jnp.dot(lhs_ref[...], rhs_ref[0],
+                       preferred_element_type=acc_dtype)
 
-    @pl.when(kk > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + part
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = part
 
-    @pl.when(kk == ksteps - 1)
-    def _():
-        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-        out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
-                                 out_ref[...])
+        @pl.when(kk > 0)
+        def _():
+            acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(kk == ksteps - 1)
+        def _():
+            mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+            out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
+                                     out_ref[...])
 
 
 
@@ -189,24 +197,32 @@ def _auto_bk(k: int, bk):
     return min(bk, k)
 
 
-def _gmm_kernel_1(gids, mtids, goffs, lhs_ref, rhs_ref, out_ref, *, bm, bn):
+def _gmm_kernel_1(gids, mtids, goffs, nlog, lhs_ref, rhs_ref, out_ref, *, bm, bn):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    res = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        res = jnp.dot(lhs_ref[...], rhs_ref[0],
+                      preferred_element_type=jnp.float32)
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
-def _gmm_q8_kernel_1(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                     out_ref, *, bm, bn):
+def _gmm_q8_kernel_1(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                     bsc_ref, out_ref, *, bm, bn):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    acc = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
-    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        acc = jnp.dot(lhs_ref[...], rhs_ref[0],
+                      preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 def _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn):
     """Metadata + grid; exact grid when concrete sizes are provided."""
@@ -248,25 +264,25 @@ def gmm(
         kernel = functools.partial(_gmm_kernel_1, bm=bm, bn=bn)
         grid = grid2
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, *s: (s[0][t], 0, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i))
         scratch = []
         dims = ("parallel", "arbitrary")
     else:
         kernel = functools.partial(_gmm_kernel, bm=bm, bn=bn, ksteps=ksteps)
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, kk, *s: (s[1][t], kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, *s: (s[1][t], i))
         scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -282,7 +298,8 @@ def gmm(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets, lhs, rhs)
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1), lhs, rhs)
 
 
 # Alias used by bench.py's auto-detection.
@@ -293,27 +310,32 @@ gmm_bf16 = gmm
 # w8a8-style GMM: int8 × int8 on the MXU, per-token × per-channel rescale
 # ---------------------------------------------------------------------------
 
-def _gmm_q8_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                   out_ref, acc_ref, *, bm, bn, ksteps):
+def _gmm_q8_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                   bsc_ref, out_ref, acc_ref, *, bm, bn, ksteps):
     t = pl.program_id(1)
     kk = pl.program_id(2)
-    g = gids[t]
-    m_tile = mtids[t]
-    part = jnp.dot(lhs_ref[...], rhs_ref[0], preferred_element_type=jnp.int32)
 
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[...] = part
+    @pl.when(t < nlog[0])
+    def _body():
+        g = gids[t]
+        m_tile = mtids[t]
+        part = jnp.dot(lhs_ref[...], rhs_ref[0],
+                       preferred_element_type=jnp.int32)
 
-    @pl.when(kk > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + part
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = part
 
-    @pl.when(kk == ksteps - 1)
-    def _():
-        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-        res = acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
-        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+        @pl.when(kk > 0)
+        def _():
+            acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(kk == ksteps - 1)
+        def _():
+            mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+            res = acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+            out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                     out_ref[...])
 
 
 def gmm_w8a8(
@@ -351,29 +373,29 @@ def gmm_w8a8(
         kernel = functools.partial(_gmm_q8_kernel_1, bm=bm, bn=bn)
         grid = grid2
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-            pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i))
         scratch = []
         dims = ("parallel", "arbitrary")
     else:
         kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-            pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
-            pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, kk, *s: (s[1][t], kk)),
+            pl.BlockSpec((bm, 1), lambda i, t, kk, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, kk, *s: (s[0][t], 0, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, *s: (s[1][t], i))
         scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
         dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -390,6 +412,7 @@ def gmm_w8a8(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs_q, lhs_scale, rhs_q, rhs_scale)
 
 
@@ -397,20 +420,23 @@ def gmm_w8a8(
 # Weight-only GMM: bf16 activations × intN weights, dequant before the MXU
 # ---------------------------------------------------------------------------
 
-def _gmm_wq_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref, bzp_ref,
-                   out_ref, *, bm, bn, gsize, k):
+def _gmm_wq_kernel(gids, mtids, goffs, nlog, lhs_ref, rhs_ref, bsc_ref,
+                   bzp_ref, out_ref, *, bm, bn, gsize, k):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    # Dequantize the weight tile: codes [K, bn] × scale/zp [K//g, bn].
-    q = rhs_ref[0].astype(jnp.float32)
-    ngroups = k // gsize
-    qg = q.reshape(ngroups, gsize, bn)
-    w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
-    w = w.reshape(k, bn).astype(lhs_ref.dtype)
-    res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        # Dequantize the weight tile: codes [K, bn] × scale/zp [K//g, bn].
+        q = rhs_ref[0].astype(jnp.float32)
+        ngroups = k // gsize
+        qg = q.reshape(ngroups, gsize, bn)
+        w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
+        w = w.reshape(k, bn).astype(lhs_ref.dtype)
+        res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
 def gmm_weight_only(
@@ -448,16 +474,16 @@ def gmm_weight_only(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, *s: (s[0][t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, *s: (s[1][t], i)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -471,6 +497,7 @@ def gmm_weight_only(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs, rhs_q, rhs_scale, rhs_zp)
 
 
@@ -478,20 +505,23 @@ def gmm_weight_only(
 # int4-packed GMM: nibble-packed weights (halves layout), int8 MXU compute
 # ---------------------------------------------------------------------------
 
-def _gmm_q4p_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                    out_ref, *, bm, bn):
+def _gmm_q4p_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                    bsc_ref, out_ref, *, bm, bn):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    # unpack halves layout: low nibble = first K/2 rows, high = second half.
-    p = rhs_ref[0].astype(jnp.int32)                       # [K//2, bn]
-    lo = ((p & 0xF) ^ 8) - 8
-    hi = (((p >> 4) & 0xF) ^ 8) - 8
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)  # [K, bn]
-    acc = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.int32)
-    res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        # unpack halves layout: low nibble = first K/2 rows, high = second.
+        p = rhs_ref[0].astype(jnp.int32)                       # [K//2, bn]
+        lo = ((p & 0xF) ^ 8) - 8
+        hi = (((p >> 4) & 0xF) ^ 8) - 8
+        w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)  # [K, bn]
+        acc = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
 def gmm_w4a8_packed(
@@ -528,16 +558,16 @@ def gmm_w4a8_packed(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((bm, 1), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k2, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, *s: (s[1][t], i)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -551,6 +581,7 @@ def gmm_w4a8_packed(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs_q, lhs_scale, rhs_packed, rhs_scale)
 
 
@@ -558,23 +589,26 @@ def gmm_w4a8_packed(
 # int4-packed WEIGHT-ONLY GMM: bf16 acts × nibble-packed weights
 # ---------------------------------------------------------------------------
 
-def _gmm_wqp_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref, bzp_ref,
-                    out_ref, *, bm, bn, gsize, k):
+def _gmm_wqp_kernel(gids, mtids, goffs, nlog, lhs_ref, rhs_ref, bsc_ref,
+                    bzp_ref, out_ref, *, bm, bn, gsize, k):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    # unpack halves layout (low nibble = first K/2 rows) then dequantize
-    p = rhs_ref[0].astype(jnp.int32)                        # [K//2, bn]
-    lo = ((p & 0xF) ^ 8) - 8
-    hi = (((p >> 4) & 0xF) ^ 8) - 8
-    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # [K, bn]
-    ngroups = k // gsize
-    qg = q.reshape(ngroups, gsize, bn)
-    w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
-    w = w.reshape(k, bn).astype(lhs_ref.dtype)
-    res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        # unpack halves layout (low nibble = first K/2 rows) then dequantize
+        p = rhs_ref[0].astype(jnp.int32)                        # [K//2, bn]
+        lo = ((p & 0xF) ^ 8) - 8
+        hi = (((p >> 4) & 0xF) ^ 8) - 8
+        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # [K, bn]
+        ngroups = k // gsize
+        qg = q.reshape(ngroups, gsize, bn)
+        w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
+        w = w.reshape(k, bn).astype(lhs_ref.dtype)
+        res = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.float32)
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
 def gmm_weight_only_packed(
@@ -617,16 +651,16 @@ def gmm_weight_only_packed(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k2, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, ksc, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, ksc, bn), lambda i, t, *s: (s[0][t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, *s: (s[1][t], i)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -640,6 +674,7 @@ def gmm_weight_only_packed(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs, rhs_packed, rhs_scale, rhs_zp)
 
 
@@ -647,58 +682,65 @@ def gmm_weight_only_packed(
 # Grouped-scale w×a GMM (g128-class): per-k-group rescale inside the k loop
 # ---------------------------------------------------------------------------
 
-def _gmm_q8g_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                    out_ref, *, bm, bn, gsize, ksc):
+def _gmm_q8g_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                    bsc_ref, out_ref, *, bm, bn, gsize, ksc):
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
 
-    # Python-unrolled k-group loop: static slices (Mosaic cannot prove
-    # 128-lane alignment for dynamic lane-dim scale indices), and the
-    # unrolled dots pipeline better anyway (ksc is small, e.g. K/128=16).
-    acc = jnp.zeros((bm, bn), jnp.float32)
-    for i in range(ksc):
-        a = lhs_ref[:, i * gsize:(i + 1) * gsize]          # [bm, g] int8
-        b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]       # [g, bn] int8
-        part = jnp.dot(a, b, preferred_element_type=jnp.int32)
-        sa = asc_ref[:, i:i + 1]                            # [bm, 1]
-        sb = bsc_ref[0, i:i + 1, :]                         # [1, bn]
-        acc = acc + part.astype(jnp.float32) * sa * sb
-    out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+
+        # Python-unrolled k-group loop: static slices (Mosaic cannot prove
+        # 128-lane alignment for dynamic lane-dim scale indices), and the
+        # unrolled dots pipeline better anyway (ksc is small, e.g. K/128=16).
+        acc = jnp.zeros((bm, bn), jnp.float32)
+        for i in range(ksc):
+            a = lhs_ref[:, i * gsize:(i + 1) * gsize]          # [bm, g] int8
+            b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]       # [g, bn] int8
+            part = jnp.dot(a, b, preferred_element_type=jnp.int32)
+            sa = asc_ref[:, i:i + 1]                            # [bm, 1]
+            sb = bsc_ref[0, i:i + 1, :]                         # [1, bn]
+            acc = acc + part.astype(jnp.float32) * sa * sb
+        out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
 
-def _gmm_q8g_kernel_kb(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref, bsc_ref,
-                       out_ref, acc_ref, *, bm, bn, gsize, ksc_blk, ksteps):
+def _gmm_q8g_kernel_kb(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                       bsc_ref, out_ref, acc_ref, *, bm, bn, gsize, ksc_blk,
+                       ksteps):
     """k-blocked variant: each grid step covers bk = ksc_blk·gsize of K,
     rescaling + accumulating its k-groups into a persistent f32 scratch."""
     t = pl.program_id(1)
     kk = pl.program_id(2)
-    g = gids[t]
-    m_tile = mtids[t]
 
-    acc = jnp.zeros((bm, bn), jnp.float32)
-    for i in range(ksc_blk):
-        a = lhs_ref[:, i * gsize:(i + 1) * gsize]
-        b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]
-        part = jnp.dot(a, b, preferred_element_type=jnp.int32)
-        sa = asc_ref[:, i:i + 1]
-        sb = bsc_ref[0, i:i + 1, :]
-        acc = acc + part.astype(jnp.float32) * sa * sb
+    @pl.when(t < nlog[0])
+    def _body():
+        g = gids[t]
+        m_tile = mtids[t]
 
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[...] = acc
+        acc = jnp.zeros((bm, bn), jnp.float32)
+        for i in range(ksc_blk):
+            a = lhs_ref[:, i * gsize:(i + 1) * gsize]
+            b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]
+            part = jnp.dot(a, b, preferred_element_type=jnp.int32)
+            sa = asc_ref[:, i:i + 1]
+            sb = bsc_ref[0, i:i + 1, :]
+            acc = acc + part.astype(jnp.float32) * sa * sb
 
-    @pl.when(kk > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + acc
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = acc
 
-    @pl.when(kk == ksteps - 1)
-    def _():
-        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-        out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
-                                 out_ref[...])
+        @pl.when(kk > 0)
+        def _():
+            acc_ref[...] = acc_ref[...] + acc
+
+        @pl.when(kk == ksteps - 1)
+        def _():
+            mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+            out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
+                                     out_ref[...])
 
 
 def gmm_w8a8_grouped(
@@ -743,12 +785,12 @@ def gmm_w8a8_grouped(
                                    ksc=ksc_blk)
         grid = grid2
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((bm, ksc_blk), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, ksc_blk), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, *s: (s[0][t], 0, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i))
         scratch = []
         dims = ("parallel", "arbitrary")
     else:
@@ -756,18 +798,18 @@ def gmm_w8a8_grouped(
                                    gsize=gsize, ksc_blk=ksc_blk, ksteps=ksteps)
         grid = (*grid2, ksteps)
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-            pl.BlockSpec((bm, ksc_blk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-            pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
-            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
+            pl.BlockSpec((bm, bk), lambda i, t, kk, *s: (s[1][t], kk)),
+            pl.BlockSpec((bm, ksc_blk), lambda i, t, kk, *s: (s[1][t], kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
+            pl.BlockSpec((1, ksc_blk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
         ]
-        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i))
+        out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, *s: (s[1][t], i))
         scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         dims = ("parallel", "arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -784,6 +826,7 @@ def gmm_w8a8_grouped(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs_q, lhs_scale, rhs_q, rhs_scale)
 
 
@@ -791,7 +834,7 @@ def gmm_w8a8_grouped(
 # Asymmetric-weight w×a GMM: zp correction via activation row-sums
 # ---------------------------------------------------------------------------
 
-def _gmm_q8_asym_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref,
+def _gmm_q8_asym_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
                         bsc_ref, bzp_ref, out_ref, acc_ref, rsum_ref,
                         *, bm, bn, ksteps):
     """out = (q_a·q_w) s_a s_w + rowsum(q_a) s_a zp_w  — the zp-correction
@@ -799,30 +842,34 @@ def _gmm_q8_asym_kernel(gids, mtids, goffs, lhs_ref, asc_ref, rhs_ref,
     (packing.py convention: dequant = q·s + zp')."""
     t = pl.program_id(1)
     kk = pl.program_id(2)
-    g = gids[t]
-    m_tile = mtids[t]
-    a = lhs_ref[...]
-    part = jnp.dot(a, rhs_ref[0], preferred_element_type=jnp.int32)
-    rsum = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)   # [bm, 1]
 
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[...] = part
-        rsum_ref[...] = rsum
+    @pl.when(t < nlog[0])
+    def _body():
+        g = gids[t]
+        m_tile = mtids[t]
+        a = lhs_ref[...]
+        part = jnp.dot(a, rhs_ref[0], preferred_element_type=jnp.int32)
+        rsum = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)   # [bm, 1]
 
-    @pl.when(kk > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + part
-        rsum_ref[...] = rsum_ref[...] + rsum
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = part
+            rsum_ref[...] = rsum
 
-    @pl.when(kk == ksteps - 1)
-    def _():
-        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-        res = (
-            acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
-            + rsum_ref[...].astype(jnp.float32) * asc_ref[...] * bzp_ref[0]
-        )
-        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+        @pl.when(kk > 0)
+        def _():
+            acc_ref[...] = acc_ref[...] + part
+            rsum_ref[...] = rsum_ref[...] + rsum
+
+        @pl.when(kk == ksteps - 1)
+        def _():
+            mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+            res = (
+                acc_ref[...].astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+                + rsum_ref[...].astype(jnp.float32) * asc_ref[...] * bzp_ref[0]
+            )
+            out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                     out_ref[...])
 
 
 def gmm_w8a8_asym(
@@ -857,17 +904,17 @@ def gmm_w8a8_asym(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, bk), lambda i, t, kk, gids, mtids, goffs: (mtids[t], kk)),
-                pl.BlockSpec((bm, 1), lambda i, t, kk, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, bk, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], kk, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, kk, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, bk), lambda i, t, kk, *s: (s[1][t], kk)),
+                pl.BlockSpec((bm, 1), lambda i, t, kk, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, bk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, kk, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, kk, *s: (s[0][t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, kk, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, kk, *s: (s[1][t], i)
             ),
             scratch_shapes=[
                 pltpu.VMEM((bm, bn), jnp.int32),
@@ -885,6 +932,7 @@ def gmm_w8a8_asym(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1),
       lhs_q, lhs_scale, rhs_q, rhs_scale, rhs_zp)
 
 
@@ -892,23 +940,26 @@ def gmm_w8a8_asym(
 # Fused act-quant GMM: bf16 activations quantized per-row inside the kernel
 # ---------------------------------------------------------------------------
 
-def _gmm_q8_fused_kernel(gids, mtids, goffs, lhs_ref, rhs_ref, bsc_ref,
+def _gmm_q8_fused_kernel(gids, mtids, goffs, nlog, lhs_ref, rhs_ref, bsc_ref,
                          out_ref, *, bm, bn, a_upper):
     """Per-row sym act quant fused ahead of the int8 dot — the dispatch/
     quant fusion intent of the reference's missing act_kernel.cuh
     (``ref_bind.cu:434-592``), realized in-kernel: with full-K tiles each
     row's amax is entirely in VMEM, so quantization adds no HBM pass."""
     t = pl.program_id(1)
-    g = gids[t]
-    m_tile = mtids[t]
-    mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
-    a = lhs_ref[...].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / a_upper
-    q = jnp.round(a / scale).astype(jnp.int8)
-    acc = jnp.dot(q, rhs_ref[0], preferred_element_type=jnp.int32)
-    res = acc.astype(jnp.float32) * scale * bsc_ref[0]
-    out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        a = lhs_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / a_upper
+        q = jnp.round(a / scale).astype(jnp.int8)
+        acc = jnp.dot(q, rhs_ref[0], preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * scale * bsc_ref[0]
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype), out_ref[...])
 
 
 def gmm_w8a8_fusedquant(
@@ -944,15 +995,15 @@ def gmm_w8a8_fusedquant(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, gids, mtids, goffs: (mtids[t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, gids, mtids, goffs: (gids[t], 0, i)),
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, t, gids, mtids, goffs: (mtids[t], i)
+                (bm, bn), lambda i, t, *s: (s[1][t], i)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -965,4 +1016,5 @@ def gmm_w8a8_fusedquant(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets, lhs, rhs_q, rhs_scale)
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1), lhs, rhs_q, rhs_scale)

@@ -6,3 +6,7 @@ Net-new relative to the reference, which is single-process/single-node
 """
 
 from .mesh import make_mesh, param_shardings, data_sharding  # noqa: F401
+from .ep import EPConfig, capacity_factor_from_freq  # noqa: F401
+from .multihost import (  # noqa: F401
+    initialize, host_expert_mesh, MultihostEPConfig, make_multihost_ep_fn,
+)

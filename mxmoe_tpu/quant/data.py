@@ -64,6 +64,36 @@ def synthetic_tokens(
     return out.reshape(nsamples, seqlen).astype(np.int32)
 
 
+def synthetic_markov_tokens(
+    nsamples: int, seqlen: int, vocab_size: int = 2048, seed: int = 7,
+    branching: int = 8, structure_seed: int = 1,
+) -> np.ndarray:
+    """First-order Markov language with sparse transitions.
+
+    Unlike :func:`synthetic_tokens` (statistics only), this is LEARNABLE:
+    each token has ``branching`` fixed successors with Dirichlet weights, so
+    the achievable perplexity (≈ branching-entropy, ppl ~4-6) sits far below
+    the unigram floor (~vocab). ``structure_seed`` fixes the LANGUAGE
+    (transition matrix); ``seed`` only varies the sampled trajectories, so
+    train and held-out sets share one language. Used by the accuracy-anchor
+    pipeline (eval/anchor.py) in this air-gapped environment.
+    """
+    lang = np.random.default_rng(structure_seed)
+    succ = lang.integers(0, vocab_size, size=(vocab_size, branching))
+    probs = lang.dirichlet(np.full(branching, 0.6), size=vocab_size)
+    cdf = np.cumsum(probs, axis=1)
+
+    rng = np.random.default_rng(seed)
+    out = np.empty((nsamples, seqlen), np.int64)
+    state = rng.integers(0, vocab_size, size=nsamples)
+    for t in range(seqlen):
+        u = rng.random((nsamples, 1))
+        j = np.minimum((u > cdf[state]).sum(axis=1), branching - 1)
+        state = succ[state, j]
+        out[:, t] = state
+    return out.astype(np.int32)
+
+
 def tokens_from_text_file(
     path: str, tokenizer, nsamples: int, seqlen: int, seed: int = 42
 ) -> np.ndarray:

@@ -137,4 +137,6 @@ def test_ds2_full_pipeline():
                             "weights_sum": [], "percentile_stats": {}}
     qcfg, _ = solve_model(losses, tr, batch=tokens.size,
                           num_layers=cfg.num_moe_layers, wbits_target=6.0, r=1.0)
-    assert len(qcfg.layers) == cfg.num_moe_layers
+    # moe layers + the dense first layer's pseudo-layer slot
+    assert len(qcfg.layers) == cfg.num_moe_layers + cfg.first_dense_layers
+    assert "dense-0" in qcfg.layers
