@@ -937,6 +937,102 @@ def gmm_w8a8_asym(
 
 
 # ---------------------------------------------------------------------------
+# Mixed weight-only + w×a GMM in ONE launch (reference Fused-mode analog)
+# ---------------------------------------------------------------------------
+
+def _gmm_mixed_kernel(gids, mtids, goffs, nlog, flags, lhs_bf, lhs_q, asc_ref,
+                      rhs_ref, bsc_ref, out_ref, *, bm, bn, k):
+    """Per-expert branch on scheme kind: weight-only experts dequantize the
+    int8 weight tile to bf16 and dot against the bf16 activations; w×a
+    experts run the int8 MXU dot with the s_a·s_b epilogue. The branch is
+    REAL control flow (scalar-prefetch condition -> one side executes per
+    grid step), the TPU analog of ``hz_fused.cuh``'s QParams dispatch —
+    but both activation operands stream every step, which is the structural
+    cost bucketed launches avoid (see bench/fused_ab.py measurement)."""
+    t = pl.program_id(1)
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+
+        @pl.when(flags[g] == 1)
+        def _():  # weight-only: bf16 acts × dequantized weights
+            w = rhs_ref[0].astype(jnp.float32) * bsc_ref[0]
+            res = jnp.dot(lhs_bf[...], w.astype(lhs_bf.dtype),
+                          preferred_element_type=jnp.float32)
+            out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                     out_ref[...])
+
+        @pl.when(flags[g] == 0)
+        def _():  # w×a: int8 MXU + rescale epilogue
+            acc = jnp.dot(lhs_q[...], rhs_ref[0],
+                          preferred_element_type=jnp.int32)
+            res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+            out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                     out_ref[...])
+
+
+def gmm_mixed_wo_wxa(
+    lhs: jax.Array,          # [M, K] bf16 activations (weight-only operand)
+    lhs_q: jax.Array,        # [M, K] int8 codes (w×a operand)
+    lhs_scale: jax.Array,    # [M, 1] f32
+    rhs_q: jax.Array,        # [E, K, N] int8 codes (per-channel sym)
+    rhs_scale: jax.Array,    # [E, 1, N] f32
+    scheme_flags,            # [E] int32: 1 = weight-only (a16), 0 = w×a
+    group_sizes: jax.Array,
+    bm: int = 128,
+    bn: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+) -> jax.Array:
+    """ONE launch mixing weight-only and w×a experts (reference Fused mode,
+    ``hz_fused.cuh:14-127``). Exists to settle the bucketed-vs-fused
+    question with data (round-1 verdict #7): both activation operands are
+    fetched every tile, trading act bandwidth for one launch."""
+    m, k = lhs.shape
+    e, _, n = rhs_q.shape
+    bm = min(bm, m)
+    bn = min(bn, n)
+    meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+
+    _check_vmem("gmm_mixed_wo_wxa",
+                (bm * k * lhs.dtype.itemsize, True), (bm * k, True),
+                (k * bn, True), (k * bn * 4, False),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
+    kernel = functools.partial(_gmm_mixed_kernel, bm=bm, bn=bn, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k * 3 + e * k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      meta.num_logical.reshape(1), jnp.asarray(scheme_flags, jnp.int32),
+      lhs, lhs_q, lhs_scale, rhs_q, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
 # Fused act-quant GMM: bf16 activations quantized per-row inside the kernel
 # ---------------------------------------------------------------------------
 

@@ -336,3 +336,17 @@ def test_gmm_w8a8_grouped_kblocked_matches_full(bk):
     ref = gmm_dense_reference(a_fq.reshape(m, k), w_fq.reshape(e, k, n), gs)
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_mixed_wo_wxa_matches_bucketed():
+    """One-launch mixed weight-only + w×a == the two bucketed launches on
+    identical operands (reference Fused-mode analog; verdict #7)."""
+    from mxmoe_tpu.bench.fused_ab import build_case, bucketed_step, fused_step
+
+    c = build_case(m_total=256, k=128, n=128, e=6, interpret=INTERPRET)
+    a = bucketed_step(c)
+    b = fused_step(c)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
