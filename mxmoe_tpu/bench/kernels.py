@@ -38,14 +38,22 @@ DEFAULT_TILES = (
 )
 
 
-def scheme_kind(cfg: QLinearConfig) -> str:
+def scheme_kind(cfg: QLinearConfig, packed: bool = False) -> str:
     if cfg.w_bits >= 16 and cfg.a_bits >= 16:
         return "bf16"
     if cfg.a_bits >= 16:
-        return "weight_only"
+        return "weight_only_packed" if packed else "weight_only"
     if cfg.w_gsize == -1:
+        if packed:
+            return "int8_packed"    # nibble-packed w4 × int8 acts
         return "int8"           # wXaY per-channel/per-token (sym or asym)
     return "int8_grouped"       # grouped wXaX (gmm_w8a8_grouped)
+
+
+def _is_packed(scheme) -> bool:
+    """Scheme-grammar suffix ``_packed`` selects nibble-packed w4 storage
+    (half the weight HBM traffic; pack via quant.packing.pack_int4_halves)."""
+    return isinstance(scheme, str) and scheme.endswith("_packed")
 
 
 def build_operands(
@@ -55,7 +63,7 @@ def build_operands(
     uniform(-1,1) like the reference bench, ``test.cu:914-915``)."""
     key = key if key is not None else jax.random.PRNGKey(42)
     cfg = parse_scheme(scheme) if isinstance(scheme, str) else scheme
-    kind = scheme_kind(cfg)
+    kind = scheme_kind(cfg, _is_packed(scheme))
     m, k, n, e = wl.m_total, wl.k, wl.n, wl.num_experts
     k1, k2 = jax.random.split(key)
     gs = jnp.array(wl.group_sizes, jnp.int32)
@@ -65,7 +73,8 @@ def build_operands(
 
     if kind == "bf16":
         return {"lhs": a.astype(jnp.bfloat16), "rhs": w.astype(jnp.bfloat16), "gs": gs}
-    if kind in ("int8", "int8_grouped"):
+    if kind in ("int8", "int8_grouped", "int8_packed"):
+        from ..quant.packing import pack_int4_halves
         from ..quant.qparams import quantize_act_per_token, quantize_expert_weights
 
         if kind == "int8_grouped":
@@ -77,13 +86,16 @@ def build_operands(
         else:
             aq, asc = quantize_act_per_token(a, int(cfg.a_bits))
         qp = quantize_expert_weights(w, cfg)
-        return {"lhs": aq, "lhs_sc": asc, "rhs": qp.q, "rhs_sc": qp.scale,
+        rhs = pack_int4_halves(qp.q) if kind == "int8_packed" else qp.q
+        return {"lhs": aq, "lhs_sc": asc, "rhs": rhs, "rhs_sc": qp.scale,
                 "rhs_zp": qp.zp, "gs": gs}
-    # weight-only
+    # weight-only (int8-stored or nibble-packed)
+    from ..quant.packing import pack_int4_halves
     from ..quant.qparams import quantize_expert_weights
 
     qp = quantize_expert_weights(w, cfg)
-    return {"lhs": a.astype(jnp.bfloat16), "rhs": qp.q, "rhs_sc": qp.scale,
+    rhs = pack_int4_halves(qp.q) if kind == "weight_only_packed" else qp.q
+    return {"lhs": a.astype(jnp.bfloat16), "rhs": rhs, "rhs_sc": qp.scale,
             "rhs_zp": qp.zp, "gs": gs}
 
 
@@ -95,7 +107,7 @@ def make_launcher(
 ):
     """Returns fn(operands_dict) -> out for the scheme's kernel."""
     cfg = parse_scheme(scheme) if isinstance(scheme, str) else scheme
-    kind = scheme_kind(cfg)
+    kind = scheme_kind(cfg, _is_packed(scheme))
     if kind == "bf16":
         def fn(ops):
             return pallas_gmm.gmm(
@@ -118,11 +130,28 @@ def make_launcher(
                 bm=tile.bm, bn=tile.bn, interpret=interpret,
             )
         return fn
+    if kind == "int8_packed":
+        def fn(ops):
+            return pallas_gmm.gmm_w4a8_packed(
+                ops["lhs"], ops["lhs_sc"], ops["rhs"], ops["rhs_sc"], ops["gs"],
+                bm=tile.bm, bn=tile.bn, interpret=interpret,
+            )
+        return fn
     if kind == "weight_only":
         g = gsize if gsize is not None else cfg.w_gsize
         def fn(ops):
             k = ops["lhs"].shape[-1]
             return pallas_gmm.gmm_weight_only(
+                ops["lhs"], ops["rhs"], ops["rhs_sc"], ops["rhs_zp"], ops["gs"],
+                gsize=(k if g == -1 else g),
+                bm=tile.bm, bn=tile.bn, interpret=interpret,
+            )
+        return fn
+    if kind == "weight_only_packed":
+        g = gsize if gsize is not None else cfg.w_gsize
+        def fn(ops):
+            k = ops["lhs"].shape[-1]
+            return pallas_gmm.gmm_weight_only_packed(
                 ops["lhs"], ops["rhs"], ops["rhs_sc"], ops["rhs_zp"], ops["gs"],
                 gsize=(k if g == -1 else g),
                 bm=tile.bm, bn=tile.bn, interpret=interpret,
@@ -145,12 +174,21 @@ def reference_output(ops: dict, scheme: str | QLinearConfig) -> jax.Array:
     from ..ops.gmm import gmm_dense_reference
 
     cfg = parse_scheme(scheme) if isinstance(scheme, str) else scheme
-    kind = scheme_kind(cfg)
+    packed = _is_packed(scheme)
+    kind = scheme_kind(cfg, packed)
     if kind == "bf16":
         return gmm_dense_reference(
             ops["lhs"].astype(jnp.float32), ops["rhs"].astype(jnp.float32), ops["gs"]
         )
-    if kind in ("int8", "int8_grouped"):
+
+    def codes():
+        if packed:
+            from ..quant.packing import unpack_int4_halves
+
+            return unpack_int4_halves(ops["rhs"])
+        return ops["rhs"]
+
+    if kind in ("int8", "int8_grouped", "int8_packed"):
         lsc = ops["lhs_sc"]
         if kind == "int8_grouped":
             m_, k_ = ops["lhs"].shape
@@ -159,20 +197,22 @@ def reference_output(ops: dict, scheme: str | QLinearConfig) -> jax.Array:
                  * lsc[..., None]).reshape(m_, k_)
         else:
             a = ops["lhs"].astype(jnp.float32) * lsc
-        k = ops["rhs"].shape[1]
+        q = codes()
+        k = q.shape[1]
         gsz = k if cfg.w_gsize == -1 else cfg.w_gsize
         from ..quant.packing import PackedTensor, dequantize_weight_kn
 
         w = dequantize_weight_kn(PackedTensor(
-            ops["rhs"], ops["rhs_sc"], ops["rhs_zp"], int(cfg.w_bits), gsz, cfg.w_sym
+            q, ops["rhs_sc"], ops["rhs_zp"], int(cfg.w_bits), gsz, cfg.w_sym
         ))
         return gmm_dense_reference(a, w, ops["gs"])
-    # weight-only
-    k = ops["rhs"].shape[1]
+    # weight-only (int8-stored or packed)
+    q = codes()
+    k = q.shape[1]
     gsz = k if cfg.w_gsize == -1 else cfg.w_gsize
     from ..quant.packing import PackedTensor, dequantize_weight_kn
 
     w = dequantize_weight_kn(PackedTensor(
-        ops["rhs"], ops["rhs_sc"], ops["rhs_zp"], int(cfg.w_bits), gsz, cfg.w_sym
+        q, ops["rhs_sc"], ops["rhs_zp"], int(cfg.w_bits), gsz, cfg.w_sym
     ))
     return gmm_dense_reference(ops["lhs"].astype(jnp.float32), w, ops["gs"])

@@ -63,6 +63,9 @@ class EngineConfig:
     top_k: int = 0
     eos_token: int | None = None
     cache_dtype = jnp.bfloat16
+    int8_kv: bool = False        # int8 KV cache (QuantKVCache): 2x less
+                                 # cache memory/bandwidth, scales folded
+                                 # into the fused decode-attention kernel
 
 
 @dataclasses.dataclass
@@ -82,8 +85,14 @@ class Engine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.impl = impl
-        self.cache = init_kv_cache(cfg, ecfg.batch_slots, ecfg.max_len,
-                                   ecfg.cache_dtype)
+        if ecfg.int8_kv:
+            from .kv_cache import init_quant_kv_cache
+
+            self.cache = init_quant_kv_cache(cfg, ecfg.batch_slots,
+                                             ecfg.max_len)
+        else:
+            self.cache = init_kv_cache(cfg, ecfg.batch_slots, ecfg.max_len,
+                                       ecfg.cache_dtype)
         self.slots = [_Slot() for _ in range(ecfg.batch_slots)]
         self.key = jax.random.PRNGKey(0)
         self._next_req = 0

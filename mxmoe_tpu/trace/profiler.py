@@ -99,6 +99,7 @@ def _main():
     ap.add_argument("--schemes", nargs="+", default=[
         "w16a16_g-1_sym", "w8a8_g-1_sym", "w4a4_g-1_sym",
         "w8a16_g-1_sym", "w4a16_g-1_sym", "w4a16_g128_asym",
+        "w4a16_g-1_sym_packed", "w4a8_g-1_sym_packed", "w4a4_g128_sym",
     ])
     ap.add_argument("--k", type=int, default=2048)
     ap.add_argument("--n", type=int, default=2816)

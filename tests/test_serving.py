@@ -276,3 +276,22 @@ def test_engine_prefill_does_not_corrupt_other_slots():
     eng.run_to_completion()
     assert eng.result(rid_a) == want
     assert len(eng.result(rid_b)) == 4
+
+
+def test_engine_int8_kv_cache_generates():
+    """Engine over the int8 KV cache: per-slot prefill + decode work and
+    approximately match the bf16-cache engine (greedy tokens may diverge
+    late; the first greedy continuation token must agree)."""
+    cfg, params = _setup(seed=11)
+    prompt = [3, 14, 15, 9, 2, 6]
+    a = Engine(params, cfg, EngineConfig(batch_slots=2, max_len=32,
+                                         prefill_chunk=8))
+    b = Engine(params, cfg, EngineConfig(batch_slots=2, max_len=32,
+                                         prefill_chunk=8, int8_kv=True))
+    ra = a.submit(prompt, max_new_tokens=6)
+    rb = b.submit(prompt, max_new_tokens=6)
+    a.run_to_completion()
+    b.run_to_completion()
+    out_a, out_b = a.result(ra), b.result(rb)
+    assert len(out_b) == 6
+    assert out_a[0] == out_b[0]
