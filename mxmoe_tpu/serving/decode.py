@@ -39,7 +39,7 @@ def _apply_rope_bs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths,
-                            fused=False, interpret=False):
+                            fused=False, interpret=False, valid=None):
     b, s, _ = x.shape
     q = x @ lp["wq"]
     k = x @ lp["wk"]
@@ -53,7 +53,8 @@ def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths,
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
-    ck, cv = update_layer_cache(ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths)
+    ck, cv = update_layer_cache(ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths,
+                                valid=valid)
     if fused and s == 1:
         from .decode_attention import decode_attention
 
@@ -83,7 +84,7 @@ def _apply_rope_interleaved_bs(x, cos, sin):
 
 
 def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
-                                fused=False, interpret=False):
+                                fused=False, interpret=False, valid=None):
     b, s, _ = x.shape
     n_h = cfg.num_heads
     d_nope, d_rope, d_v = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
@@ -104,7 +105,7 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
     ck, cv = update_layer_cache(ck, cv, k_full.astype(ck.dtype),
-                                v.astype(cv.dtype), lengths)
+                                v.astype(cv.dtype), lengths, valid=valid)
     if fused and s == 1:
         from .decode_attention import decode_attention
 
@@ -116,7 +117,7 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
 
 
 def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
-                                  fused=False, interpret=False):
+                                  fused=False, interpret=False, valid=None):
     """GQA attention over the int8 KV cache (QuantKVCache path)."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
@@ -132,7 +133,8 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
-    ckq, cks, cvq, cvs = update_layer_cache_quant(ckq, cks, cvq, cvs, k, v, lengths)
+    ckq, cks, cvq, cvs = update_layer_cache_quant(ckq, cks, cvq, cvs, k, v,
+                                                  lengths, valid=valid)
     if fused and s == 1:
         from .decode_attention import decode_attention_q8
 
@@ -144,7 +146,7 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
 
 
 def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths,
-                                      fused=False, interpret=False):
+                                      fused=False, interpret=False, valid=None):
     """MLA attention over the int8 KV cache."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
@@ -166,7 +168,7 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths,
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
     ckq, cks, cvq, cvs = update_layer_cache_quant(
-        ckq, cks, cvq, cvs, k_full, v, lengths)
+        ckq, cks, cvq, cvs, k_full, v, lengths, valid=valid)
     if fused and s == 1:
         from .decode_attention import decode_attention_q8
 
@@ -185,14 +187,15 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     fused = s_new == 1 and impl.use_fused_decode()
+    write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
         attn_q = partial(_attention_block_cached_quant_mla, fused=fused,
-                         interpret=impl.interpret)
+                         interpret=impl.interpret, valid=write_ok)
     else:
         cos, sin = _rope_tables(cfg, positions)
         attn_q = partial(_attention_block_cached_quant, fused=fused,
-                         interpret=impl.interpret)
+                         interpret=impl.interpret, valid=write_ok)
 
     def make_body(dense_mlp: bool):
         def body(carry, layer_in):
@@ -265,14 +268,15 @@ def forward_cached(
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
     fused = s_new == 1 and impl.use_fused_decode()
+    write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)
         attn_cached = partial(_attention_block_cached_mla, fused=fused,
-                              interpret=impl.interpret)
+                              interpret=impl.interpret, valid=write_ok)
     else:
         cos, sin = _rope_tables(cfg, positions)
         attn_cached = partial(_attention_block_cached, fused=fused,
-                              interpret=impl.interpret)
+                              interpret=impl.interpret, valid=write_ok)
 
     def make_body(dense_mlp: bool):
         def body(carry, layer_in):

@@ -101,6 +101,7 @@ class Engine:
 
         self._prefill = jax.jit(partial(_prefill_slot, cfg=cfg, impl=impl))
         self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
+        self._batch_prefill = None   # compiled lazily (submit_batch)
 
     # -- request management ------------------------------------------------
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> int:
@@ -144,6 +145,68 @@ class Engine:
         st.generated = [first_tok]
         self._last_tokens[slot] = first_tok
         return rid
+
+    def submit_batch(self, prompts: list[list[int]],
+                     max_new_tokens: int = 32) -> list[int]:
+        """Prefill SEVERAL prompts in one full-width [B, P] chunked pass.
+
+        Amortizes the forward over concurrent arrivals (one launch instead
+        of len(prompts)); safe for already-active slots because cache
+        writes are masked per slot (update_layer_cache valid mask). Returns
+        request ids in prompt order.
+        """
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        if len(free) < len(prompts):
+            raise RuntimeError("not enough free slots (drain first)")
+        if self._batch_prefill is None:
+            self._batch_prefill = jax.jit(
+                partial(forward_cached, cfg=self.cfg, impl=self.impl))
+
+        p = self.ecfg.prefill_chunk
+        b = self.ecfg.batch_slots
+        assigned = free[: len(prompts)]
+        prompts = [
+            pr[-(self.ecfg.max_len - max_new_tokens - 1):] for pr in prompts
+        ]
+        lengths = np.array(self.cache.lengths)
+        lengths[assigned] = 0
+        self.cache = type(self.cache)(*self.cache[:-1], jnp.asarray(lengths))
+
+        rids = []
+        maxlen = max(len(pr) for pr in prompts)
+        last = {}
+        for off in range(0, maxlen, p):
+            chunk = np.zeros((b, p), np.int32)
+            valid = np.zeros((b,), np.int32)
+            for slot, pr in zip(assigned, prompts):
+                piece = pr[off: off + p]
+                chunk[slot, : len(piece)] = piece
+                valid[slot] = len(piece)
+            logits, self.cache = self._batch_prefill(
+                self.params, jnp.asarray(chunk), self.cache,
+                valid_lengths=jnp.asarray(valid),
+            )
+            logits = np.asarray(logits)
+            for slot, pr in zip(assigned, prompts):
+                n_new = valid[slot]
+                if n_new > 0:
+                    last[slot] = logits[slot, n_new - 1]
+
+        for slot, pr in zip(assigned, prompts):
+            rid = self._next_req
+            self._next_req += 1
+            first_tok = (
+                int(np.argmax(last[slot])) if self.ecfg.temperature <= 0
+                else int(np.asarray(sample_tokens(
+                    jnp.asarray(last[slot][None]), self._split_key(),
+                    self.ecfg.temperature, self.ecfg.top_k))[0])
+            )
+            st = self.slots[slot]
+            st.active, st.request_id, st.max_new = True, rid, max_new_tokens
+            st.generated = [first_tok]
+            self._last_tokens[slot] = first_tok
+            rids.append(rid)
+        return rids
 
     def _split_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -49,17 +49,28 @@ def update_layer_cache(
     new_k: jax.Array,     # [B, S_new, n_kv, hd] (token-major, as produced)
     new_v: jax.Array,
     lengths: jax.Array,   # [B] current lengths (write offsets)
+    valid: jax.Array | None = None,   # [B] bool: slots actually updating
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter new entries at each slot's current length."""
+    """Scatter new entries at each slot's current length.
+
+    ``valid`` masks the write per slot (batched prefill of a slot SUBSET:
+    untouched slots re-write their own current window, so a near-full
+    neighbour's history can never be clobbered by the clamped offset —
+    round-1 advisor finding)."""
     nk = jnp.swapaxes(new_k, 1, 2)   # [B, n_kv, S_new, hd] (tiny at decode)
     nv = jnp.swapaxes(new_v, 1, 2)
+    if valid is None:
+        valid = jnp.ones(lengths.shape, bool)
 
-    def upd(ck, cv, nk, nv, off):
-        ck = jax.lax.dynamic_update_slice(ck, nk, (0, off, 0))
-        cv = jax.lax.dynamic_update_slice(cv, nv, (0, off, 0))
+    def upd(ck, cv, nk, nv, off, ok):
+        window = nk.shape[1]
+        orig_k = jax.lax.dynamic_slice(ck, (0, off, 0), (ck.shape[0], window, ck.shape[2]))
+        orig_v = jax.lax.dynamic_slice(cv, (0, off, 0), (cv.shape[0], window, cv.shape[2]))
+        ck = jax.lax.dynamic_update_slice(ck, jnp.where(ok, nk, orig_k), (0, off, 0))
+        cv = jax.lax.dynamic_update_slice(cv, jnp.where(ok, nv, orig_v), (0, off, 0))
         return ck, cv
 
-    return jax.vmap(upd)(cache_k, cache_v, nk, nv, lengths)
+    return jax.vmap(upd)(cache_k, cache_v, nk, nv, lengths, valid)
 
 
 def attention_with_cache(
@@ -138,19 +149,28 @@ def _quant_vec(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, sc
 
 
-def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths):
-    """Quantize new K/V vectors and scatter at each slot's offset."""
+def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths,
+                             valid=None):
+    """Quantize new K/V vectors and scatter at each slot's offset (``valid``
+    masks per slot, as in :func:`update_layer_cache`)."""
     kq, ks = _quant_vec(jnp.swapaxes(new_k, 1, 2))   # [B, n, S_new, hd]
     vq, vs = _quant_vec(jnp.swapaxes(new_v, 1, 2))
+    if valid is None:
+        valid = jnp.ones(lengths.shape, bool)
 
-    def upd(ckq, cks, cvq, cvs, kq, ks, vq, vs, off):
-        ckq = jax.lax.dynamic_update_slice(ckq, kq, (0, off, 0))
-        cks = jax.lax.dynamic_update_slice(cks, ks, (0, off))
-        cvq = jax.lax.dynamic_update_slice(cvq, vq, (0, off, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, off))
+    def upd(ckq, cks, cvq, cvs, kq, ks, vq, vs, off, ok):
+        w = kq.shape[1]
+        okq = jax.lax.dynamic_slice(ckq, (0, off, 0), (ckq.shape[0], w, ckq.shape[2]))
+        oks = jax.lax.dynamic_slice(cks, (0, off), (cks.shape[0], w))
+        ovq = jax.lax.dynamic_slice(cvq, (0, off, 0), (cvq.shape[0], w, cvq.shape[2]))
+        ovs = jax.lax.dynamic_slice(cvs, (0, off), (cvs.shape[0], w))
+        ckq = jax.lax.dynamic_update_slice(ckq, jnp.where(ok, kq, okq), (0, off, 0))
+        cks = jax.lax.dynamic_update_slice(cks, jnp.where(ok, ks, oks), (0, off))
+        cvq = jax.lax.dynamic_update_slice(cvq, jnp.where(ok, vq, ovq), (0, off, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, jnp.where(ok, vs, ovs), (0, off))
         return ckq, cks, cvq, cvs
 
-    return jax.vmap(upd)(ckq, cks, cvq, cvs, kq, ks, vq, vs, lengths)
+    return jax.vmap(upd)(ckq, cks, cvq, cvs, kq, ks, vq, vs, lengths, valid)
 
 
 def attention_with_quant_cache(

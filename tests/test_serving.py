@@ -295,3 +295,31 @@ def test_engine_int8_kv_cache_generates():
     out_a, out_b = a.result(ra), b.result(rb)
     assert len(out_b) == 6
     assert out_a[0] == out_b[0]
+
+
+def test_engine_submit_batch_matches_sequential():
+    """Batched multi-prompt prefill == per-slot sequential prefill, and it
+    must not disturb an active near-full slot."""
+    cfg, params = _setup(seed=21)
+    ecfg = EngineConfig(batch_slots=3, max_len=24, prefill_chunk=8)
+    pa = list(np.asarray(jax.random.randint(jax.random.PRNGKey(22), (14,),
+                                            0, cfg.vocab_size)))
+    pb = [1, 2, 3, 4, 5]
+    pc = [7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+    seq = Engine(params, cfg, ecfg)
+    r_a = seq.submit(pa, max_new_tokens=8)
+    seq.step()                       # slot 0 active, near max_len
+    r_b = seq.submit(pb, max_new_tokens=4)
+    r_c = seq.submit(pc, max_new_tokens=4)
+    seq.run_to_completion()
+
+    bat = Engine(params, cfg, ecfg)
+    s_a = bat.submit(pa, max_new_tokens=8)
+    bat.step()
+    s_b, s_c = bat.submit_batch([pb, pc], max_new_tokens=4)
+    bat.run_to_completion()
+
+    assert bat.result(s_a) == seq.result(r_a)
+    assert bat.result(s_b) == seq.result(r_b)
+    assert bat.result(s_c) == seq.result(r_c)
