@@ -111,6 +111,13 @@ def _quantize_weights_mixed(operands, w4_mask_per_wl):
     """
     from mxmoe_tpu.quant.packing import pack_int4_halves
 
+    # group-aligned row layout: pad every expert's rows to a BENCH_BM
+    # multiple (zero rows, zero act scale). Each output tile then belongs
+    # to exactly ONE expert — no boundary tile is computed twice — at the
+    # cost of ~bm/2 padding rows per expert: E·bm/2 padded rows vs the
+    # masked layout's (E-1)·bm boundary recompute. Half the waste.
+    aligned = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
+
     out = []
     for (lhs, rhs, gs, shared), w4_mask in zip(operands, w4_mask_per_wl):
         import numpy as np
@@ -120,12 +127,28 @@ def _quantize_weights_mixed(operands, w4_mask_per_wl):
         n4 = int(w4_mask.sum())
         # reorder rows to match the expert permutation
         starts = np.concatenate([[0], np.cumsum(sizes)])
-        row_order = np.concatenate(
-            [np.arange(starts[e], starts[e + 1]) for e in order]
-        )
-        lhs_p = jnp.take(lhs, jnp.asarray(row_order), axis=0)
+        if aligned:
+            bm = BENCH_BM
+            padded = ((sizes[order] + bm - 1) // bm) * bm
+            # index -1 marks a padding row -> clip-gather row 0, zero it
+            row_order = np.concatenate([
+                np.concatenate([
+                    np.arange(starts[e], starts[e + 1]),
+                    np.full(padded[i] - sizes[e], -1, np.int64),
+                ])
+                for i, e in enumerate(order)
+            ])
+            keep = (row_order >= 0)[:, None]
+            lhs_p = jnp.take(lhs, jnp.asarray(np.maximum(row_order, 0)),
+                             axis=0) * jnp.asarray(keep, lhs.dtype)
+            gs_p = padded
+        else:
+            row_order = np.concatenate(
+                [np.arange(starts[e], starts[e + 1]) for e in order]
+            )
+            lhs_p = jnp.take(lhs, jnp.asarray(row_order), axis=0)
+            gs_p = sizes[order]
         rhs_p = jnp.take(rhs, jnp.asarray(order), axis=0)
-        gs_p = sizes[order]
         m4 = int(gs_p[:n4].sum())
 
         w = rhs_p.astype(jnp.float32)

@@ -117,6 +117,9 @@ class MoEImpl:
                                      # (QuaRot R4; down weights must be
                                      # pre-rotated, rotation.rotate_down_weights)
     attn_backend: str = "xla"        # 'xla' | 'flash' (Pallas TPU kernel)
+    dispatch_align: int | None = None  # pad each expert's rows to this
+                                     # multiple (= kernel bm): tiles never
+                                     # straddle experts (see make_dispatch)
     decode_attn: str = "auto"        # cached single-step attention:
                                      # 'fused' (Pallas decode kernel) |
                                      # 'xla' | 'auto' (fused on TPU)
@@ -177,7 +180,7 @@ def moe_ffn_ragged(
     """
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
-    disp = make_dispatch(routing, cfg.num_experts)
+    disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed_act = "act_bits_gateup" in layer_params
     if mixed_act:
@@ -220,7 +223,7 @@ def moe_ffn_ragged_quant(
     qcfg = impl.quant
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
-    disp = make_dispatch(routing, cfg.num_experts)
+    disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed = "act_bits_gateup" in layer_params and (
         "expert_gate_up_q" in layer_params

@@ -50,3 +50,26 @@ def test_mixed_bucketed_matches_oracle():
 
     # row permutation covers all rows exactly once
     assert m4 == sum(p["gs4"]) and lhs.shape[0] - m4 == sum(p["gs8"])
+
+
+def test_mixed_aligned_layout_properties():
+    """Aligned layout: every group size is a BENCH_BM multiple, padding
+    rows are zero, and real rows are preserved in order."""
+    wl = GroupGemmWorkload("t", group_sizes=(40, 24, 56, 8, 72, 56), k=128, n=128)
+    operands = [bench_mod._build_fp_operands(wl, jax.random.PRNGKey(1),
+                                             dtype=jnp.float32)]
+    mask = np.array([True, False, True, False, True, False])
+    qmix = bench_mod._quantize_weights_mixed(operands, [mask])
+    p = qmix[0]
+    bm = bench_mod.BENCH_BM
+    assert all(g % bm == 0 for g in p["gs4"] + p["gs8"])
+    # padded rows are exactly zero
+    lhs = np.asarray(p["lhs"])
+    sizes = np.array(p["gs4"] + p["gs8"])
+    orig_sizes = [40, 56, 72, 24, 8, 56]  # w4 experts first (0,2,4) then w8
+    off = 0
+    for g_pad, g_real in zip(sizes, orig_sizes):
+        pad_rows = lhs[off + g_real: off + g_pad]
+        assert np.all(pad_rows == 0)
+        assert np.any(lhs[off: off + g_real] != 0)
+        off += g_pad

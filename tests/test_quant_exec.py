@@ -204,3 +204,44 @@ def test_w4a16_packed_weight_only_moe_matches_unpacked():
     got = moe_block(x[None], plp, cfg, impl)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_aligned_dispatch_matches_unaligned():
+    """dispatch_align pads expert row groups to bm multiples without
+    changing the MoE output (padding rows carry zero combine weight)."""
+    cfg, _, lp, x = _tiny_setup(seed=17, t=96)
+    qcfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8, a_sym=True)
+    qlp = _quantize_layer(lp, qcfg)
+    ref = moe_block(x[None], qlp, cfg,
+                    MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET))[0]
+    got = moe_block(x[None], qlp, cfg,
+                    MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET,
+                            dispatch_align=32))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # unquantized ragged path too
+    ref2 = moe_block(x[None], lp, cfg, MoEImpl(kind="ragged"))[0]
+    got2 = moe_block(x[None], lp, cfg,
+                     MoEImpl(kind="ragged", dispatch_align=16))[0]
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_make_dispatch_aligned_layout():
+    from mxmoe_tpu.ops.dispatch import make_dispatch, route_topk
+
+    key = jax.random.PRNGKey(5)
+    logits = jax.random.normal(key, (40, 8))
+    routing = route_topk(logits, 2, False)
+    d = make_dispatch(routing, 8, align=16)
+    sizes = np.asarray(d.group_sizes)
+    assert (sizes % 16 == 0).all()
+    assert int(sizes.sum()) <= d.token_ids.shape[0]
+    # padded rows (beyond each group's real count) have zero weight
+    d0 = make_dispatch(routing, 8)
+    real = np.asarray(d0.group_sizes)
+    w = np.asarray(d.combine_weights)
+    off = 0
+    for g in range(8):
+        assert np.all(w[off + real[g]: off + sizes[g]] == 0)
+        off += sizes[g]
