@@ -36,6 +36,9 @@ import jax.numpy as jnp
 # routed-GMM row-tile size: smaller bm cuts the boundary-tile recompute
 # (each group boundary re-runs one bm-row tile); sweepable for tuning
 BENCH_BM = int(os.environ.get("MXMOE_BENCH_BM", "256"))
+# n-tile override: 0 = full row (no lhs refetch); smaller fits VMEM at big bm
+BENCH_BN = int(os.environ.get("MXMOE_BENCH_BN", "0"))
+BENCH_ALIGNED = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
 
 from mxmoe_tpu.bench import workloads
 from mxmoe_tpu.bench.timing import bench_fn
@@ -116,7 +119,7 @@ def _quantize_weights_mixed(operands, w4_mask_per_wl):
     # to exactly ONE expert — no boundary tile is computed twice — at the
     # cost of ~bm/2 padding rows per expert: E·bm/2 padded rows vs the
     # masked layout's (E-1)·bm boundary recompute. Half the waste.
-    aligned = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
+    aligned = BENCH_ALIGNED
 
     out = []
     for (lhs, rhs, gs, shared), w4_mask in zip(operands, w4_mask_per_wl):
@@ -191,19 +194,19 @@ def _mixed_step_factory(qmix):
         outs = []
         for (m4, gs4, gs8, has_shared), p in zip(statics, arrs):
             lhs = p["lhs"]
-            n_full = p["q8"].shape[-1]   # full-row tiles: no lhs refetch
+            n_full = BENCH_BN or p["q8"].shape[-1]
             l4, l8 = lhs[:m4], lhs[m4:]
             aq4, asc4 = quantize_act_per_token(l4, 4)
             outs.append(pallas_gmm.gmm_w4a8_packed(
                 aq4, asc4, p["q4p"], p["sc4"],
                 jnp.asarray(gs4, jnp.int32), bm=BENCH_BM, bn=n_full,
-                static_sizes=gs4,
+                static_sizes=gs4, aligned=BENCH_ALIGNED,
             ))
             aq8, asc8 = quantize_act_per_token(l8, 8)
             outs.append(pallas_gmm.gmm_w8a8(
                 aq8, asc8, p["q8"], p["sc8"],
                 jnp.asarray(gs8, jnp.int32), bm=BENCH_BM, bn=n_full,
-                static_sizes=gs8,
+                static_sizes=gs8, aligned=BENCH_ALIGNED,
             ))
             if has_shared:
                 sl, swq, ssc = p["shared"]

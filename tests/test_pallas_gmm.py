@@ -350,3 +350,41 @@ def test_gmm_mixed_wo_wxa_matches_bucketed():
         np.asarray(a, np.float32), np.asarray(b, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_gmm_w8a8_aligned_maskless_matches_masked():
+    """aligned=True (maskless epilogue) == masked path when every group
+    size is a bm multiple."""
+    m, k, n, e, bm = 256, 128, 256, 4, 32
+    key = jax.random.PRNGKey(21)
+    k1, k2 = jax.random.split(key)
+    aq = jax.random.randint(k1, (m, k), -127, 128, jnp.int8)
+    asc = jnp.abs(jax.random.normal(k2, (m, 1))) + 0.01
+    wq = jax.random.randint(k2, (e, k, n), -127, 128, jnp.int8)
+    wsc = jnp.abs(jax.random.normal(k1, (e, 1, n))) * 0.01 + 0.001
+    sizes = (64, 96, 0, 96)   # bm multiples incl. an empty group
+    gs = jnp.asarray(sizes, jnp.int32)
+
+    ref = pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=bm, bn=128,
+                              static_sizes=sizes, out_dtype=jnp.float32,
+                              interpret=INTERPRET)
+    got = pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=bm, bn=128,
+                              static_sizes=sizes, out_dtype=jnp.float32,
+                              aligned=True, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    from mxmoe_tpu.quant.packing import pack_int4_halves
+
+    q4 = jnp.clip(wq, -8, 7).astype(jnp.int8)
+    p4 = pack_int4_halves(q4)
+    ref4 = pallas_gmm.gmm_w4a8_packed(aq, asc, p4, wsc, gs, bm=bm, bn=128,
+                                      static_sizes=sizes,
+                                      out_dtype=jnp.float32,
+                                      interpret=INTERPRET)
+    got4 = pallas_gmm.gmm_w4a8_packed(aq, asc, p4, wsc, gs, bm=bm, bn=128,
+                                      static_sizes=sizes, aligned=True,
+                                      out_dtype=jnp.float32,
+                                      interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
+                               rtol=1e-6, atol=1e-6)
