@@ -41,7 +41,7 @@ BENCH_BN = int(os.environ.get("MXMOE_BENCH_BN", "0"))
 BENCH_ALIGNED = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
 
 from mxmoe_tpu.bench import workloads
-from mxmoe_tpu.bench.timing import bench_fn
+from mxmoe_tpu.bench.timing import bench_step_chained as bench_fn_chained
 from mxmoe_tpu.ops import pallas_gmm
 from mxmoe_tpu.quant.qparams import quantize_act_per_token
 
@@ -78,30 +78,71 @@ def _quantize_weights(operands):
     return out
 
 
-def _baseline_step(operands):
-    """XLA bf16: ragged_dot for routed experts + dense dot for shared."""
-    outs = []
-    for lhs, rhs, group_sizes, shared in operands:
-        o = jax.lax.ragged_dot(lhs, rhs, group_sizes, preferred_element_type=jnp.bfloat16)
-        outs.append(o)
-        if shared is not None:
-            outs.append(jnp.dot(shared[0], shared[1], preferred_element_type=jnp.bfloat16))
-    return outs
+def _chain_feedback(state, outs):
+    """Next-iteration activations from this iteration's outputs (chained
+    protocol). ``state``: {"lhs": [l0, l1], "sl": [s0, s1] | absent};
+    ``outs``: per-workload [routed_out, (shared_out)] bf16 arrays. The
+    shared activations cross-wire between the two workloads (their
+    shapes interlock: down shared-out N == gate_up shared K etc.)."""
+    decay = jnp.bfloat16(1.0 / 64)
+    nxt = {"lhs": [outs[i][0][:, :state["lhs"][i].shape[1]] * decay
+                   for i in range(len(state["lhs"]))]}
+    if "sl" in state:
+        nxt["sl"] = [outs[1 - i][1][:, :state["sl"][i].shape[1]] * decay
+                     for i in range(len(state["sl"]))]
+    return nxt
 
 
-def _w8a8_step(qoperands):
-    """Dynamic per-token int8 act quant + int8 MXU grouped matmul."""
-    outs = []
-    for lhs, wq, wsc, gs, shared in qoperands:
-        aq, asc = quantize_act_per_token(lhs, 8)
-        outs.append(pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=BENCH_BM,
-                                        bn=wq.shape[-1]))
-        if shared is not None:
-            sl, swq, ssc = shared
-            saq, sasc = quantize_act_per_token(sl, 8)
-            acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
-            outs.append((acc.astype(jnp.float32) * sasc * ssc).astype(jnp.bfloat16))
-    return outs
+def _baseline_step_factory(operands):
+    """XLA bf16: ragged_dot for routed experts + dense dot for shared.
+    Weights ride the consts jit arg (closing over them would embed ~1 GB
+    of HLO literals and stall the remote compile — timing.py); only
+    activations flow through the chain carry."""
+    consts = [(rhs, gs, None if sh is None else sh[1])
+              for _, rhs, gs, sh in operands]
+    state0 = {"lhs": [wl[0] for wl in operands]}
+    if any(wl[3] is not None for wl in operands):
+        state0["sl"] = [wl[3][0] for wl in operands]
+
+    def step(state, cc):
+        outs = []
+        for i, (rhs, gs, srhs) in enumerate(cc):
+            wl = [jax.lax.ragged_dot(state["lhs"][i], rhs, gs,
+                                     preferred_element_type=jnp.bfloat16)]
+            if srhs is not None:
+                wl.append(jnp.dot(state["sl"][i], srhs,
+                                  preferred_element_type=jnp.bfloat16))
+            outs.append(wl)
+        return _chain_feedback(state, outs)
+
+    return step, state0, consts
+
+
+def _w8a8_step_factory(qoperands):
+    """Dynamic per-token int8 act quant + int8 MXU grouped matmul.
+    Chainable; weights ride the consts jit arg."""
+    consts = [(wq, wsc, gs, None if sh is None else (sh[1], sh[2]))
+              for _, wq, wsc, gs, sh in qoperands]
+    state0 = {"lhs": [wl[0] for wl in qoperands]}
+    if any(wl[4] is not None for wl in qoperands):
+        state0["sl"] = [wl[4][0] for wl in qoperands]
+
+    def step(state, cc):
+        outs = []
+        for i, (wq, wsc, gs, sh) in enumerate(cc):
+            aq, asc = quantize_act_per_token(state["lhs"][i], 8)
+            wl = [pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=BENCH_BM,
+                                      bn=wq.shape[-1])]
+            if sh is not None:
+                swq, ssc = sh
+                saq, sasc = quantize_act_per_token(state["sl"][i], 8)
+                acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
+                wl.append((acc.astype(jnp.float32) * sasc * ssc)
+                          .astype(jnp.bfloat16))
+            outs.append(wl)
+        return _chain_feedback(state, outs)
+
+    return step, state0, consts
 
 
 def _quantize_weights_mixed(operands, w4_mask_per_wl):
@@ -180,47 +221,62 @@ def _mixed_step_factory(qmix):
     """Two bucketed launches per workload (w4-packed a4 + w8a8), exact
     static grids. Static metadata (m4, group sizes) is captured in the
     closure — only arrays flow through jit (ints in a jit-arg pytree
-    would become tracers and break static slicing)."""
+    would become tracers and break static slicing).
+
+    Returns a CHAINABLE step (state -> state): each iteration's GMM
+    outputs feed the next iteration's activations. The data dependence
+    serializes iterations on device (required: the tunnel dedupes
+    identical repeated requests — see bench/timing.bench_step_chained)
+    and mirrors a real layer pipeline, where the quant pass reads the
+    previous op's output from HBM."""
     statics = [(p["m4"], p["gs4"], p["gs8"], p["shared"] is not None)
                for p in qmix]
+    state0 = {"lhs": [p["lhs"] for p in qmix]}
+    if any(p["shared"] is not None for p in qmix):
+        state0["sl"] = [p["shared"][0] for p in qmix]
+    consts = [{"q4p": p["q4p"], "sc4": p["sc4"], "q8": p["q8"],
+               "sc8": p["sc8"],
+               **({"sw": p["shared"][1], "ssc": p["shared"][2]}
+                  if p["shared"] is not None else {})}
+              for p in qmix]
 
-    def arrays_of(p):
-        out = {k: p[k] for k in ("lhs", "q4p", "sc4", "q8", "sc8")}
-        if p["shared"] is not None:
-            out["shared"] = p["shared"]
-        return out
-
-    def step(arrs):
-        outs = []
-        for (m4, gs4, gs8, has_shared), p in zip(statics, arrs):
-            lhs = p["lhs"]
+    def step(state, cc):
+        outs = []          # per workload: [routed_out, (shared_out)]
+        for i, ((m4, gs4, gs8, has_shared), p) in enumerate(
+                zip(statics, cc)):
+            lhs = state["lhs"][i]
             n_full = BENCH_BN or p["q8"].shape[-1]
             l4, l8 = lhs[:m4], lhs[m4:]
             aq4, asc4 = quantize_act_per_token(l4, 4)
-            outs.append(pallas_gmm.gmm_w4a8_packed(
+            o4 = pallas_gmm.gmm_w4a8_packed(
                 aq4, asc4, p["q4p"], p["sc4"],
                 jnp.asarray(gs4, jnp.int32), bm=BENCH_BM, bn=n_full,
                 static_sizes=gs4, aligned=BENCH_ALIGNED,
-            ))
+            )
             aq8, asc8 = quantize_act_per_token(l8, 8)
-            outs.append(pallas_gmm.gmm_w8a8(
+            o8 = pallas_gmm.gmm_w8a8(
                 aq8, asc8, p["q8"], p["sc8"],
                 jnp.asarray(gs8, jnp.int32), bm=BENCH_BM, bn=n_full,
                 static_sizes=gs8, aligned=BENCH_ALIGNED,
-            ))
+            )
+            wl = [jnp.concatenate([o4, o8], axis=0)]
             if has_shared:
-                sl, swq, ssc = p["shared"]
-                saq, sasc = quantize_act_per_token(sl, 8)
-                acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
-                outs.append((acc.astype(jnp.float32) * sasc * ssc).astype(jnp.bfloat16))
-        return outs
+                saq, sasc = quantize_act_per_token(state["sl"][i], 8)
+                acc = jnp.dot(saq, p["sw"], preferred_element_type=jnp.int32)
+                wl.append((acc.astype(jnp.float32) * sasc * p["ssc"])
+                          .astype(jnp.bfloat16))
+            outs.append(wl)
+        return _chain_feedback(state, outs)
 
-    return step, [arrays_of(p) for p in qmix]
+    return step, state0, consts
 
 
 def main():
     import os
+    import time as _time
 
+    global _T0
+    _T0 = _time.time()
     mode = os.environ.get("MXMOE_BENCH_MODE", "mixed")
     gate_up, down = workloads.qwen2_moe_l10_bs8192()
     key = jax.random.PRNGKey(42)
@@ -231,8 +287,25 @@ def main():
     ]
     total_flops = gate_up.flops + down.flops
 
-    baseline = jax.jit(_baseline_step)
-    rb = bench_fn(baseline, operands)
+    # Chained protocol throughout: each timed iteration consumes the
+    # previous one's outputs (bench/timing.bench_step_chained). The old
+    # constant-arg slope protocol is unsound through this tunnel — the
+    # relay dedupes identical repeated requests, silently shrinking (or
+    # zeroing) the measured slope.
+    import sys
+    import time as _time
+
+    def _log(msg):
+        print(f"[bench +{_time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    bstep, bstate, bconsts = _baseline_step_factory(operands)
+    _log("baseline chain: compile+measure start")
+    # short chain: XLA's ragged_dot is ~100x slower than the quantized
+    # path; 2-vs-5 iterations bounds the baseline wall time
+    rb = bench_fn_chained(bstep, bstate, consts=bconsts,
+                          n1=2, n2=5, repeats=2)
+    _log(f"baseline done: {rb.median_ms:.1f} ms/iter")
     base_tflops = rb.tflops(total_flops)
 
     if mode == "mixed":
@@ -242,16 +315,17 @@ def main():
 
         masks = [np.arange(wl.num_experts) % 2 == 0 for wl in (gate_up, down)]
         qmix = _quantize_weights_mixed(operands, masks)
-        step, qarrs = _mixed_step_factory(qmix)
-        jax.block_until_ready(qarrs)
-        ours = jax.jit(step)
-        ro = bench_fn(ours, qarrs)
+        step, state0, mconsts = _mixed_step_factory(qmix)
+        jax.block_until_ready(state0)
+        _log("mixed chain: compile+measure start")
+        ro = bench_fn_chained(step, state0, consts=mconsts)
+        _log(f"mixed done: {ro.median_ms:.1f} ms/iter")
         metric = "qwen2_moe_l10_bs8192_moe_ffn_mixed_w4a4+w8a8_pallas"
     else:
         qoperands = jax.jit(_quantize_weights)(operands)
         jax.block_until_ready(qoperands)
-        ours = jax.jit(_w8a8_step)
-        ro = bench_fn(ours, qoperands)
+        qstep, qstate, qconsts = _w8a8_step_factory(qoperands)
+        ro = bench_fn_chained(qstep, qstate, consts=qconsts)
         metric = "qwen2_moe_l10_bs8192_moe_ffn_w8a8_pallas"
     ours_tflops = ro.tflops(total_flops)
 

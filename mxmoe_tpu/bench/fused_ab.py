@@ -96,9 +96,8 @@ def main():
     ap.add_argument("--experts", type=int, default=60)
     args = ap.parse_args()
 
-    from .timing import bench_fn
+    from .timing import bench_step_chained
 
-    ARRAY_KEYS = ("lhs", "aq", "asc", "wq", "wsc")
     interpret = jax.default_backend() == "cpu"
     for m in args.ms:
         c = build_case(m, e=args.experts, interpret=interpret)
@@ -106,13 +105,26 @@ def main():
         steps = {"bucketed": bucketed_step, "fused": fused_step}
         outs = {}
         for name, step in steps.items():
-            # statics (sizes/flags/m_wo) stay in the closure; only arrays
-            # flow through jit (int pytree leaves would become tracers and
-            # break the exact static grids)
-            jf = jax.jit(lambda arrs, _step=step: _step({**c, **arrs}))
-            arrs = {k: c[k] for k in ARRAY_KEYS}
-            outs[name] = jf(arrs)
-            r = bench_fn(jf, arrs, repeats=3, n1=3, n2=12, max_seconds=25.0)
+            # statics (sizes/flags/m_wo) stay in the closure; weights ride
+            # the consts jit arg; activations chain through the carry
+            k_in = c["lhs"].shape[1]
+            statics = {k: v for k, v in c.items() if not hasattr(v, "dtype")}
+            consts = {k: v for k, v in c.items()
+                      if hasattr(v, "dtype") and k not in ("lhs", "aq")}
+
+            def chained(state, cc, _step=step, _k=k_in):
+                out = _step({**statics, **cc,
+                             "lhs": state["lhs"], "aq": state["aq"]})
+                nl = out[:, :_k] * jnp.bfloat16(1.0 / 64)
+                na = state["aq"] ^ (out[:, :_k] > 0).astype(jnp.int8)
+                return {"lhs": nl.astype(jnp.bfloat16), "aq": na}
+
+            state0 = {"lhs": c["lhs"], "aq": c["aq"]}
+            outs[name] = jax.jit(lambda s, cc, _step=step: _step(
+                {**statics, **cc, "lhs": s["lhs"], "aq": s["aq"]}))(
+                    state0, consts)
+            r = bench_step_chained(chained, state0, consts=consts,
+                                   n1=3, n2=12, repeats=3)
             print(json.dumps({
                 "variant": name, "m": m,
                 "ms": round(r.median_ms, 3),

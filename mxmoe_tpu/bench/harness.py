@@ -25,7 +25,7 @@ import numpy as np
 
 from . import workloads as wl_mod
 from .kernels import TileSpec, build_operands, make_launcher, reference_output
-from .timing import bench_fn
+from .timing import bench_step_chained, chain_launcher
 from .workload_gen import workload_to_group_problem
 
 
@@ -102,14 +102,20 @@ def run_bench(
                 # baseline: XLA bf16 ragged_dot on bf16-cast operands
                 lhs16 = (ops["lhs"].astype(jnp.float32)).astype(jnp.bfloat16)
                 rhs16 = (ops["rhs"].astype(jnp.float32)).astype(jnp.bfloat16)
-                base = jax.jit(lambda a, b, g: jax.lax.ragged_dot(
-                    a, b, g, preferred_element_type=jnp.bfloat16))
-                rb = bench_fn(base, lhs16, rhs16, ops["gs"], repeats=3)
+                bstep, bstate, bconsts = chain_launcher(
+                    lambda o: jax.lax.ragged_dot(
+                        o["lhs"], o["rhs"], o["gs"],
+                        preferred_element_type=jnp.bfloat16),
+                    {"lhs": lhs16, "rhs": rhs16, "gs": ops["gs"]})
+                rb = bench_step_chained(bstep, bstate, consts=bconsts,
+                                        n1=3, n2=12, repeats=3)
                 best = None
                 for tile in tiles:
-                    fn = jax.jit(make_launcher(scheme, tile))
                     try:
-                        r = bench_fn(fn, ops, repeats=3)
+                        kstep, kstate, kconsts = chain_launcher(
+                            make_launcher(scheme, tile), ops)
+                        r = bench_step_chained(kstep, kstate, consts=kconsts,
+                                               n1=3, n2=12, repeats=3)
                     except Exception:
                         continue
                     if best is None or r.median_ms < best[1].median_ms:

@@ -17,6 +17,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -47,7 +48,15 @@ def bench_fn(
     repeats: int = 5,
     max_seconds: float = 30.0,
 ) -> BenchResult:
-    """Per-iteration device time of ``fn(*args)`` via the slope protocol."""
+    """Per-iteration device time of ``fn(*args)`` via the slope protocol.
+
+    DEPRECATED for TPU measurement through the axon tunnel: repeated
+    identical (executable, args) requests can be DEDUPED by the relay,
+    shrinking the slope arbitrarily (measured: a 0.3 ms kernel timing as
+    ~0; a dense int8 dot varying 0.23-1.13 ms between runs). Use
+    :func:`bench_step_chained`, which serializes iterations with true
+    data dependence. This remains for CPU/interpret smoke timing only.
+    """
     out = fn(*args)
     _force(out)
     for _ in range(warmup):
@@ -75,6 +84,134 @@ def bench_fn(
         slopes.append(max((tb - ta) / (n2 - n1), 1e-9))
         if time.perf_counter() - t_start > max_seconds and len(slopes) >= 2:
             break
+
+    arr = np.array(slopes) * 1e3
+    return BenchResult(
+        median_ms=float(np.median(arr)),
+        best_ms=float(arr.min()),
+        std_ms=float(arr.std()),
+        repeats=len(arr),
+    )
+
+
+def chain_launcher(fn: Callable, ops: dict, lhs_key: str = "lhs"):
+    """Wrap a GMM launcher ``fn(ops_dict) -> out`` as a chained step over
+    the activation operand, for :func:`bench_step_chained`.
+
+    The next iteration's activations are derived from this iteration's
+    output (bf16 acts: sliced/tiled + 1/64 decay; int8 act codes: low-bit
+    XOR perturbation keeping the code distribution), so consecutive
+    launches are serialized by true data dependence. Weights and scales
+    flow through the ``consts`` jit argument (NOT the closure — see
+    bench_step_chained).
+
+    Returns ``(step, state0, consts)``; call
+    ``bench_step_chained(step, state0, consts=consts)``.
+    """
+    proto = ops[lhs_key]
+    k, dt = proto.shape[1], proto.dtype
+    # arrays ride the consts jit arg; python statics (tile sizes, flags)
+    # stay in the closure so they don't become tracers
+    consts = {kk: v for kk, v in ops.items()
+              if kk != lhs_key and hasattr(v, "dtype")}
+    statics = {kk: v for kk, v in ops.items()
+               if kk != lhs_key and not hasattr(v, "dtype")}
+
+    def step(state, cc):
+        out = fn({**statics, **cc, lhs_key: state[lhs_key]})
+        reps = -(-k // out.shape[1])
+        o = (jnp.tile(out, (1, reps))[:, :k] if reps > 1 else out[:, :k])
+        if jnp.issubdtype(dt, jnp.floating):
+            nl = (o * jnp.asarray(1.0 / 64, out.dtype)).astype(dt)
+        else:
+            nl = state[lhs_key] ^ (o > 0).astype(dt)
+        return {lhs_key: nl}
+
+    return step, {lhs_key: proto}, consts
+
+
+def bench_step_chained(
+    step: Callable,
+    state0,
+    *,
+    consts=None,
+    n1: int = 4,
+    n2: int = 16,
+    repeats: int = 3,
+) -> BenchResult:
+    """Device-side scan-chained timing: the gold-standard protocol here.
+
+    ``step: state -> state`` (same treedef/shapes). We time ONE dispatch of
+    ``lax.scan(step, state, length=n)`` for two lengths and take the slope.
+    Each iteration consumes the previous iteration's output, so the chain
+    is serialized by true data dependence — immune to the tunnel-side
+    request dedup that silently zeroes the constant-arg slope protocol
+    (measured: identical repeated executions can cost ~0; see PERF.md
+    "timing protocol" note) — and a single dispatch per measurement makes
+    host dispatch latency a constant the slope cancels.
+
+    Distinct input VALUES are used for the compile call and every timed
+    call so no (executable, args) pair is ever re-submitted. The chain
+    runs as a ``fori_loop`` with a RUNTIME trip count, so both lengths
+    (and all repeats) share one compiled program. (A dynamic XLA loop
+    trip count is safe — the hazard in CLAUDE.md is dynamic *Pallas
+    grid* dims, which this never creates.)
+
+    ``consts``: loop-invariant operands (weights/scales). Pass them HERE
+    — then ``step(state, consts)`` — instead of closing over them:
+    closed-over device arrays are embedded as HLO literals, and shipping
+    hundreds of MB of weight constants through the remote compile helper
+    stalls compilation for many minutes (observed: >25 min vs ~2 min).
+    """
+    treedef = jax.tree_util.tree_structure(state0)
+
+    def perturb(state, i):
+        # cheap value change so no two timed requests are identical
+        leaves = jax.tree_util.tree_leaves(state)
+        out = []
+        for j, x in enumerate(leaves):
+            if j == 0 and jnp.issubdtype(x.dtype, jnp.floating):
+                out.append((x + jnp.asarray(1e-6 * (i + 1), x.dtype)))
+            else:
+                out.append(x)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    import os as _os
+
+    def _vlog(msg):
+        if _os.environ.get("MXMOE_TIMING_VERBOSE"):
+            import sys as _sys
+            print(f"[timing +{time.perf_counter() - _t_init:.0f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
+    _t_init = time.perf_counter()
+    if consts is None:
+        jf = jax.jit(lambda s, n: jax.lax.fori_loop(
+            0, n, lambda _, c: step(c), s))
+        f = lambda s, n: jf(s, jnp.int32(n))
+    else:
+        jf = jax.jit(lambda s, n, cc: jax.lax.fori_loop(
+            0, n, lambda _, c: step(c, cc), s))
+        f = lambda s, n: jf(s, jnp.int32(n), consts)
+    _vlog("compile+first-exec (n=1) start")
+    _force(f(state0, 1))              # compile (one program)
+    _vlog("warm (n=2) start")
+    _force(f(perturb(state0, 97), 2))  # warm
+    _vlog("measure start")
+
+    def chain_time(n, state):
+        t0 = time.perf_counter()
+        out = f(state, n)
+        _force(out)
+        return time.perf_counter() - t0
+
+    slopes = []
+    for r in range(repeats):
+        sa = perturb(state0, 2 * r)
+        sb = perturb(state0, 2 * r + 1)
+        ta = chain_time(n1, sa)
+        tb = chain_time(n2, sb)
+        slopes.append(max((tb - ta) / (n2 - n1), 1e-9))
 
     arr = np.array(slopes) * 1e3
     return BenchResult(

@@ -95,10 +95,6 @@ def train_anchor_model(
     opt = optax.adamw(sched, weight_decay=0.01)
     opt_state = opt.init(params)
 
-    # large enough that 2k steps x batch 32 cannot simply memorize it
-    data = synthetic_markov_tokens(
-        nsamples=8192, seqlen=seqlen, vocab_size=cfg.vocab_size, seed=7)
-
     @jax.jit
     def step(params, opt_state, toks):
         loss, grads = jax.value_and_grad(
@@ -106,11 +102,14 @@ def train_anchor_model(
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(seed + 1)
     loss = None
     for i in range(steps):
-        idx = rng.integers(0, data.shape[0], size=batch)
-        toks = jnp.asarray(data[idx])
+        # STREAM fresh trajectories every step (step-dependent seed): a
+        # fixed sample pool let 2k steps memorize it (train CE 0.011 vs the
+        # language's ~1.4-nat entropy floor), making held-out ppl garbage.
+        toks = jnp.asarray(synthetic_markov_tokens(
+            nsamples=batch, seqlen=seqlen, vocab_size=cfg.vocab_size,
+            seed=100_000 + i))
         params, opt_state, loss = step(params, opt_state, toks)
         if log_every and (i + 1) % log_every == 0:
             print(json.dumps({"step": i + 1, "train_loss": float(loss)}),
@@ -123,7 +122,8 @@ def run_anchor(
     out_dir: str = "out/anchor",
     methods: tuple[str, ...] = ("rtn", "gptq-had"),
     wbits_target: float = 5.0,
-    eval_windows: int = 32,
+    eval_windows: int = 64,
+    seqlen: int = 128,
     backend: str = "ragged_dot",
     write_md: str | None = "ACCURACY.md",
 ) -> dict:
@@ -138,13 +138,16 @@ def run_anchor(
     cfg = anchor_config()
     impl = MoEImpl(kind="ragged", gmm_backend=backend)
 
-    params, train_loss = train_anchor_model(cfg, steps=steps)
+    params, train_loss = train_anchor_model(cfg, steps=steps, seqlen=seqlen)
 
-    # held-out eval + calibration sets (different seeds, same language)
-    eval_toks = synthetic_markov_tokens(eval_windows, 512, cfg.vocab_size,
+    # Held-out eval + calibration sets: different seeds, same language, and
+    # the SAME window length as training. Evaluating 512-token windows on a
+    # model trained at 128 put RoPE positions 128-511 out of distribution
+    # and produced confidently-wrong ppl in the millions (round-2 bug).
+    eval_toks = synthetic_markov_tokens(eval_windows, seqlen, cfg.vocab_size,
                                         seed=1234)
     calib_toks = jnp.asarray(
-        synthetic_markov_tokens(8, 512, cfg.vocab_size, seed=555))
+        synthetic_markov_tokens(16, seqlen, cfg.vocab_size, seed=555))
 
     results = {"train_loss": train_loss, "steps": steps,
                "config": "4L x (16+shared) h256 top4 vocab2048",
@@ -250,13 +253,15 @@ def _main():
     ap.add_argument("--out", default="out/anchor")
     ap.add_argument("--methods", nargs="+", default=["rtn", "gptq-had"])
     ap.add_argument("--wbits", type=float, default=5.0)
-    ap.add_argument("--windows", type=int, default=32)
+    ap.add_argument("--windows", type=int, default=64)
+    ap.add_argument("--seqlen", type=int, default=128)
     ap.add_argument("--backend", default="ragged_dot")
     ap.add_argument("--no-md", action="store_true")
     args = ap.parse_args()
     run_anchor(steps=args.steps, out_dir=args.out,
                methods=tuple(args.methods), wbits_target=args.wbits,
-               eval_windows=args.windows, backend=args.backend,
+               eval_windows=args.windows, seqlen=args.seqlen,
+               backend=args.backend,
                write_md=None if args.no_md else "ACCURACY.md")
 
 

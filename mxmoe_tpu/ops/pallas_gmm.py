@@ -396,7 +396,13 @@ def gmm_w8a8(
         ]
         out_specs = pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i))
         scratch = []
-        dims = ("parallel", "arbitrary")
+        # aligned + exact static grid: every logical tile owns its out
+        # block exclusively and none are skipped, so t is truly parallel
+        # (lets Mosaic pipeline across group switches instead of
+        # serializing on potential out-block revisits)
+        dims = ("parallel",
+                "parallel" if (aligned and static_sizes is not None)
+                else "arbitrary")
     else:
         kernel = functools.partial(_gmm_q8_kernel, bm=bm, bn=bn, ksteps=ksteps)
         in_specs = [
@@ -596,7 +602,12 @@ def gmm_w4a8_packed(
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # parallel t is safe iff aligned + exact static grid
+            # (exclusive out-tile ownership, no skipped tiles)
+            dimension_semantics=(
+                "parallel",
+                "parallel" if (aligned and static_sizes is not None)
+                else "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n // max(e, 1),

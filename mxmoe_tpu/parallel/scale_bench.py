@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..bench.timing import bench_fn
+from ..bench.timing import bench_step_chained
 from ..models import configs, model as model_mod
 from .ep import EPConfig, make_ep_moe_fn, make_ep_moe_quant_fn
 
@@ -55,9 +55,15 @@ def bench_ep_scaling(
         else:
             fn = make_ep_moe_fn(cfg, mesh, ecfg)
             args = (x, lp["router"], lp["expert_gate_up"], lp["expert_down"])
-        jfn = jax.jit(lambda *a: fn(*a)[0])     # timed path: output only
+        # chained protocol: next step's tokens = this step's MoE output
+        # (true data dependence; constant-arg slope is unsound — timing.py)
+        def step(state, cc):
+            out = fn(state["x"], *cc)[0]
+            return {"x": out * jnp.asarray(1.0 / 8, out.dtype)}
+
         with mesh:
-            r = bench_fn(jfn, *args, repeats=3, n1=3, n2=12, max_seconds=20.0)
+            r = bench_step_chained(step, {"x": x}, consts=args[1:],
+                                   n1=3, n2=12, repeats=3)
             _, drops = jax.jit(fn)(*args)       # observability, untimed
         rate = t / (r.median_ms * 1e-3)
         dropped = int(np.asarray(drops).sum())

@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from ..bench.timing import bench_fn
+from ..bench.timing import bench_step_chained
 from ..models import configs, model as model_mod
 from ..models.layers import MoEImpl
 from .decode import forward_cached
@@ -77,18 +77,33 @@ def main():
 
     fwd = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
 
-    # prefill all slots
+    # prefill all slots — chained protocol: the next iteration's tokens
+    # are this iteration's greedy picks (true data dependence; the
+    # constant-arg slope is unsound through the tunnel — timing.py)
     ptoks = jax.random.randint(jax.random.PRNGKey(1), (b, args.prefill), 0,
                                cfg.vocab_size)
-    r_pref = bench_fn(lambda p, t, c: fwd(p, t, c)[0], params, ptoks, cache,
-                      repeats=3, n1=2, n2=6, max_seconds=25.0)
+
+    def pref_step(state, cc):
+        logits, _ = fwd(cc["params"], state["toks"], cc["cache"])
+        return {"toks": jnp.argmax(logits, axis=-1).astype(jnp.int32)}
+
+    r_pref = bench_step_chained(pref_step, {"toks": ptoks},
+                                consts={"params": params, "cache": cache},
+                                n1=2, n2=6, repeats=3)
     _, cache = fwd(params, ptoks, cache)
 
-    # decode step (cache length grows per call in real serving; for timing
-    # we re-run at a fixed fill level — representative per-step cost)
+    # decode step: REAL greedy decode — carry (tokens, cache); per-step
+    # cost at a growing fill level, like production serving
     dtoks = jnp.zeros((b, 1), jnp.int32)
-    r_dec = bench_fn(lambda p, t, c: fwd(p, t, c)[0], params, dtoks, cache,
-                     repeats=3, n1=5, n2=25, max_seconds=25.0)
+
+    def dec_step(state, cc):
+        logits, c = fwd(cc["params"], state["toks"], state["cache"])
+        nt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        return {"toks": nt, "cache": c}
+
+    r_dec = bench_step_chained(dec_step, {"toks": dtoks, "cache": cache},
+                               consts={"params": params},
+                               n1=5, n2=25, repeats=3)
 
     out = {
         "model": args.model, "layers": args.layers, "slots": b,

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..bench import workloads as wl_mod
 from ..bench.kernels import TileSpec, DEFAULT_TILES, build_operands, make_launcher
-from ..bench.timing import bench_fn
+from ..bench.timing import bench_step_chained, chain_launcher
 from ..solver.perf_model import PerfModel, TileCost
 
 
@@ -46,8 +46,10 @@ def profile_scheme_tile(
     for tokens in scales:
         wl = wl_mod.synthetic_workload(num_experts, tokens, top_k, k, n, seed=42)
         ops = build_operands(wl, scheme, interpret=interpret)
-        fn = jax.jit(make_launcher(scheme, tile, interpret=interpret))
-        r = bench_fn(fn, ops, repeats=3, n1=3, n2=12, max_seconds=15.0)
+        step, state0, consts = chain_launcher(
+            make_launcher(scheme, tile, interpret=interpret), ops)
+        r = bench_step_chained(step, state0, consts=consts,
+                               n1=3, n2=12, repeats=3)
         xs.append(_n_out_tiles(wl, tile))
         ys.append(r.median_ms)
     xs, ys = np.asarray(xs, float), np.asarray(ys, float)

@@ -26,7 +26,7 @@ from mxmoe_tpu.ops import pallas_gmm
 from mxmoe_tpu.quant.qparams import quantize_act_grouped
 from mxmoe_tpu.quant.packing import quantize_weight_kn
 from mxmoe_tpu.quant.schemes import QLinearConfig
-from mxmoe_tpu.bench.timing import bench_fn
+from mxmoe_tpu.bench.timing import bench_step_chained, chain_launcher
 
 K, N, E, G = 14336, 4096, 8, 128
 
@@ -69,14 +69,15 @@ def main():
     aq, asc, wq, wsc, sizes = operands(m, seed=1)
     gs = jnp.asarray(sizes, jnp.int32)
 
-    def step(aq, asc, wq, wsc):
+    def launch(ops):
         return pallas_gmm.gmm_w8a8_grouped(
-            aq, asc, wq, wsc, gs, gsize=G, bm=256, bn=512, bk="auto",
-            static_sizes=sizes)
+            ops["lhs"], ops["asc"], ops["wq"], ops["wsc"], ops["gs"],
+            gsize=G, bm=256, bn=512, bk="auto", static_sizes=sizes)
 
-    jf = jax.jit(step)
-    r = bench_fn(jf, aq, asc, wq, wsc, repeats=3, n1=3, n2=12,
-                 max_seconds=25.0)
+    cstep, cstate, cconsts = chain_launcher(
+        launch, {"lhs": aq, "asc": asc, "wq": wq, "wsc": wsc, "gs": gs})
+    r = bench_step_chained(cstep, cstate, consts=cconsts,
+                           n1=3, n2=12, repeats=3)
     flops = 2 * m * K * N
     print(json.dumps({
         "bench": "mixtral_k14336_w4a4_g128", "m": m,
