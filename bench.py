@@ -37,12 +37,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-# routed-GMM row-tile size: smaller bm cuts the boundary-tile recompute
-# (each group boundary re-runs one bm-row tile); sweepable for tuning
-BENCH_BM = int(os.environ.get("MXMOE_BENCH_BM", "256"))
+# routed-GMM row-tile size: smaller bm cuts the aligned-layout padding
+# compute (~bm/2 rows per expert); 128 measured best with the
+# weight-stationary kernels (214 vs 206 TFLOPS at 256)
+BENCH_BM = int(os.environ.get("MXMOE_BENCH_BM", "128"))
 # n-tile override: 0 = full row (no lhs refetch); smaller fits VMEM at big bm
 BENCH_BN = int(os.environ.get("MXMOE_BENCH_BN", "0"))
 BENCH_ALIGNED = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
+# weight-stationary routed kernels (gmm_*_ws): next group's weight block
+# prefetches a full group-run ahead instead of the auto-pipeline's one
+# step, killing the group-switch DMA stall (measured: gate_up 2.0 -> 1.4
+# ms, tools/tpu_ws_check.py). Requires the aligned layout.
+BENCH_WS = os.environ.get("MXMOE_BENCH_WS", "1") != "0" and BENCH_ALIGNED
 
 from mxmoe_tpu.bench import workloads
 from mxmoe_tpu.bench.timing import bench_step_chained as bench_fn_chained
@@ -268,17 +274,27 @@ def _mixed_step_factory(qmix):
             n_full = BENCH_BN or p["q8"].shape[-1]
             l4, l8 = lhs[:m4], lhs[m4:]
             aq4, asc4 = quantize_act_per_token(l4, 4)
-            o4 = pallas_gmm.gmm_w4a8_packed(
-                aq4, asc4, p["q4p"], p["sc4"],
-                jnp.asarray(gs4, jnp.int32), bm=BENCH_BM, bn=n_full,
-                static_sizes=gs4, aligned=BENCH_ALIGNED,
-            )
             aq8, asc8 = quantize_act_per_token(l8, 8)
-            o8 = pallas_gmm.gmm_w8a8(
-                aq8, asc8, p["q8"], p["sc8"],
-                jnp.asarray(gs8, jnp.int32), bm=BENCH_BM, bn=n_full,
-                static_sizes=gs8, aligned=BENCH_ALIGNED,
-            )
+            if BENCH_WS:
+                o4 = pallas_gmm.gmm_w4a8_packed_ws(
+                    aq4, asc4, p["q4p"], p["sc4"], gs4, bm=BENCH_BM,
+                    bn=None if n_full == p["q8"].shape[-1] else n_full,
+                )
+                o8 = pallas_gmm.gmm_w8a8_ws(
+                    aq8, asc8, p["q8"], p["sc8"], gs8, bm=BENCH_BM,
+                    bn=None if n_full == p["q8"].shape[-1] else n_full,
+                )
+            else:
+                o4 = pallas_gmm.gmm_w4a8_packed(
+                    aq4, asc4, p["q4p"], p["sc4"],
+                    jnp.asarray(gs4, jnp.int32), bm=BENCH_BM, bn=n_full,
+                    static_sizes=gs4, aligned=BENCH_ALIGNED,
+                )
+                o8 = pallas_gmm.gmm_w8a8(
+                    aq8, asc8, p["q8"], p["sc8"],
+                    jnp.asarray(gs8, jnp.int32), bm=BENCH_BM, bn=n_full,
+                    static_sizes=gs8, aligned=BENCH_ALIGNED,
+                )
             wl = [o4, o8]   # both feed the chain scalar — neither is dead
             if has_shared:
                 saq, sasc = quantize_act_per_token(

@@ -13,6 +13,7 @@ executes launches in order, so the final readback fences all of them.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import time
 from typing import Callable
 
@@ -26,6 +27,9 @@ def _force(out) -> None:
     leaves = jax.tree_util.tree_leaves(out)
     x = leaves[-1]
     np.asarray(jax.device_get(x.ravel()[0] if hasattr(x, "ravel") else x))
+
+
+_PERTURB_SEQ = itertools.count(1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,6 +142,8 @@ def bench_step_chained(
     n1: int = 4,
     n2: int = 16,
     repeats: int = 3,
+    target_s: float = 0.05,
+    max_n2: int = 1024,
 ) -> BenchResult:
     """Device-side scan-chained timing: the gold-standard protocol here.
 
@@ -165,13 +171,22 @@ def bench_step_chained(
     """
     treedef = jax.tree_util.tree_structure(state0)
 
-    def perturb(state, i):
-        # cheap value change so no two timed requests are identical
+    def perturb(state, _i=None):
+        # cheap value change so no two timed requests are EVER identical —
+        # the tunnel dedupes repeated identical (executable, args) pairs,
+        # and a deduped chain times as ~0. The perturbation counter is
+        # GLOBAL: per-call indices collided across the adaptive probe and
+        # the measurement chains (and an &3 mask was identity every 4th
+        # call), which resurfaced as 0-ms medians on int8 chains.
+        c = next(_PERTURB_SEQ)
         leaves = jax.tree_util.tree_leaves(state)
         out = []
         for j, x in enumerate(leaves):
             if j == 0 and jnp.issubdtype(x.dtype, jnp.floating):
-                out.append((x + jnp.asarray(1e-6 * (i + 1), x.dtype)))
+                out.append(x + jnp.asarray(1e-6 * c, x.dtype))
+            elif j == 0 and jnp.issubdtype(x.dtype, jnp.integer):
+                out.append(x + jnp.asarray(c % 251 + 1, jnp.int32)
+                           .astype(x.dtype))
             else:
                 out.append(x)
         return jax.tree_util.tree_unflatten(treedef, out)
@@ -196,7 +211,7 @@ def bench_step_chained(
     _vlog("compile+first-exec (n=1) start")
     _force(f(state0, 1))              # compile (one program)
     _vlog("warm (n=2) start")
-    _force(f(perturb(state0, 97), 2))  # warm
+    _force(f(perturb(state0), 2))  # warm
     _vlog("measure start")
 
     def chain_time(n, state):
@@ -205,10 +220,21 @@ def bench_step_chained(
         _force(out)
         return time.perf_counter() - t0
 
+    # Adaptive chain length: the host<->device roundtrip (~30 ms) jitters
+    # by low-single-digit ms per call; a 12-iteration slope on a sub-ms
+    # step is pure noise (measured: impossible 800+ TFLOPS). Size n2 so the
+    # differential on-device work is >= target_s (default 50 ms).
+    rough = (chain_time(n2, perturb(state0))
+             - chain_time(n1, perturb(state0))) / (n2 - n1)
+    rough = max(rough, 1e-5)
+    if rough * (n2 - n1) < target_s:
+        n2 = min(n1 + int(target_s / rough) + 1, max_n2)
+        _vlog(f"adaptive chain: per-iter ~{rough * 1e3:.3f} ms, n2={n2}")
+
     slopes = []
     for r in range(repeats):
-        sa = perturb(state0, 2 * r)
-        sb = perturb(state0, 2 * r + 1)
+        sa = perturb(state0)
+        sb = perturb(state0)
         ta = chain_time(n1, sa)
         tb = chain_time(n2, sb)
         slopes.append(max((tb - ta) / (n2 - n1), 1e-9))

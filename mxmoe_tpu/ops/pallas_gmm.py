@@ -1149,3 +1149,197 @@ def gmm_w8a8_fusedquant(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       meta.num_logical.reshape(1), lhs, rhs_q, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
+# Weight-stationary GMM: each expert's weight block is DMA'd to VMEM ONCE
+# and reused across all of the group's m-tiles
+# ---------------------------------------------------------------------------
+
+def _ws_schedule(sizes, bm):
+    """Static per-m-tile schedule for the weight-stationary kernels.
+
+    ``sizes`` must be group-aligned (every size a bm multiple, the aligned
+    dispatch layout). Aligned layouts make logical tiles enumerate the
+    m-tiles 0..T-1 in order, so the schedule is pure Python:
+      gids[t]  group owning m-tile t
+      slots[t] which of the two VMEM weight buffers the group occupies
+      waits[t] 1 on the first tile of a group run (wait for its DMA)
+      loads[t] 1 where the NEXT group's prefetch is issued (first tile of
+               the previous run — maximal compute/DMA overlap)
+      nextg[t] the group id that ``loads`` prefetches
+    """
+    runs = [(g, s // bm) for g, s in enumerate(sizes) if s > 0]
+    assert runs, "empty grouped matmul"
+    gids, slots, waits, loads, nextg = [], [], [], [], []
+    for r, (g, nt) in enumerate(runs):
+        for j in range(nt):
+            first = j == 0
+            gids.append(g)
+            slots.append(r % 2)
+            waits.append(1 if first else 0)
+            loads.append(1 if (first and r + 1 < len(runs)) else 0)
+            nextg.append(runs[r + 1][0] if r + 1 < len(runs) else 0)
+    arr = lambda x: jnp.asarray(x, jnp.int32)
+    return (arr(gids), arr(slots), arr(waits), arr(loads), arr(nextg),
+            len(gids))
+
+
+def _gmm_ws_kernel(gids, slots, waits, loads, nextg,
+                   lhs_ref, asc_ref, bsc_ref, rhs_hbm, out_ref,
+                   rhs_vmem, sem0, sem1, *, bn, packed):
+    """Weight-stationary body. The reference's persistent-CTA weight reuse
+    (``hz_fused.cuh:212-445``: a CTA iterates a problem's tiles with B
+    fragments resident) realized with Pallas manual DMA: rhs stays in HBM
+    (ANY memory space); two VMEM buffers alternate per group run; the copy
+    for run r+1 is issued at the first tile of run r and waited at the
+    first tile of run r+1. All other operands ride the auto-pipeline."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    slot = slots[t]
+
+    def _copy(dst_slot, g, sem):
+        return pltpu.make_async_copy(
+            rhs_hbm.at[g, :, pl.ds(i * bn, bn)],
+            rhs_vmem.at[dst_slot],
+            sem,
+        )
+
+    # start of an i-sweep: bring in the first group's block (always slot 0)
+    @pl.when(t == 0)
+    def _():
+        _copy(0, gids[0], sem0).start()
+
+    def _compute(buf):
+        w = buf[...]
+        if packed:
+            p = w.astype(jnp.int32)
+            lo = ((p & 0xF) ^ 8) - 8
+            hi = (((p >> 4) & 0xF) ^ 8) - 8
+            w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+        acc = jnp.dot(lhs_ref[...], w, preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+        out_ref[...] = res.astype(out_ref.dtype)
+
+    # two branches with CONSTANT slot values: no dynamic VMEM indexing
+    @pl.when(slot == 0)
+    def _():
+        @pl.when(loads[t] == 1)
+        def _():
+            _copy(1, nextg[t], sem1).start()
+
+        @pl.when(waits[t] == 1)
+        def _():
+            _copy(0, gids[t], sem0).wait()
+
+        _compute(rhs_vmem.at[0])
+
+    @pl.when(slot == 1)
+    def _():
+        @pl.when(loads[t] == 1)
+        def _():
+            _copy(0, nextg[t], sem0).start()
+
+        @pl.when(waits[t] == 1)
+        def _():
+            _copy(1, gids[t], sem1).wait()
+
+        _compute(rhs_vmem.at[1])
+
+
+def _gmm_ws_launch(lhs_q, lhs_scale, rhs, rhs_scale, static_sizes, *,
+                   bm, bn, out_dtype, interpret, packed, tag):
+    m, k = lhs_q.shape
+    e, kdim, n = rhs.shape
+    assert k == (2 * kdim if packed else kdim), (lhs_q.shape, rhs.shape)
+    bn = bn or n
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    sizes = tuple(int(s) for s in static_sizes)
+    assert sum(sizes) == m, (sum(sizes), m)
+    assert all(s % bm == 0 for s in sizes), (bm, sizes)
+    gids, slots, waits, loads, nextg, tiles = _ws_schedule(sizes, bm)
+
+    _check_vmem(tag,
+                (2 * kdim * bn, False),              # rhs double buffer
+                (k * bn if packed else 0, False),    # unpack intermediate
+                (bm * k, True), (bm * 4, True), (bn * 4, True),
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
+    kernel = functools.partial(_gmm_ws_kernel, bn=bn, packed=packed)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n // bn, tiles),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, *s: (t, 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, *s: (t, 0)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (t, i)),
+            scratch_shapes=[
+                pltpu.VMEM((2, kdim, bn), jnp.int8),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            # manual DMA state carries across t steps: strictly sequential
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + e * kdim * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gids, slots, waits, loads, nextg, lhs_q, lhs_scale, rhs_scale, rhs)
+
+
+def gmm_w8a8_ws(
+    lhs_q: jax.Array,        # [M, K] int8 codes
+    lhs_scale: jax.Array,    # [M, 1] f32 per-token scale
+    rhs_q: jax.Array,        # [E, K, N] int8 codes
+    rhs_scale: jax.Array,    # [E, 1, N] f32 per-channel scale
+    static_sizes,            # concrete, group-aligned (bm multiples)
+    bm: int = 128,
+    bn: int | None = None,   # None = full row
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-stationary symmetric int8 grouped matmul.
+
+    The BlockSpec-pipelined gmm_w8a8 re-fetches the weight block on every
+    logical tile (measured: tools/tpu_revisit_probe.py — a 4-tiles-per-
+    group layout is NOT faster than one with 4x the unique weight bytes),
+    putting it at the re-read HBM roofline, ~2x the ideal weight traffic.
+    This variant streams each expert's block exactly once per n-sweep,
+    turning the routed GMMs compute-bound. Requires the group-aligned
+    layout (every group size a bm multiple) and concrete sizes.
+    """
+    return _gmm_ws_launch(lhs_q, lhs_scale, rhs_q, rhs_scale, static_sizes,
+                          bm=bm, bn=bn, out_dtype=out_dtype,
+                          interpret=interpret, packed=False,
+                          tag="gmm_w8a8_ws")
+
+
+def gmm_w4a8_packed_ws(
+    lhs_q: jax.Array,        # [M, K] int8 codes (a4 or a8 range)
+    lhs_scale: jax.Array,    # [M, 1] f32
+    rhs_packed: jax.Array,   # [E, K//2, N] int8 nibble-packed (halves)
+    rhs_scale: jax.Array,    # [E, 1, N] f32
+    static_sizes,
+    bm: int = 128,
+    bn: int | None = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-stationary variant of gmm_w4a8_packed (see gmm_w8a8_ws):
+    nibble-packed weight block DMA'd once per group per n-sweep, VPU
+    unpack fused ahead of the int8 MXU dot."""
+    return _gmm_ws_launch(lhs_q, lhs_scale, rhs_packed, rhs_scale,
+                          static_sizes, bm=bm, bn=bn, out_dtype=out_dtype,
+                          interpret=interpret, packed=True,
+                          tag="gmm_w4a8_packed_ws")

@@ -388,3 +388,52 @@ def test_gmm_w8a8_aligned_maskless_matches_masked():
                                       interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_gmm_w8a8_ws_matches_pipelined():
+    """Weight-stationary kernel (manual double-buffered rhs DMA) is
+    bitwise-identical to the pipelined aligned kernel, incl. an empty
+    group and single-tile / multi-tile group runs."""
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    bm = 16
+    sizes = (32, 16, 0, 64, 16)      # bm multiples; one empty
+    m, k, n, e = sum(sizes), 64, 256, len(sizes)
+    aq = jax.random.randint(k1, (m, k), -127, 128, jnp.int8)
+    asc = jax.random.uniform(k2, (m, 1), jnp.float32, 0.01, 0.02)
+    wq = jax.random.randint(k1, (e, k, n), -127, 128, jnp.int8)
+    wsc = jax.random.uniform(k2, (e, 1, n), jnp.float32, 0.01, 0.02)
+    ref = pallas_gmm.gmm_w8a8(
+        aq, asc, wq, wsc, jnp.asarray(sizes, jnp.int32), bm=bm, bn=128,
+        static_sizes=sizes, aligned=True, interpret=INTERPRET)
+    got = pallas_gmm.gmm_w8a8_ws(aq, asc, wq, wsc, sizes, bm=bm, bn=128,
+                                 interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # full-row bn default
+    got_full = pallas_gmm.gmm_w8a8_ws(aq, asc, wq, wsc, sizes, bm=bm,
+                                      interpret=INTERPRET)
+    ref_full = pallas_gmm.gmm_w8a8(
+        aq, asc, wq, wsc, jnp.asarray(sizes, jnp.int32), bm=bm, bn=n,
+        static_sizes=sizes, aligned=True, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got_full), np.asarray(ref_full))
+
+
+def test_gmm_w4a8_packed_ws_matches_unpacked():
+    from mxmoe_tpu.quant.packing import pack_int4_halves
+
+    key = jax.random.PRNGKey(12)
+    k1, k2 = jax.random.split(key)
+    bm = 16
+    sizes = (16, 48, 32)
+    m, k, n, e = sum(sizes), 64, 256, len(sizes)
+    aq = jax.random.randint(k1, (m, k), -7, 8, jnp.int8)
+    asc = jax.random.uniform(k2, (m, 1), jnp.float32, 0.01, 0.02)
+    q4 = jax.random.randint(k1, (e, k, n), -8, 8, jnp.int8)
+    wsc = jax.random.uniform(k2, (e, 1, n), jnp.float32, 0.01, 0.02)
+    ref = pallas_gmm.gmm_w8a8(
+        aq, asc, q4, wsc, jnp.asarray(sizes, jnp.int32), bm=bm, bn=128,
+        static_sizes=sizes, aligned=True, interpret=INTERPRET)
+    got = pallas_gmm.gmm_w4a8_packed_ws(
+        aq, asc, pack_int4_halves(q4), wsc, sizes, bm=bm, bn=128,
+        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

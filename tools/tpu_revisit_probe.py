@@ -67,8 +67,11 @@ def run_case(tag, e, rows_per_group, m=8192, k=2048, n=2816, bm=256):
 
 
 def main():
-    ta = run_case("A_one_tile_per_group", 32, 256)
-    tb = run_case("B_four_tiles_per_group", 8, 1024)
+    # bm=128: refetch traffic = 64 tiles x 5.8 MB = 371 MB (0.45 ms at
+    # 819 GB/s) vs compute floor 0.24 ms — cleanly separated (at bm=256
+    # the two floors coincide and the probe cannot discriminate)
+    ta = run_case("A_one_tile_per_group", 64, 128, bm=128)
+    tb = run_case("B_eight_tiles_per_group", 8, 1024, bm=128)
     ratio = ta / tb
     verdict = ("pipeline SKIPS same-index rhs copies (weight-stationary "
                "for free)" if ratio > 1.4 else
