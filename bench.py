@@ -244,6 +244,77 @@ def _quantize_weights_mixed(operands, w4_mask_per_wl):
     return out
 
 
+def _quantize_weights_mixed_onelaunch(operands, w4_mask_per_wl):
+    """Mixed w4a4+w8a8 as ONE launch per workload: bitwidth lives in the
+    codes and scales, not the kernel. w4 experts quantize to ±7 codes with
+    scale=max/7, w8 to ±127 — both run the same int8 MXU grouped matmul
+    (the routed GMMs are compute-bound at these M's, so int4 nibble
+    packing buys no time here; the packed kernels remain for the
+    weight-streaming-bound decode shapes). Activation rows take a per-row
+    max code (7/127) from their expert's scheme in a single fused quant
+    pass (quantize_act_per_token_rowbits). Analog of the reference's
+    Fused mode — one persistent launch, per-problem QParams as data
+    (``hz_fused.cuh:14-127``) — with zero in-kernel branching."""
+    import numpy as np
+
+    out = []
+    for (lhs, rhs, gs, shared), w4_mask in zip(operands, w4_mask_per_wl):
+        w = rhs.astype(jnp.float32)
+        maxcode = jnp.asarray(np.where(w4_mask, 7.0, 127.0),
+                              jnp.float32)[:, None, None]      # [E,1,1]
+        wsc = jnp.max(jnp.abs(w), axis=1, keepdims=True) / maxcode
+        wq = jnp.round(w / wsc).astype(jnp.int8)
+        row_bits = jnp.asarray(
+            np.repeat(np.where(w4_mask, 4.0, 8.0), np.asarray(gs)),
+            jnp.float32)                                        # [M]
+        sh = None
+        if shared is not None:
+            sw = shared[1].astype(jnp.float32)
+            ssc = jnp.max(jnp.abs(sw), axis=0, keepdims=True) / 127.0
+            sh = (shared[0], jnp.round(sw / ssc).astype(jnp.int8), ssc)
+        out.append(dict(lhs=lhs, wq=wq, wsc=wsc, bits=row_bits,
+                        gs=tuple(int(x) for x in gs), shared=sh))
+    return out
+
+
+def _mixed_onelaunch_step_factory(qmix):
+    """Chainable step for the one-launch mixed path (see
+    _quantize_weights_mixed_onelaunch). Same dispatch the quantized model
+    forward uses (models/layers.py qgemm mixed branch)."""
+    from mxmoe_tpu.quant.qparams import quantize_act_per_row_bits
+
+    statics = [(p["gs"], p["shared"] is not None) for p in qmix]
+    state0 = {"s": jnp.zeros((len(qmix),), jnp.float32)}
+    consts = [{"lhs": p["lhs"], "wq": p["wq"], "wsc": p["wsc"],
+               "bits": p["bits"],
+               **({"sl": p["shared"][0], "sw": p["shared"][1],
+                   "ssc": p["shared"][2]}
+                  if p["shared"] is not None else {})}
+              for p in qmix]
+
+    def step(state, cc):
+        outs = []
+        for i, ((gs, has_shared), p) in enumerate(zip(statics, cc)):
+            lhs = _scaled(p["lhs"], state["s"][i])
+            aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
+            o = pallas_gmm.gmm_w8a8(
+                aq, asc, p["wq"], p["wsc"], jnp.asarray(gs, jnp.int32),
+                bm=BENCH_BM, bn=BENCH_BN or p["wq"].shape[-1],
+                static_sizes=gs,
+            )
+            wl = [o]
+            if has_shared:
+                saq, sasc = quantize_act_per_token(
+                    _scaled(p["sl"], state["s"][i]), 8)
+                acc = jnp.dot(saq, p["sw"], preferred_element_type=jnp.int32)
+                wl.append((acc.astype(jnp.float32) * sasc * p["ssc"])
+                          .astype(jnp.bfloat16))
+            outs.append(wl)
+        return _chain_feedback(outs)
+
+    return step, state0, consts
+
+
 def _mixed_step_factory(qmix):
     """Two bucketed launches per workload (w4-packed a4 + w8a8), exact
     static grids. Static metadata (m4, group sizes) is captured in the
@@ -370,8 +441,12 @@ def main():
         import numpy as np
 
         masks = [np.arange(wl.num_experts) % 2 == 0 for wl in (gate_up, down)]
-        qmix = _quantize_weights_mixed(operands, masks)
-        step, state0, mconsts = _mixed_step_factory(qmix)
+        if os.environ.get("MXMOE_BENCH_ONELAUNCH", "1") != "0":
+            qmix = _quantize_weights_mixed_onelaunch(operands, masks)
+            step, state0, mconsts = _mixed_onelaunch_step_factory(qmix)
+        else:
+            qmix = _quantize_weights_mixed(operands, masks)
+            step, state0, mconsts = _mixed_step_factory(qmix)
         jax.block_until_ready(state0)
         _log("mixed chain: compile+measure start")
         ro = bench_fn_chained(step, state0, consts=mconsts)
