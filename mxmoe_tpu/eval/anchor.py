@@ -207,7 +207,7 @@ def _write_md(res: dict, path: str, wt: float, methods) -> None:
 
     def row(name):
         v = res.get(name)
-        return f"{v} | +{v - fp:.3f}" if v is not None else "— | —"
+        return f"{v} | {v - fp:+.3f}" if v is not None else "— | —"
 
     lines = [
         "# Accuracy anchor (trained-model quantization Δppl)",
