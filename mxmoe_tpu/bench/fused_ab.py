@@ -10,7 +10,7 @@ mixed layer executes as
   (b) one gmm_mixed_wo_wxa launch with per-expert scheme flags
       (real branch per logical tile; both act operands stream every tile).
 
-  python -m mxmoe_tpu.bench.fused_ab [--m-scale prefill|decode]
+  python -m mxmoe_tpu.bench.fused_ab [--ms 32768 2048 512]
 
 Writes one JSON line per (variant, M); PERF.md records the conclusion.
 """

@@ -123,6 +123,11 @@ class MoEImpl:
     decode_attn: str = "auto"        # cached single-step attention:
                                      # 'fused' (Pallas decode kernel) |
                                      # 'xla' | 'auto' (fused on TPU)
+    mixed_weight_only: bool = False  # mixed layers contain a16 weight-only
+                                     # experts: route through the one-launch
+                                     # gmm_mixed_wo_wxa (measured faster
+                                     # than bucketed at every M —
+                                     # bench/fused_ab.py, PERF.md)
 
     def use_fused_decode(self) -> bool:
         if self.decode_attn == "auto":
@@ -274,6 +279,17 @@ def moe_ffn_ragged_quant(
             bits_key = "act_bits_gateup" if prefix == "expert_gate_up" else "act_bits_down"
             row_bits = jnp.take(layer_params[bits_key], row_expert)
             aq, asc = quantize_act_per_row_bits(acts, row_bits)
+            if impl.mixed_weight_only:
+                # layer mixes a16 weight-only experts with w×a ones: the
+                # fused launch keeps a16 rows at full act precision
+                # (bf16 dot on dequantized weights) while w×a experts run
+                # the int8 MXU — one launch beats bucketed at every M
+                # (bench/fused_ab.py; reference hz_fused.cuh:14-127)
+                flags = (layer_params[bits_key] >= 16).astype(jnp.int32)
+                return pallas_gmm.gmm_mixed_wo_wxa(
+                    acts, aq, asc, wq, sc, flags, disp.group_sizes, bn=bn,
+                    out_dtype=acts.dtype, interpret=impl.interpret,
+                )
             return pallas_gmm.gmm_w8a8(
                 aq, asc, wq, sc, disp.group_sizes, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret,

@@ -142,9 +142,11 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
             buckets: dict[str, list[int]] = {}
             for ei in range(e):
                 c = lcfg.experts[str(ei)].qmap()[lin]
-                assert c.w_bits <= 8 and c.w_sym and c.w_gsize == -1 and c.a_bits <= 8, (
-                    f"mixed real-quant phase-1 supports int sym per-channel "
-                    f"schemes only, got {c.scheme_name}"
+                assert (c.w_bits <= 8 and c.w_sym and c.w_gsize == -1
+                        and (c.a_bits <= 8 or c.a_bits >= 16)), (
+                    f"mixed real-quant supports int sym per-channel w×a "
+                    f"(a<=8) and weight-only (a>=16) schemes, got "
+                    f"{c.scheme_name}"
                 )
                 buckets.setdefault(c.scheme_name, []).append(ei)
             for scheme, eids in buckets.items():

@@ -151,6 +151,63 @@ def test_mixed_real_quant_single_launch_matches_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
 
+def test_mixed_weight_only_wxa_fused_launch_matches_oracle():
+    """Layers mixing a16 weight-only experts with w×a ones run the fused
+    gmm_mixed_wo_wxa launch (measured faster than bucketed at every M,
+    bench/fused_ab.py): a16 rows keep full act precision, w×a rows take
+    the int8 MXU path."""
+    from mxmoe_tpu.quant.schemes import (
+        QExpertConfig, QLayerConfig, QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    schemes = ["w4a16_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(4)
+    })})
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+
+    x = jax.random.normal(jax.random.PRNGKey(22), (1, 32, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET,
+                   mixed_weight_only=True)
+    lp = {k: v[0] for k, v in qp["layers"].items()}
+    got = moe_block(x, lp, cfg, impl)[0]
+
+    from mxmoe_tpu.ops.dispatch import (route_topk, make_dispatch,
+                                        gather_tokens, combine_tokens)
+    from mxmoe_tpu.quant.qparams import quantize_act_per_row_bits
+    x2d = x[0]
+    logits = x2d @ lp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x2d, disp)
+    row_expert = jnp.repeat(jnp.arange(4), disp.group_sizes,
+                            total_repeat_length=xs.shape[0])
+
+    def deq(prefix):
+        return lp[f"{prefix}_q"].astype(jnp.float32) * lp[f"{prefix}_sc"]
+
+    def fq_act(a, key):
+        # a16 rows pass through untouched; w×a rows fake-quant per row
+        bits = jnp.take(lp[key], row_expert)
+        q, s = quantize_act_per_row_bits(a, bits)
+        return jnp.where((bits >= 16)[:, None], a,
+                         q.astype(jnp.float32) * s)
+
+    h = gmm_dense_reference(fq_act(xs, "act_bits_gateup"),
+                            deq("expert_gate_up"), disp.group_sizes)
+    h = silu_mul(h)
+    out = gmm_dense_reference(fq_act(h, "act_bits_down"),
+                              deq("expert_down"), disp.group_sizes)
+    ref_moe = combine_tokens(out, disp, x2d.shape[0])
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    ref = ref_moe + shared_expert_ffn(x2d, lp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_grouped_wxa_moe_matches_oracle():
     """g128-class w×a schemes run end-to-end through the model forward
     (round-1 gap: layers.py hard-asserted grouped w×a away)."""
