@@ -93,7 +93,7 @@ def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s = s * ks_ref[0, 0][None, :] * scale                    # [G, S_b]
+        s = s * ks_ref[0, 0] * scale        # ks [1, S_b] broadcasts over G
         pos = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         s = jnp.where(pos <= length, s, -jnp.inf)
@@ -104,7 +104,7 @@ def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         l_raw = jnp.exp(s - m_new)
         # re-mask after the scale multiply: out-of-range positions carry
         # garbage v-scales and 0 * garbage would poison the accumulator
-        p = jnp.where(pos <= length, l_raw * vs_ref[0, 0][None, :], 0.0)
+        p = jnp.where(pos <= length, l_raw * vs_ref[0, 0], 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(l_raw, axis=1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
@@ -205,9 +205,16 @@ def decode_attention_q8(
         s_blocks=s_blocks, groups=groups, dv=dv)
     kv_idx = _clamped_s_index(lengths, block_s)
 
+    # scales ride as [B, n_kv, 1, S]: a [B, n_kv, S] operand with block
+    # (1, 1, block_s) violates the TPU (8, 128) tiling rule on its last
+    # two dims (second-to-last block 1 != n_kv); with the unit axis the
+    # block (1, 1, 1, block_s) has second-to-last == full dim — legal.
+    ks4 = cache_ks.reshape(b, n_kv, 1, s_max)
+    vs4 = cache_vs.reshape(b, n_kv, 1, s_max)
+
     def sc_idx(b, h, sblk, lengths):
         last = lengths[b] // block_s
-        return (b, h, jnp.minimum(sblk, last))
+        return (b, h, 0, jnp.minimum(sblk, last))
 
     out = pl.pallas_call(
         kernel,
@@ -218,9 +225,9 @@ def decode_attention_q8(
                 pl.BlockSpec((1, 1, groups, dk),
                              lambda b, h, sblk, lengths: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, block_s, dk), kv_idx),
-                pl.BlockSpec((1, 1, block_s), sc_idx),
+                pl.BlockSpec((1, 1, 1, block_s), sc_idx),
                 pl.BlockSpec((1, 1, block_s, dv), kv_idx),
-                pl.BlockSpec((1, 1, block_s), sc_idx),
+                pl.BlockSpec((1, 1, 1, block_s), sc_idx),
             ],
             out_specs=pl.BlockSpec((1, 1, groups, dv),
                                    lambda b, h, sblk, lengths: (b, h, 0, 0)),
@@ -235,5 +242,5 @@ def decode_attention_q8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, qg, cache_kq, cache_ks, cache_vq, cache_vs)
+    )(lengths, qg, cache_kq, ks4, cache_vq, vs4)
     return out.reshape(b, n_h, dv)
