@@ -129,9 +129,15 @@ class MoEImpl:
                                      # than bucketed at every M —
                                      # bench/fused_ab.py, PERF.md)
 
-    def use_fused_decode(self) -> bool:
+    def use_fused_decode(self, s_max: int | None = None) -> bool:
+        """auto: the fused update+attention kernel's cost is ~flat in
+        S_max (~0.25 ms/layer at B=8) while the XLA scatter+einsum path
+        is cheaper at short caches but scales with the PADDED length
+        (~0.08 ms/layer per 1024); measured crossover ≈ 2048
+        (tools/tpu_decode_proto.py, PERF.md)."""
         if self.decode_attn == "auto":
-            return self.interpret or jax.default_backend() == "tpu"
+            on_tpu = self.interpret or jax.default_backend() == "tpu"
+            return on_tpu and (s_max is None or s_max >= 2048)
         return self.decode_attn == "fused"
 
 

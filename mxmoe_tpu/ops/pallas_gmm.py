@@ -1275,7 +1275,7 @@ def _gmm_ws_launch(lhs_q, lhs_scale, rhs, rhs_scale, static_sizes, *,
                 pl.BlockSpec((bm, k), lambda i, t, *s: (t, 0)),
                 pl.BlockSpec((bm, 1), lambda i, t, *s: (t, 0)),
                 pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (t, i)),
             scratch_shapes=[

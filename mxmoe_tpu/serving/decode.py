@@ -15,8 +15,8 @@ import jax.numpy as jnp
 from ..models.configs import MoEConfig
 from ..models.layers import MoEImpl, moe_block, rms_norm
 from .kv_cache import (KVCache, QuantKVCache, attention_with_cache,
-                       attention_with_quant_cache, update_layer_cache,
-                       update_layer_cache_quant)
+                       attention_with_quant_cache, scatter_layer_cache,
+                       scatter_layer_cache_quant)
 
 
 def _rope_tables(cfg: MoEConfig, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -38,8 +38,13 @@ def _apply_rope_bs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
-def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths,
+def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, layer, lengths,
                             fused=False, interpret=False, valid=None):
+    """``ck``/``cv`` are the STACKED [L, B, n_kv, S, hd] caches; the write
+    is an in-place scatter into layer ``layer`` and the fused read DMAs
+    straight out of the stacked array — the per-layer scan-xs/ys cache
+    protocol re-materialized every padded layer slice per step (measured
+    70× slower, tools/tpu_cache_protocol.py)."""
     b, s, _ = x.shape
     q = x @ lp["wq"]
     k = x @ lp["wk"]
@@ -53,15 +58,17 @@ def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, lengths,
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
-    ck, cv = update_layer_cache(ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths,
-                                valid=valid)
     if fused and s == 1:
-        from .decode_attention import decode_attention
+        from .decode_attention import decode_attention_update_stacked
 
-        out = decode_attention(q[:, 0], ck, cv, lengths,
-                               interpret=interpret)[:, None]
+        out, (ck, cv) = decode_attention_update_stacked(
+            q[:, 0], k[:, 0], v[:, 0], ck, None, cv, None, lengths, layer,
+            valid=valid, interpret=interpret)
+        out = out[:, None]
     else:
-        out = attention_with_cache(q, ck, cv, lengths, s)
+        ck, cv = scatter_layer_cache(ck, cv, layer, k, v, lengths,
+                                     valid=valid)
+        out = attention_with_cache(q, ck[layer], cv[layer], lengths, s)
     return out.reshape(b, s, -1) @ lp["wo"], ck, cv
 
 
@@ -83,7 +90,7 @@ def _apply_rope_interleaved_bs(x, cos, sin):
     return out.reshape(x.shape).astype(x.dtype)
 
 
-def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
+def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, layer, lengths,
                                 fused=False, interpret=False, valid=None):
     b, s, _ = x.shape
     n_h = cfg.num_heads
@@ -104,21 +111,24 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, lengths,
     q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
-    ck, cv = update_layer_cache(ck, cv, k_full.astype(ck.dtype),
-                                v.astype(cv.dtype), lengths, valid=valid)
     if fused and s == 1:
-        from .decode_attention import decode_attention
+        from .decode_attention import decode_attention_update_stacked
 
-        out = decode_attention(q_full[:, 0], ck, cv, lengths,
-                               interpret=interpret)[:, None]
+        out, (ck, cv) = decode_attention_update_stacked(
+            q_full[:, 0], k_full[:, 0], v[:, 0], ck, None, cv, None,
+            lengths, layer, valid=valid, interpret=interpret)
+        out = out[:, None]
     else:
-        out = attention_with_cache(q_full, ck, cv, lengths, s)
+        ck, cv = scatter_layer_cache(ck, cv, layer, k_full, v, lengths,
+                                     valid=valid)
+        out = attention_with_cache(q_full, ck[layer], cv[layer], lengths, s)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], ck, cv
 
 
-def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
-                                  fused=False, interpret=False, valid=None):
-    """GQA attention over the int8 KV cache (QuantKVCache path)."""
+def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, layer,
+                                  lengths, fused=False, interpret=False,
+                                  valid=None):
+    """GQA attention over the STACKED int8 KV cache (QuantKVCache path)."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
     q = x @ lp["wq"]
@@ -133,21 +143,25 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, lengths,
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
-    ckq, cks, cvq, cvs = update_layer_cache_quant(ckq, cks, cvq, cvs, k, v,
-                                                  lengths, valid=valid)
     if fused and s == 1:
-        from .decode_attention import decode_attention_q8
+        from .decode_attention import decode_attention_update_stacked
 
-        out = decode_attention_q8(q[:, 0], ckq, cks, cvq, cvs, lengths,
-                                  interpret=interpret)[:, None]
+        out, (ckq, cks, cvq, cvs) = decode_attention_update_stacked(
+            q[:, 0], k[:, 0], v[:, 0], ckq, cks, cvq, cvs, lengths,
+            layer, valid=valid, interpret=interpret)
+        out = out[:, None]
     else:
-        out = attention_with_quant_cache(q, ckq, cks, cvq, cvs, lengths, s)
+        ckq, cks, cvq, cvs = scatter_layer_cache_quant(
+            ckq, cks, cvq, cvs, layer, k, v, lengths, valid=valid)
+        out = attention_with_quant_cache(q, ckq[layer], cks[layer],
+                                         cvq[layer], cvs[layer], lengths, s)
     return out.reshape(b, s, -1) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
-def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths,
-                                      fused=False, interpret=False, valid=None):
-    """MLA attention over the int8 KV cache."""
+def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, layer,
+                                      lengths, fused=False, interpret=False,
+                                      valid=None):
+    """MLA attention over the STACKED int8 KV cache."""
     ckq, cks, cvq, cvs = caches
     b, s, _ = x.shape
     n_h = cfg.num_heads
@@ -167,15 +181,18 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, lengths,
     q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
-    ckq, cks, cvq, cvs = update_layer_cache_quant(
-        ckq, cks, cvq, cvs, k_full, v, lengths, valid=valid)
     if fused and s == 1:
-        from .decode_attention import decode_attention_q8
+        from .decode_attention import decode_attention_update_stacked
 
-        out = decode_attention_q8(q_full[:, 0], ckq, cks, cvq, cvs, lengths,
-                                  interpret=interpret)[:, None]
+        out, (ckq, cks, cvq, cvs) = decode_attention_update_stacked(
+            q_full[:, 0], k_full[:, 0], v[:, 0], ckq, cks, cvq, cvs,
+            lengths, layer, valid=valid, interpret=interpret)
+        out = out[:, None]
     else:
-        out = attention_with_quant_cache(q_full, ckq, cks, cvq, cvs, lengths, s)
+        ckq, cks, cvq, cvs = scatter_layer_cache_quant(
+            ckq, cks, cvq, cvs, layer, k_full, v, lengths, valid=valid)
+        out = attention_with_quant_cache(q_full, ckq[layer], cks[layer],
+                                         cvq[layer], cvs[layer], lengths, s)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
@@ -186,7 +203,7 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
 
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
-    fused = s_new == 1 and impl.use_fused_decode()
+    fused = s_new == 1 and impl.use_fused_decode(cache.max_len)
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -197,13 +214,15 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
         attn_q = partial(_attention_block_cached_quant, fused=fused,
                          interpret=impl.interpret, valid=write_ok)
 
+    # caches ride the scan CARRY as full stacked arrays (in-place scatter
+    # per layer); the old xs/ys protocol re-materialized every padded
+    # layer slice per step — see scatter_layer_cache
     def make_body(dense_mlp: bool):
-        def body(carry, layer_in):
-            x = carry
-            lp, ckq, cks, cvq, cvs = layer_in
+        def body(carry, lp):
+            x, caches, l = carry
             h, caches = attn_q(
                 rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
-                lp, cfg, cos, sin, (ckq, cks, cvq, cvs), cache.lengths,
+                lp, cfg, cos, sin, caches, l, cache.lengths,
             )
             h = x + h
             norm_h = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -213,30 +232,17 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
                 out = h + moe_block(norm_h, lp, cfg, impl)
-            return out, caches
+            return (out, caches, l + 1), None
         return body
 
+    carry = (x, (cache.k_q, cache.k_sc, cache.v_q, cache.v_sc),
+             jnp.int32(0))
     d = cfg.first_dense_layers
     if d > 0 and "dense_layers" in params:
-        x, (dkq, dks, dvq, dvs) = jax.lax.scan(
-            make_body(True), x,
-            (params["dense_layers"], cache.k_q[:d], cache.k_sc[:d],
-             cache.v_q[:d], cache.v_sc[:d]),
-        )
-        x, (mkq, mks, mvq, mvs) = jax.lax.scan(
-            make_body(False), x,
-            (params["layers"], cache.k_q[d:], cache.k_sc[d:],
-             cache.v_q[d:], cache.v_sc[d:]),
-        )
-        nkq = jnp.concatenate([dkq, mkq], axis=0)
-        nks = jnp.concatenate([dks, mks], axis=0)
-        nvq = jnp.concatenate([dvq, mvq], axis=0)
-        nvs = jnp.concatenate([dvs, mvs], axis=0)
-    else:
-        x, (nkq, nks, nvq, nvs) = jax.lax.scan(
-            make_body(False), x,
-            (params["layers"], cache.k_q, cache.k_sc, cache.v_q, cache.v_sc)
-        )
+        carry, _ = jax.lax.scan(make_body(True), carry,
+                                params["dense_layers"])
+    carry, _ = jax.lax.scan(make_body(False), carry, params["layers"])
+    x, (nkq, nks, nvq, nvs), _ = carry
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     from ..models.model import head_logits
 
@@ -267,7 +273,7 @@ def forward_cached(
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
-    fused = s_new == 1 and impl.use_fused_decode()
+    fused = s_new == 1 and impl.use_fused_decode(cache.max_len)
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -278,13 +284,14 @@ def forward_cached(
         attn_cached = partial(_attention_block_cached, fused=fused,
                               interpret=impl.interpret, valid=write_ok)
 
+    # caches in the scan CARRY (see _forward_cached_quant / the scatter
+    # protocol note in kv_cache.scatter_layer_cache)
     def make_body(dense_mlp: bool):
-        def body(carry, layer_in):
-            x = carry
-            lp, ck, cv = layer_in
+        def body(carry, lp):
+            x, ck, cv, l = carry
             h, ck, cv = attn_cached(
                 rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
-                lp, cfg, cos, sin, ck, cv, cache.lengths,
+                lp, cfg, cos, sin, ck, cv, l, cache.lengths,
             )
             h = x + h
             norm_h = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -294,25 +301,16 @@ def forward_cached(
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
                 out = h + moe_block(norm_h, lp, cfg, impl)
-            return out, (ck, cv)
+            return (out, ck, cv, l + 1), None
         return body
 
+    carry = (x, cache.k, cache.v, jnp.int32(0))
     d = cfg.first_dense_layers
     if d > 0 and "dense_layers" in params:
-        x, (dk, dv) = jax.lax.scan(
-            make_body(True), x,
-            (params["dense_layers"], cache.k[:d], cache.v[:d]),
-        )
-        x, (mk, mv) = jax.lax.scan(
-            make_body(False), x,
-            (params["layers"], cache.k[d:], cache.v[d:]),
-        )
-        new_k = jnp.concatenate([dk, mk], axis=0)
-        new_v = jnp.concatenate([dv, mv], axis=0)
-    else:
-        x, (new_k, new_v) = jax.lax.scan(
-            make_body(False), x, (params["layers"], cache.k, cache.v)
-        )
+        carry, _ = jax.lax.scan(make_body(True), carry,
+                                params["dense_layers"])
+    carry, _ = jax.lax.scan(make_body(False), carry, params["layers"])
+    x, new_k, new_v, _ = carry
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     from ..models.model import head_logits
 

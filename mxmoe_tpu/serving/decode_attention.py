@@ -1,19 +1,21 @@
-"""Fused decode attention: one Pallas kernel for Q·Kᵀ → softmax → ·V over
-the head-major KV cache with per-slot lengths.
+"""Fused decode attention over the head-major KV cache.
 
-Round-1 measurement (PERF.md): cached attention at decode costs 0.78 ms
-per layer at B=8 against a ~20 µs bandwidth floor — the XLA einsum path
-burns its time in many small ops, f32 masking over S_max, and kernel
-launch overhead. This kernel streams each (slot, kv-head)'s cache once,
-with an online-softmax accumulator across S-blocks (flash-style, trivial
-at s_new = 1), and skips blocks beyond the slot's valid length via a
-CLAMPED block index (Pallas's revisit detection turns the repeated index
-into no DMA) plus a pl.when compute guard.
+The production path is :func:`decode_attention_update_stacked`: ONE
+custom call per decode layer that (a) writes this step's K/V vector into
+the STACKED [L, B, n_kv, S, hd] cache (8-row-aligned RMW DMA; int8 quant
+in-kernel for the QuantKVCache layout), and (b) runs length-looped
+online-softmax attention, double-buffering K/V blocks HBM→VMEM with a
+DYNAMIC fori_loop trip count — cost follows the slot's REAL length, not
+the padded S_max. The caches are donated through input_output_aliases,
+forming a pure custom-call chain across layers: any XLA-side scatter
+whose output feeds an opaque custom call loses its in-place update and
+copies the whole cache per layer (measured 1.5+ ms/layer at S_max=4096,
+tools/tpu_decode_proto.py).
 
-Variants: bf16 cache, and int8 cache with per-(slot, head, position)
-vector scales folded into scores / probs (QuantKVCache layout).
-The serving path the reference never had (its ``ref_bind.cu`` binding is
-broken as shipped) — our moat, per SURVEY §7.9.
+Also here: per-layer 4D blockspec kernels (bf16 / int8 variants) for
+direct use and CPU oracle tests, and the read-only stacked variant.
+The serving stack is net-new vs the reference (its ``ref_bind.cu``
+binding is broken as shipped) — our moat, per SURVEY §7.9.
 """
 
 from __future__ import annotations
@@ -30,12 +32,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _decode_attn_kernel(lengths, q_ref, k_ref, v_ref, out_ref,
-                        m_ref, l_ref, acc_ref,
-                        *, scale, block_s, s_blocks, groups, dv):
+def _decode_attn_kernel(*refs, scale, block_s, s_blocks, groups, dv):
+    # stacked-cache launches prepend a layer scalar ref (consumed only by
+    # the index maps); block loads collapse any leading unit dims so ONE
+    # body serves the 4D per-layer and 5D stacked layouts
+    lengths, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref = refs[-8:]
     b = pl.program_id(0)
     sblk = pl.program_id(2)
     length = lengths[b]
+
+    def load2d(ref):
+        blk = ref[...]
+        return blk.reshape(blk.shape[-2], blk.shape[-1])
 
     @pl.when(sblk == 0)
     def _():
@@ -46,8 +54,8 @@ def _decode_attn_kernel(lengths, q_ref, k_ref, v_ref, out_ref,
     # positions this block covers; only run when any position is in range
     @pl.when(sblk * block_s <= length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)                      # [G, dk]
-        k = k_ref[0, 0].astype(jnp.float32)                      # [S_b, dk]
+        q = load2d(q_ref).astype(jnp.float32)                    # [G, dk]
+        k = load2d(k_ref).astype(jnp.float32)                    # [S_b, dk]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale          # [G, S_b]
@@ -60,7 +68,7 @@ def _decode_attn_kernel(lengths, q_ref, k_ref, v_ref, out_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                                   # [G, S_b]
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)                      # [S_b, dv]
+        v = load2d(v_ref).astype(jnp.float32)                    # [S_b, dv]
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -69,16 +77,20 @@ def _decode_attn_kernel(lengths, q_ref, k_ref, v_ref, out_ref,
     @pl.when(sblk == s_blocks - 1)
     def _():
         out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+        out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
 
 
-def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-                           out_ref, m_ref, l_ref, acc_ref,
-                           *, scale, block_s, s_blocks, groups, dv):
+def _decode_attn_kernel_q8(*refs, scale, block_s, s_blocks, groups, dv):
     """int8-cache variant: scores *= k_scale[pos]; probs *= v_scale[pos]."""
+    (lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+     out_ref, m_ref, l_ref, acc_ref) = refs[-10:]
     b = pl.program_id(0)
     sblk = pl.program_id(2)
     length = lengths[b]
+
+    def load2d(ref):
+        blk = ref[...]
+        return blk.reshape(blk.shape[-2], blk.shape[-1])
 
     @pl.when(sblk == 0)
     def _():
@@ -88,12 +100,12 @@ def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
     @pl.when(sblk * block_s <= length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = load2d(q_ref).astype(jnp.float32)
+        k = load2d(k_ref).astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s = s * ks_ref[0, 0] * scale        # ks [1, S_b] broadcasts over G
+        s = s * load2d(ks_ref) * scale      # ks [1, S_b] broadcasts over G
         pos = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         s = jnp.where(pos <= length, s, -jnp.inf)
@@ -104,9 +116,9 @@ def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         l_raw = jnp.exp(s - m_new)
         # re-mask after the scale multiply: out-of-range positions carry
         # garbage v-scales and 0 * garbage would poison the accumulator
-        p = jnp.where(pos <= length, l_raw * vs_ref[0, 0], 0.0)
+        p = jnp.where(pos <= length, l_raw * load2d(vs_ref), 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(l_raw, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = load2d(v_ref).astype(jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -115,30 +127,510 @@ def _decode_attn_kernel_q8(lengths, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     @pl.when(sblk == s_blocks - 1)
     def _():
         out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+        out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
 
 
-def _clamped_s_index(lengths, block_s):
-    """Index map factory: S-blocks beyond a slot's length re-map to the last
-    in-range block, so Pallas skips their DMA (same index as previous)."""
-    def idx(b, h, sblk, lengths):
-        last = lengths[b] // block_s
-        return (b, h, jnp.minimum(sblk, last), 0)
-    return idx
+def _decode_attn_manual_kernel(layer, lengths, q_ref, kq_hbm,
+                               ks_hbm, vq_hbm, vs_hbm, out_ref,
+                               _kq_out, _ks_out, _vq_out, _vs_out,
+                               kbuf, ksbuf, vbuf, vsbuf, sems,
+                               *, scale, block_s, quant):
+    """Length-looped decode attention over the STACKED HBM cache.
+
+    Grid is (B, n_kv) — no S dimension. Each instance runs a fori_loop
+    with a DYNAMIC trip count (lengths[b]//block_s + 1; dynamic loop trips
+    are safe on TPU — only dynamic *grid* dims are not), double-buffering
+    K/V(+scale) blocks HBM→VMEM with manual async copies. Cost is
+    proportional to the slot's REAL length: no padded-tail grid steps
+    (the blockspec variant pays ~5 µs per empty step × (S_max/block_s −
+    len/block_s) × B × n_kv, which dominated at long S_max), and no
+    per-layer cache slice ever materializes."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    l = layer[0]
+    length = lengths[b]
+    nblk = length // block_s + 1
+    g = q_ref.shape[-2]
+
+    def start(i, slot):
+        pltpu.make_async_copy(
+            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            kbuf.at[slot], sems.at[0, slot]).start()
+        pltpu.make_async_copy(
+            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            vbuf.at[slot], sems.at[1, slot]).start()
+        if quant:
+            pltpu.make_async_copy(
+                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                ksbuf.at[slot], sems.at[2, slot]).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                vsbuf.at[slot], sems.at[3, slot]).start()
+
+    def wait(i, slot):
+        pltpu.make_async_copy(
+            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            kbuf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            vbuf.at[slot], sems.at[1, slot]).wait()
+        if quant:
+            pltpu.make_async_copy(
+                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                ksbuf.at[slot], sems.at[2, slot]).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                vsbuf.at[slot], sems.at[3, slot]).wait()
+
+    start(0, 0)
+    q = q_ref[...].reshape(g, q_ref.shape[-1]).astype(jnp.float32)
+
+    def compute(i, slot, carry):
+        m_prev, l_prev, acc = carry
+        k = kbuf[slot].astype(jnp.float32)                   # [S_b, dk]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [G, S_b]
+        if quant:
+            s = s * ksbuf[slot]                              # [1, S_b]
+        s = s * scale
+        pos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos <= length, s, -jnp.inf)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_raw = jnp.exp(s - m_new)
+        if quant:
+            p = jnp.where(pos <= length, p_raw * vsbuf[slot], 0.0)
+        else:
+            p = p_raw
+        l_new = l_prev * alpha + jnp.sum(p_raw, axis=1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)                   # [S_b, dv]
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    # constant-slot lax.cond branches: no dynamic VMEM buffer indexing
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            start(i + 1, 1 - slot)
+
+        def even(c):
+            wait(i, 0)
+            return compute(i, 0, c)
+
+        def odd(c):
+            wait(i, 1)
+            return compute(i, 1, c)
+
+        return jax.lax.cond(slot == 0, even, odd, carry)
+
+    dv = vbuf.shape[-1]
+    init = (jnp.full((g, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, dv), jnp.float32))
+    m_f, l_f, acc = jax.lax.fori_loop(0, nblk, body, init)
+    out = acc / jnp.maximum(l_f, 1e-30)
+    out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
+                               vnew_ref, _kq_in, _ks_in, _vq_in, _vs_in,
+                               out_ref, kq_hbm, ks_hbm, vq_hbm, vs_hbm,
+                               kbuf, ksbuf, vbuf, vsbuf, kw, ksw, vw, vsw,
+                               sems, wsems, *, scale, block_s, quant):
+    sw = ksw.shape[-1]            # scale-RMW width: min(128, s_max)
+    # all cache access goes through the ALIASED OUTPUT refs: on TPU they
+    # are the same buffer as the inputs; in interpret mode the outputs
+    # are initialized from the inputs, so writes both land and propagate
+    """Fused cache-update + decode attention (the production decode step).
+
+    Writes this step's K/V vector (quantizing in-kernel for the int8
+    layout) at position lengths[b] of layer ``layer``, then runs the
+    length-looped attention of :func:`_decode_attn_manual_kernel`. The
+    caches are donated through input_output_aliases, so a decode layer is
+    ONE custom call with zero cache traffic beyond the blocks it actually
+    reads: an XLA-side scatter whose output feeds an opaque custom call
+    loses its in-place update and copies the whole cache every layer
+    (measured: tools/tpu_decode_proto.py kernel_carry vs kernel_const)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    l = layer[0]
+    length = lengths[b]
+    nblk = length // block_s + 1
+    g = q_ref.shape[-2]
+    cdt = kbuf.dtype
+
+    def quantize(ref):
+        x = ref[...].reshape(1, ref.shape[-1]).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        return jnp.round(x / sc).astype(jnp.int8), sc
+
+    s_max = kq_hbm.shape[-2]
+    # single-row DMA into a (8, 128)-tiled HBM buffer is illegal (Mosaic:
+    # slice shape along the sublane dim must be 8-aligned), so the write
+    # is an 8-row-aligned read-modify-write of the tile row-group holding
+    # position ``length``; scale vectors (quant layout) are updated by the
+    # XLA scatter outside (tiny f32 arrays — the copies that matter are
+    # the int8 code arrays, which stay in-kernel + aliased)
+    base = (length // 8) * 8
+    row = length - base
+    sbase = (length // sw) * sw            # scale RMW block (lane-aligned)
+    scol = length - sbase
+
+    @pl.when((valid[b] != 0) & (length < s_max))
+    def _():
+        rmw = [
+            (pltpu.make_async_copy(
+                kq_hbm.at[l, b, h, pl.ds(base, 8), :], kw, wsems.at[0]),
+             pltpu.make_async_copy(
+                kw, kq_hbm.at[l, b, h, pl.ds(base, 8), :], wsems.at[4])),
+            (pltpu.make_async_copy(
+                vq_hbm.at[l, b, h, pl.ds(base, 8), :], vw, wsems.at[1]),
+             pltpu.make_async_copy(
+                vw, vq_hbm.at[l, b, h, pl.ds(base, 8), :], wsems.at[5])),
+        ]
+        if quant:
+            rmw += [
+                (pltpu.make_async_copy(
+                    ks_hbm.at[l, b, h, :, pl.ds(sbase, sw)], ksw,
+                    wsems.at[2]),
+                 pltpu.make_async_copy(
+                    ksw, ks_hbm.at[l, b, h, :, pl.ds(sbase, sw)],
+                    wsems.at[6])),
+                (pltpu.make_async_copy(
+                    vs_hbm.at[l, b, h, :, pl.ds(sbase, sw)], vsw,
+                    wsems.at[3]),
+                 pltpu.make_async_copy(
+                    vsw, vs_hbm.at[l, b, h, :, pl.ds(sbase, sw)],
+                    wsems.at[7])),
+            ]
+        for r, _ in rmw:
+            r.start()
+        if quant:
+            knew, ksc = quantize(knew_ref)
+            vnew, vsc = quantize(vnew_ref)
+        else:
+            knew = knew_ref[...].reshape(1, kw.shape[-1]).astype(cdt)
+            vnew = vnew_ref[...].reshape(1, vw.shape[-1]).astype(cdt)
+        for r, _ in rmw:
+            r.wait()
+        kw[...] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, kw.shape, 0) == row,
+            knew, kw[...])
+        vw[...] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) == row,
+            vnew, vw[...])
+        if quant:
+            csel = jax.lax.broadcasted_iota(jnp.int32, ksw.shape, 1) == scol
+            ksw[...] = jnp.where(csel, ksc, ksw[...])
+            vsw[...] = jnp.where(csel, vsc, vsw[...])
+        for _, w in rmw:
+            w.start()
+        # writes must land before the read loop streams their block
+        for _, w in rmw:
+            w.wait()
+
+    def start(i, slot):
+        pltpu.make_async_copy(
+            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            kbuf.at[slot], sems.at[0, slot]).start()
+        pltpu.make_async_copy(
+            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            vbuf.at[slot], sems.at[1, slot]).start()
+        if quant:
+            pltpu.make_async_copy(
+                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                ksbuf.at[slot], sems.at[2, slot]).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                vsbuf.at[slot], sems.at[3, slot]).start()
+
+    def wait(i, slot):
+        pltpu.make_async_copy(
+            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            kbuf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
+            vbuf.at[slot], sems.at[1, slot]).wait()
+        if quant:
+            pltpu.make_async_copy(
+                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                ksbuf.at[slot], sems.at[2, slot]).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
+                vsbuf.at[slot], sems.at[3, slot]).wait()
+
+    start(0, 0)
+    q = q_ref[...].reshape(g, q_ref.shape[-1]).astype(jnp.float32)
+
+    def compute(i, slot, carry):
+        m_prev, l_prev, acc = carry
+        k = kbuf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if quant:
+            s = s * ksbuf[slot]
+        s = s * scale
+        pos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos <= length, s, -jnp.inf)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_raw = jnp.exp(s - m_new)
+        if quant:
+            p = jnp.where(pos <= length, p_raw * vsbuf[slot], 0.0)
+        else:
+            p = p_raw
+        l_new = l_prev * alpha + jnp.sum(p_raw, axis=1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            start(i + 1, 1 - slot)
+
+        def even(c):
+            wait(i, 0)
+            return compute(i, 0, c)
+
+        def odd(c):
+            wait(i, 1)
+            return compute(i, 1, c)
+
+        return jax.lax.cond(slot == 0, even, odd, carry)
+
+    dv = vbuf.shape[-1]
+    init = (jnp.full((g, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, dv), jnp.float32))
+    m_f, l_f, acc = jax.lax.fori_loop(0, nblk, body, init)
+    out = acc / jnp.maximum(l_f, 1e-30)
+    out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+def decode_attention_update_stacked(
+    q: jax.Array,          # [B, n_h, dk]
+    k_new: jax.Array,      # [B, n_kv, dk] this step's key vectors
+    v_new: jax.Array,      # [B, n_kv, dv]
+    cache_k: jax.Array,    # [L, B, n_kv, S, dk] (int8 if quant else bf16)
+    cache_ks,              # [L, B, n_kv, S] f32, or None (bf16 cache)
+    cache_v: jax.Array,
+    cache_vs,
+    lengths: jax.Array,    # [B] — the write position AND attention bound
+    layer: jax.Array,      # traced scalar
+    valid: jax.Array | None = None,   # [B] write mask (default all)
+    scale: float | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+):
+    """ONE custom call per decode layer: in-kernel cache write (+ int8
+    quant for the QuantKVCache layout) + length-looped attention, caches
+    donated through. Returns ``(out [B, n_h, dv], caches)`` — callers
+    MUST carry the returned caches (they alias the inputs)."""
+    quant = cache_ks is not None
+    b, n_h, dk = q.shape
+    nl, _, n_kv, s_max, _ = cache_k.shape
+    dv = cache_v.shape[-1]
+    groups = n_h // n_kv
+    scale = scale if scale is not None else 1.0 / float(dk) ** 0.5
+    block_s = min(block_s, s_max)
+    assert s_max % block_s == 0, (s_max, block_s)
+
+    qg = q.reshape(b, n_kv, groups, dk)
+    l1 = jnp.asarray(layer, jnp.int32).reshape(1)
+    if valid is None:
+        valid = jnp.ones((b,), jnp.int32)
+    valid = valid.astype(jnp.int32)
+    cdt = cache_k.dtype
+    if quant:
+        ks_u = cache_ks.reshape(nl, b, n_kv, 1, s_max)
+        vs_u = cache_vs.reshape(nl, b, n_kv, 1, s_max)
+    else:
+        ks_u = jnp.zeros((1, 1, 1, 1, block_s), jnp.float32)
+        vs_u = ks_u
+    kernel = functools.partial(
+        _decode_attn_update_kernel, scale=scale, block_s=block_s,
+        quant=quant)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # unit axis before the vector dim: block (1, 1, 1, dk) satisfies the
+    # TPU (8, 128) tiling rule (second-to-last == full dim)
+    k_new = k_new.reshape(b, n_kv, 1, dk)
+    v_new = v_new.reshape(b, n_kv, 1, dv)
+    bh_idx = lambda b, h, layer, lengths, valid: (b, h, 0, 0)
+    # operands: l1=0 lengths=1 valid=2 qg=3 knew=4 vnew=5 caches=6..9;
+    # outputs: attn=0, caches=1..4
+    aliases = {6: 1, 7: 2, 8: 3, 9: 4}
+    out, cache_k, ks_u, cache_v, vs_u = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, 1, groups, dk),
+                             lambda b, h, layer, lengths, valid: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, dk), bh_idx),
+                pl.BlockSpec((1, 1, 1, dv), bh_idx),
+                any_spec, any_spec, any_spec, any_spec,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, groups, dv),
+                             lambda b, h, layer, lengths, valid: (b, h, 0, 0)),
+                any_spec, any_spec, any_spec, any_spec,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, block_s, dk), cdt),
+                pltpu.VMEM((2, 1, block_s), jnp.float32),
+                pltpu.VMEM((2, block_s, dv), cdt),
+                pltpu.VMEM((2, 1, block_s), jnp.float32),
+                pltpu.VMEM((8, dk), cdt),
+                pltpu.VMEM((1, min(128, s_max)), jnp.float32),
+                pltpu.VMEM((8, dv), cdt),
+                pltpu.VMEM((1, min(128, s_max)), jnp.float32),
+                pltpu.SemaphoreType.DMA((4, 2)),
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_kv, groups, dv), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(ks_u.shape, ks_u.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct(vs_u.shape, vs_u.dtype),
+        ),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(l1, lengths, valid, qg, k_new, v_new, cache_k, ks_u, cache_v, vs_u)
+    if quant:
+        caches = (cache_k, ks_u.reshape(nl, b, n_kv, s_max),
+                  cache_v, vs_u.reshape(nl, b, n_kv, s_max))
+    else:
+        caches = (cache_k, cache_v)
+    return out.reshape(b, n_h, dv), caches
+
+
+def decode_attention_stacked(
+    q: jax.Array,          # [B, n_h, dk]
+    cache_k: jax.Array,    # [L, B, n_kv, S, dk] (int8 if quant else bf16)
+    cache_ks,              # [L, B, n_kv, S] f32 scales, or None (bf16 cache)
+    cache_v: jax.Array,
+    cache_vs,
+    lengths: jax.Array,    # [B]
+    layer: jax.Array,      # traced scalar
+    scale: float | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+    alias: bool = True,
+):
+    """Production decode attention on the stacked cache (see the manual
+    kernel's docstring). One entry point serves the bf16 and int8-quant
+    cache layouts.
+
+    Returns ``(out [B, n_h, dv], caches)`` where ``caches`` is the SAME
+    cache tuple passed through the kernel via ``input_output_aliases``:
+    an opaque custom call consuming a loop-carried buffer without an
+    aliasing declaration forces XLA to copy the whole cache every step
+    (measured: +~1.5 ms/layer at S_max=4096); the alias makes the
+    pass-through free. Callers MUST carry the returned caches."""
+    quant = cache_ks is not None
+    b, n_h, dk = q.shape
+    nl, _, n_kv, s_max, _ = cache_k.shape
+    dv = cache_v.shape[-1]
+    groups = n_h // n_kv
+    scale = scale if scale is not None else 1.0 / float(dk) ** 0.5
+    block_s = min(block_s, s_max)
+    assert s_max % block_s == 0, (s_max, block_s)
+
+    qg = q.reshape(b, n_kv, groups, dk)
+    l1 = jnp.asarray(layer, jnp.int32).reshape(1)
+    cdt = cache_k.dtype
+    if quant:
+        ks_u = cache_ks.reshape(nl, b, n_kv, 1, s_max)
+        vs_u = cache_vs.reshape(nl, b, n_kv, 1, s_max)
+    else:
+        # dummy tiny operands keep one kernel signature
+        ks_u = jnp.zeros((1, 1, 1, 1, block_s), jnp.float32)
+        vs_u = ks_u
+    kernel = functools.partial(
+        _decode_attn_manual_kernel, scale=scale, block_s=block_s,
+        quant=quant)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # operand index -> output index (operands count scalar-prefetch args:
+    # l1=0, lengths=1, qg=2, caches=3..6; outputs: attn=0, caches=1..4)
+    aliases = {3: 1, 4: 2, 5: 3, 6: 4} if alias else {}
+    out, cache_k, ks_u, cache_v, vs_u = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, 1, groups, dk),
+                             lambda b, h, layer, lengths: (b, h, 0, 0)),
+                any_spec, any_spec, any_spec, any_spec,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, groups, dv),
+                             lambda b, h, layer, lengths: (b, h, 0, 0)),
+                any_spec, any_spec, any_spec, any_spec,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, block_s, dk), cdt),
+                pltpu.VMEM((2, 1, block_s), jnp.float32),
+                pltpu.VMEM((2, block_s, dv), cdt),
+                pltpu.VMEM((2, 1, block_s), jnp.float32),
+                pltpu.SemaphoreType.DMA((4, 2)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_kv, groups, dv), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(ks_u.shape, ks_u.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct(vs_u.shape, vs_u.dtype),
+        ),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(l1, lengths, qg, cache_k, ks_u, cache_v, vs_u)
+    if quant:
+        caches = (cache_k, ks_u.reshape(nl, b, n_kv, s_max),
+                  cache_v, vs_u.reshape(nl, b, n_kv, s_max))
+    else:
+        caches = (cache_k, cache_v)
+    return out.reshape(b, n_h, dv), caches
 
 
 def decode_attention(
     q: jax.Array,          # [B, n_h, dk] single-position queries
-    cache_k: jax.Array,    # [B, n_kv, S, dk] (head-major cache layout)
-    cache_v: jax.Array,    # [B, n_kv, S, dv]
+    cache_k: jax.Array,    # [B, n_kv, S, dk] or stacked [L, B, n_kv, S, dk]
+    cache_v: jax.Array,
     lengths: jax.Array,    # [B] int32 — query sits at position lengths[b]
     scale: float | None = None,
     block_s: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused single-step attention over the cache -> [B, n_h, dv]."""
+    """Fused single-step attention over a PER-LAYER 4D cache ->
+    [B, n_h, dv]. The serving hot path uses
+    :func:`decode_attention_stacked` instead (length-looped, stacked
+    cache); this blockspec variant remains for direct per-layer use and
+    the CPU oracle tests."""
     b, n_h, dk = q.shape
-    _, n_kv, s_max, _ = cache_k.shape
+    n_kv, s_max = cache_k.shape[-3], cache_k.shape[-2]
     dv = cache_v.shape[-1]
     groups = n_h // n_kv
     scale = scale if scale is not None else 1.0 / float(dk) ** 0.5
@@ -149,20 +641,26 @@ def decode_attention(
     kernel = functools.partial(
         _decode_attn_kernel, scale=scale, block_s=block_s,
         s_blocks=s_blocks, groups=groups, dv=dv)
-    kv_idx = _clamped_s_index(lengths, block_s)
+
+    def kv_idx(b, h, sblk, lengths):
+        last = lengths[b] // block_s
+        return (b, h, jnp.minimum(sblk, last), 0)
+
+    q_idx = lambda b, h, sblk, lengths: (b, h, 0, 0)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, block_s, d), kv_idx)
+    scalars = (lengths,)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=(b, n_kv, s_blocks),
             in_specs=[
-                pl.BlockSpec((1, 1, groups, dk),
-                             lambda b, h, sblk, lengths: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, block_s, dk), kv_idx),
-                pl.BlockSpec((1, 1, block_s, dv), kv_idx),
+                pl.BlockSpec((1, 1, groups, dk), q_idx),
+                kv_spec(dk),
+                kv_spec(dv),
             ],
-            out_specs=pl.BlockSpec((1, 1, groups, dv),
-                                   lambda b, h, sblk, lengths: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, groups, dv), q_idx),
             scratch_shapes=[
                 pltpu.VMEM((groups, 1), jnp.float32),
                 pltpu.VMEM((groups, 1), jnp.float32),
@@ -174,14 +672,14 @@ def decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, qg, cache_k, cache_v)
+    )(*scalars, qg, cache_k, cache_v)
     return out.reshape(b, n_h, dv)
 
 
 def decode_attention_q8(
     q: jax.Array,          # [B, n_h, dk]
-    cache_kq: jax.Array,   # [B, n_kv, S, dk] int8
-    cache_ks: jax.Array,   # [B, n_kv, S] f32 per-vector scales
+    cache_kq: jax.Array,   # [B, n_kv, S, dk] int8, or stacked [L, B, ...]
+    cache_ks: jax.Array,   # [B, n_kv, S] f32 scales (or [L, B, n_kv, S])
     cache_vq: jax.Array,
     cache_vs: jax.Array,
     lengths: jax.Array,
@@ -189,10 +687,11 @@ def decode_attention_q8(
     block_s: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused single-step attention over the INT8 cache (QuantKVCache):
-    scales fold into scores/probs in-kernel — 2x less cache bandwidth."""
+    """Fused single-step attention over a PER-LAYER INT8 cache
+    (QuantKVCache): scales fold into scores/probs in-kernel. The serving
+    hot path uses :func:`decode_attention_stacked`."""
     b, n_h, dk = q.shape
-    _, n_kv, s_max, _ = cache_kq.shape
+    n_kv, s_max = cache_kq.shape[-3], cache_kq.shape[-2]
     dv = cache_vq.shape[-1]
     groups = n_h // n_kv
     scale = scale if scale is not None else 1.0 / float(dk) ** 0.5
@@ -203,34 +702,40 @@ def decode_attention_q8(
     kernel = functools.partial(
         _decode_attn_kernel_q8, scale=scale, block_s=block_s,
         s_blocks=s_blocks, groups=groups, dv=dv)
-    kv_idx = _clamped_s_index(lengths, block_s)
 
-    # scales ride as [B, n_kv, 1, S]: a [B, n_kv, S] operand with block
-    # (1, 1, block_s) violates the TPU (8, 128) tiling rule on its last
-    # two dims (second-to-last block 1 != n_kv); with the unit axis the
-    # block (1, 1, 1, block_s) has second-to-last == full dim — legal.
-    ks4 = cache_ks.reshape(b, n_kv, 1, s_max)
-    vs4 = cache_vs.reshape(b, n_kv, 1, s_max)
+    # scales ride with a unit axis before S: a [.., n_kv, S] operand with
+    # block (.., 1, block_s) violates the TPU (8, 128) tiling rule on its
+    # last two dims (second-to-last block 1 != n_kv); with the unit axis
+    # the block (.., 1, 1, block_s) has second-to-last == full dim.
+    ks_u = cache_ks.reshape(b, n_kv, 1, s_max)
+    vs_u = cache_vs.reshape(b, n_kv, 1, s_max)
+
+    def kv_idx(b, h, sblk, lengths):
+        last = lengths[b] // block_s
+        return (b, h, jnp.minimum(sblk, last), 0)
 
     def sc_idx(b, h, sblk, lengths):
         last = lengths[b] // block_s
         return (b, h, 0, jnp.minimum(sblk, last))
 
+    q_idx = lambda b, h, sblk, lengths: (b, h, 0, 0)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, block_s, d), kv_idx)
+    sc_spec = pl.BlockSpec((1, 1, 1, block_s), sc_idx)
+    scalars = (lengths,)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=(b, n_kv, s_blocks),
             in_specs=[
-                pl.BlockSpec((1, 1, groups, dk),
-                             lambda b, h, sblk, lengths: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, block_s, dk), kv_idx),
-                pl.BlockSpec((1, 1, 1, block_s), sc_idx),
-                pl.BlockSpec((1, 1, block_s, dv), kv_idx),
-                pl.BlockSpec((1, 1, 1, block_s), sc_idx),
+                pl.BlockSpec((1, 1, groups, dk), q_idx),
+                kv_spec(dk),
+                sc_spec,
+                kv_spec(dv),
+                sc_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, groups, dv),
-                                   lambda b, h, sblk, lengths: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, groups, dv), q_idx),
             scratch_shapes=[
                 pltpu.VMEM((groups, 1), jnp.float32),
                 pltpu.VMEM((groups, 1), jnp.float32),
@@ -242,5 +747,5 @@ def decode_attention_q8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, qg, cache_kq, ks4, cache_vq, vs4)
+    )(*scalars, qg, cache_kq, ks_u, cache_vq, vs_u)
     return out.reshape(b, n_h, dv)

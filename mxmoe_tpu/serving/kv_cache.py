@@ -73,6 +73,72 @@ def update_layer_cache(
     return jax.vmap(upd)(cache_k, cache_v, nk, nv, lengths, valid)
 
 
+def scatter_layer_cache(full_k, full_v, layer, new_k, new_v, lengths,
+                        valid=None):
+    """Write a chunk into ONE layer of the STACKED cache, in place.
+
+    ``full_k``/``full_v``: [L, B, n_kv, S_max, hd]; ``new_k``/``new_v``
+    token-major [B, S_new, n_kv, hd]; ``layer`` a traced scalar.
+
+    This is the decode-hot-path protocol: an advanced-index scatter on a
+    loop-carried stacked cache stays in place under XLA, while the old
+    per-layer scan xs/ys protocol re-materialized every layer's full
+    padded [B, n, S_max, hd] slice per step — measured 70× slower and
+    linear in S_max (tools/tpu_cache_protocol.py). Slots whose write
+    would overflow S_max (or with ``valid`` False) are dropped, never
+    clamped onto a neighbour's history.
+    """
+    b, s_new = new_k.shape[:2]
+    s_max = full_k.shape[3]
+    pos = lengths[:, None] + jnp.arange(s_new)[None]       # [B, S_new]
+    if valid is not None:
+        pos = jnp.where(valid[:, None], pos, s_max)        # OOB -> dropped
+    bidx = jnp.arange(b)[:, None]
+    full_k = full_k.at[layer, bidx, :, pos, :].set(
+        new_k.astype(full_k.dtype), mode="drop")
+    full_v = full_v.at[layer, bidx, :, pos, :].set(
+        new_v.astype(full_v.dtype), mode="drop")
+    return full_k, full_v
+
+
+def scatter_layer_cache_quant(ckq, cks, cvq, cvs, layer, new_k, new_v,
+                              lengths, valid=None):
+    """Quantized-cache variant of :func:`scatter_layer_cache`:
+    per-vector int8 quant fused into the scatter write."""
+    kq, ks = _quant_vec(new_k)                 # [B, S_new, n, hd], [B, S_new, n]
+    vq, vs = _quant_vec(new_v)
+    b, s_new = new_k.shape[:2]
+    s_max = ckq.shape[3]
+    pos = lengths[:, None] + jnp.arange(s_new)[None]
+    if valid is not None:
+        pos = jnp.where(valid[:, None], pos, s_max)
+    bidx = jnp.arange(b)[:, None]
+    ckq = ckq.at[layer, bidx, :, pos, :].set(kq, mode="drop")
+    cks = cks.at[layer, bidx, :, pos].set(ks, mode="drop")
+    cvq = cvq.at[layer, bidx, :, pos, :].set(vq, mode="drop")
+    cvs = cvs.at[layer, bidx, :, pos].set(vs, mode="drop")
+    return ckq, cks, cvq, cvs
+
+
+def scatter_layer_scales(cks, cvs, layer, new_k, new_v, lengths, valid=None):
+    """Scale-vector half of :func:`scatter_layer_cache_quant`: the fused
+    decode kernel writes the int8 CODES in-kernel (aliased, tile-aligned
+    RMW) but single-f32 writes into the (8,128)-tiled scale buffers are
+    illegal DMAs — and these arrays are tiny, so the XLA scatter's loss
+    of in-placeness at the custom-call boundary costs ~nothing here."""
+    _, ks = _quant_vec(new_k)
+    _, vs = _quant_vec(new_v)
+    b, s_new = new_k.shape[:2]
+    s_max = cks.shape[3]
+    pos = lengths[:, None] + jnp.arange(s_new)[None]
+    if valid is not None:
+        pos = jnp.where(valid[:, None], pos, s_max)
+    bidx = jnp.arange(b)[:, None]
+    cks = cks.at[layer, bidx, :, pos].set(ks, mode="drop")
+    cvs = cvs.at[layer, bidx, :, pos].set(vs, mode="drop")
+    return cks, cvs
+
+
 def attention_with_cache(
     q: jax.Array,          # [B, S_new, n_h, hd]
     cache_k: jax.Array,    # [B, n_kv, S_max, hd] (already updated)

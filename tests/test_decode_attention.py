@@ -99,3 +99,42 @@ def test_forward_cached_fused_decode_matches_xla(family):
                                              interpret=INTERPRET))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_attention_stacked_matches_oracle(quant):
+    """Length-looped stacked-cache kernel (the serving hot path) vs the
+    per-layer XLA oracle, bf16 and int8-quant layouts."""
+    from mxmoe_tpu.serving.decode_attention import decode_attention_stacked
+
+    nl, b, n_h, n_kv, hd, s_max = 3, 4, 8, 2, 32, 192
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (b, 1, n_h, hd), jnp.float32)
+    ck = jax.random.normal(k2, (nl, b, n_kv, s_max, hd), jnp.float32)
+    cv = jax.random.normal(k3, (nl, b, n_kv, s_max, hd), jnp.float32)
+    lengths = jax.random.randint(k4, (b,), 0, s_max - 1)
+
+    for layer in (0, 2):
+        l = jnp.int32(layer)
+        if quant:
+            ckq, cks = _quant_vec(ck)
+            cvq, cvs = _quant_vec(cv)
+            ref = attention_with_quant_cache(
+                q, ckq[layer], cks[layer], cvq[layer], cvs[layer], lengths, 1)
+            got, (ckq2, cks2, _, _) = decode_attention_stacked(
+                q[:, 0], ckq, cks, cvq, cvs, lengths, l, block_s=64,
+                interpret=INTERPRET)
+            # aliased pass-through preserves the cache contents
+            np.testing.assert_array_equal(np.asarray(ckq2), np.asarray(ckq))
+            np.testing.assert_array_equal(np.asarray(cks2), np.asarray(cks))
+            tol = 2e-4
+        else:
+            ref = attention_with_cache(q, ck[layer], cv[layer], lengths, 1)
+            got, (ck2, cv2) = decode_attention_stacked(
+                q[:, 0], ck, None, cv, None, lengths, l, block_s=64,
+                interpret=INTERPRET)
+            np.testing.assert_array_equal(np.asarray(ck2), np.asarray(ck))
+            tol = 2e-5
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
+                                   rtol=tol, atol=tol)
