@@ -152,7 +152,7 @@ class Engine:
 
         Amortizes the forward over concurrent arrivals (one launch instead
         of len(prompts)); safe for already-active slots because cache
-        writes are masked per slot (update_layer_cache valid mask). Returns
+        writes are masked per slot (scatter_layer_cache valid mask). Returns
         request ids in prompt order.
         """
         free = [i for i, s in enumerate(self.slots) if not s.active]

@@ -1,9 +1,12 @@
 """Static-shape KV cache for decode.
 
-Layout: per layer K/V stacked [L, B, S_max, n_kv, hd] so the scanned layer
-loop indexes its slice; batch slots are independent (continuous batching
-assigns/evicts slots). All updates are `dynamic_update_slice` at per-slot
-positions — no dynamic shapes anywhere.
+Layout: K/V stacked [L, B, n_kv, S_max, hd] (head-major). The stacked
+arrays ride the layer scan's CARRY and are updated in place by
+advanced-index scatters at per-slot positions (``scatter_layer_cache*``)
+— no dynamic shapes anywhere, no per-layer slice materialization (the
+old xs/ys protocol re-read and re-wrote every padded layer slice per
+decode step; see PERF.md "Serving"). Batch slots are independent
+(continuous batching assigns/evicts slots).
 """
 
 from __future__ import annotations
@@ -41,36 +44,6 @@ def init_kv_cache(
         v=jnp.zeros((cfg.num_layers, batch, n_kv, max_len, v_dim), dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
-
-
-def update_layer_cache(
-    cache_k: jax.Array,   # [B, n_kv, S_max, hd] one layer's K
-    cache_v: jax.Array,
-    new_k: jax.Array,     # [B, S_new, n_kv, hd] (token-major, as produced)
-    new_v: jax.Array,
-    lengths: jax.Array,   # [B] current lengths (write offsets)
-    valid: jax.Array | None = None,   # [B] bool: slots actually updating
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter new entries at each slot's current length.
-
-    ``valid`` masks the write per slot (batched prefill of a slot SUBSET:
-    untouched slots re-write their own current window, so a near-full
-    neighbour's history can never be clobbered by the clamped offset —
-    round-1 advisor finding)."""
-    nk = jnp.swapaxes(new_k, 1, 2)   # [B, n_kv, S_new, hd] (tiny at decode)
-    nv = jnp.swapaxes(new_v, 1, 2)
-    if valid is None:
-        valid = jnp.ones(lengths.shape, bool)
-
-    def upd(ck, cv, nk, nv, off, ok):
-        window = nk.shape[1]
-        orig_k = jax.lax.dynamic_slice(ck, (0, off, 0), (ck.shape[0], window, ck.shape[2]))
-        orig_v = jax.lax.dynamic_slice(cv, (0, off, 0), (cv.shape[0], window, cv.shape[2]))
-        ck = jax.lax.dynamic_update_slice(ck, jnp.where(ok, nk, orig_k), (0, off, 0))
-        cv = jax.lax.dynamic_update_slice(cv, jnp.where(ok, nv, orig_v), (0, off, 0))
-        return ck, cv
-
-    return jax.vmap(upd)(cache_k, cache_v, nk, nv, lengths, valid)
 
 
 def scatter_layer_cache(full_k, full_v, layer, new_k, new_v, lengths,
@@ -118,25 +91,6 @@ def scatter_layer_cache_quant(ckq, cks, cvq, cvs, layer, new_k, new_v,
     cvq = cvq.at[layer, bidx, :, pos, :].set(vq, mode="drop")
     cvs = cvs.at[layer, bidx, :, pos].set(vs, mode="drop")
     return ckq, cks, cvq, cvs
-
-
-def scatter_layer_scales(cks, cvs, layer, new_k, new_v, lengths, valid=None):
-    """Scale-vector half of :func:`scatter_layer_cache_quant`: the fused
-    decode kernel writes the int8 CODES in-kernel (aliased, tile-aligned
-    RMW) but single-f32 writes into the (8,128)-tiled scale buffers are
-    illegal DMAs — and these arrays are tiny, so the XLA scatter's loss
-    of in-placeness at the custom-call boundary costs ~nothing here."""
-    _, ks = _quant_vec(new_k)
-    _, vs = _quant_vec(new_v)
-    b, s_new = new_k.shape[:2]
-    s_max = cks.shape[3]
-    pos = lengths[:, None] + jnp.arange(s_new)[None]
-    if valid is not None:
-        pos = jnp.where(valid[:, None], pos, s_max)
-    bidx = jnp.arange(b)[:, None]
-    cks = cks.at[layer, bidx, :, pos].set(ks, mode="drop")
-    cvs = cvs.at[layer, bidx, :, pos].set(vs, mode="drop")
-    return cks, cvs
 
 
 def attention_with_cache(
@@ -213,30 +167,6 @@ def _quant_vec(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     sc = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.round(x.astype(jnp.float32) / sc[..., None]).astype(jnp.int8)
     return q, sc
-
-
-def update_layer_cache_quant(ckq, cks, cvq, cvs, new_k, new_v, lengths,
-                             valid=None):
-    """Quantize new K/V vectors and scatter at each slot's offset (``valid``
-    masks per slot, as in :func:`update_layer_cache`)."""
-    kq, ks = _quant_vec(jnp.swapaxes(new_k, 1, 2))   # [B, n, S_new, hd]
-    vq, vs = _quant_vec(jnp.swapaxes(new_v, 1, 2))
-    if valid is None:
-        valid = jnp.ones(lengths.shape, bool)
-
-    def upd(ckq, cks, cvq, cvs, kq, ks, vq, vs, off, ok):
-        w = kq.shape[1]
-        okq = jax.lax.dynamic_slice(ckq, (0, off, 0), (ckq.shape[0], w, ckq.shape[2]))
-        oks = jax.lax.dynamic_slice(cks, (0, off), (cks.shape[0], w))
-        ovq = jax.lax.dynamic_slice(cvq, (0, off, 0), (cvq.shape[0], w, cvq.shape[2]))
-        ovs = jax.lax.dynamic_slice(cvs, (0, off), (cvs.shape[0], w))
-        ckq = jax.lax.dynamic_update_slice(ckq, jnp.where(ok, kq, okq), (0, off, 0))
-        cks = jax.lax.dynamic_update_slice(cks, jnp.where(ok, ks, oks), (0, off))
-        cvq = jax.lax.dynamic_update_slice(cvq, jnp.where(ok, vq, ovq), (0, off, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, jnp.where(ok, vs, ovs), (0, off))
-        return ckq, cks, cvq, cvs
-
-    return jax.vmap(upd)(ckq, cks, cvq, cvs, kq, ks, vq, vs, lengths, valid)
 
 
 def attention_with_quant_cache(
