@@ -110,7 +110,11 @@ def run_bench(
                 rb = bench_step_chained(bstep, bstate, consts=bconsts,
                                         n1=3, n2=12, repeats=3)
                 best = None
-                for tile in tiles:
+                # full-row n-tiles won the post-round-1 tile study (no lhs
+                # refetch; weight blocks stream once) — add them per
+                # workload since N varies (PERF.md "Tile tuning")
+                cand = tiles + (TileSpec(128, wl.n), TileSpec(256, wl.n))
+                for tile in cand:
                     try:
                         kstep, kstate, kconsts = chain_launcher(
                             make_launcher(scheme, tile), ops)
