@@ -201,9 +201,14 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     b, s_new = tokens.shape
     from functools import partial
 
+    from .decode_attention import supports_manual_decode
+
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
-    fused = s_new == 1 and impl.use_fused_decode(cache.max_len)
+    dims_ok = (supports_manual_decode(cfg.qk_head_dim, cfg.v_head_dim)
+               if cfg.attention_type == "mla"
+               else supports_manual_decode(cfg.head_dim, cfg.head_dim))
+    fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -270,10 +275,14 @@ def forward_cached(
         valid_lengths = jnp.full((b,), s_new, jnp.int32)
     from functools import partial
 
+    from .decode_attention import supports_manual_decode
+
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
-    fused = s_new == 1 and impl.use_fused_decode(cache.max_len)
+    dims_ok = (supports_manual_decode(cfg.qk_head_dim, cfg.v_head_dim)
+               if mla else supports_manual_decode(cfg.head_dim, cfg.head_dim))
+    fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)

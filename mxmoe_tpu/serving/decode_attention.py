@@ -32,6 +32,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def supports_manual_decode(dk: int, dv: int) -> bool:
+    """The manual-DMA stacked kernels slice the cache's lane (head) dim,
+    which Mosaic requires to be 128-aligned. MLA's qk_head_dim = 192
+    (nope 128 + rope 64) is not — those models take the XLA einsum path
+    (decode.py gates on this)."""
+    return dk % 128 == 0 and dv % 128 == 0
+
+
+def _check_head_dims(dk: int, dv: int) -> None:
+    # validate BEFORE Mosaic sees it: a failed remote compile can wedge
+    # the TPU backend for hours (CLAUDE.md hazard)
+    if not supports_manual_decode(dk, dv):
+        raise ValueError(
+            f"stacked decode kernels need 128-aligned head dims, got "
+            f"dk={dk}, dv={dv}; use the XLA path (decode_attn='xla')")
+
+
 def _decode_attn_kernel(*refs, scale, block_s, s_blocks, groups, dv):
     # stacked-cache launches prepend a layer scalar ref (consumed only by
     # the index maps); block loads collapse any leading unit dims so ONE
@@ -438,6 +455,8 @@ def decode_attention_update_stacked(
     quant for the QuantKVCache layout) + length-looped attention, caches
     donated through. Returns ``(out [B, n_h, dv], caches)`` — callers
     MUST carry the returned caches (they alias the inputs)."""
+    if not interpret:
+        _check_head_dims(cache_k.shape[-1], cache_v.shape[-1])
     quant = cache_ks is not None
     b, n_h, dk = q.shape
     nl, _, n_kv, s_max, _ = cache_k.shape
@@ -545,6 +564,8 @@ def decode_attention_stacked(
     aliasing declaration forces XLA to copy the whole cache every step
     (measured: +~1.5 ms/layer at S_max=4096); the alias makes the
     pass-through free. Callers MUST carry the returned caches."""
+    if not interpret:
+        _check_head_dims(cache_k.shape[-1], cache_v.shape[-1])
     quant = cache_ks is not None
     b, n_h, dk = q.shape
     nl, _, n_kv, s_max, _ = cache_k.shape
