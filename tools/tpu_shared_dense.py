@@ -43,8 +43,46 @@ def main():
         return {"x": state["x"] * (1 + 1e-3 * s).astype(state["x"].dtype)}
 
     r = bench_step_chained(xla_step, {"x": x}, consts={"w": wq, "sc": ssc},
-                           n1=3, n2=12, repeats=3)
+                           n1=4, n2=32, repeats=3, target_s=0.15)
     print(json.dumps({"kernel": "xla_int8_dot", "ms": round(r.median_ms, 3),
+                      "tflops": round(flops / r.median_ms / 1e9, 1)}),
+          flush=True)
+
+    def xla_splitk_step(state, cc, parts=2):
+        aq, asc = quantize_act_per_token(state["x"], 8)
+        kpart = K // parts
+        acc = sum(
+            jnp.dot(aq[:, i * kpart:(i + 1) * kpart],
+                    cc["w"][i * kpart:(i + 1) * kpart],
+                    preferred_element_type=jnp.int32)
+            for i in range(parts))
+        o = (acc.astype(jnp.float32) * asc * cc["sc"]).astype(jnp.bfloat16)
+        o = jax.lax.optimization_barrier(o)
+        s = jnp.tanh(jnp.sum(o[0, :8].astype(jnp.float32)) * 1e-3)
+        return {"x": state["x"] * (1 + 1e-3 * s).astype(state["x"].dtype)}
+
+    for parts in (2, 4):
+        r = bench_step_chained(
+            lambda st, cc, _p=parts: xla_splitk_step(st, cc, _p),
+            {"x": x}, consts={"w": wq, "sc": ssc},
+            n1=4, n2=32, repeats=3, target_s=0.15)
+        print(json.dumps({"kernel": f"xla_splitk{parts}",
+                          "ms": round(r.median_ms, 3),
+                          "tflops": round(flops / r.median_ms / 1e9, 1)}),
+              flush=True)
+
+    def xla_bf16w_step(state, cc):
+        # bf16 weights (no act quant): is int8 even winning at this shape?
+        o = jnp.dot(state["x"], cc["wb"],
+                    preferred_element_type=jnp.bfloat16)
+        o = jax.lax.optimization_barrier(o)
+        s = jnp.tanh(jnp.sum(o[0, :8].astype(jnp.float32)) * 1e-3)
+        return {"x": state["x"] * (1 + 1e-3 * s).astype(state["x"].dtype)}
+
+    r = bench_step_chained(xla_bf16w_step, {"x": x},
+                           consts={"wb": wq.astype(jnp.bfloat16)},
+                           n1=4, n2=32, repeats=3, target_s=0.15)
+    print(json.dumps({"kernel": "xla_bf16_dot", "ms": round(r.median_ms, 3),
                       "tflops": round(flops / r.median_ms / 1e9, 1)}),
           flush=True)
 
