@@ -376,7 +376,13 @@ def gmm_w8a8(
     bk = _auto_bk(k, bk)
     assert k % bk == 0, (k, bk)
     ksteps = k // bk
-    if aligned and static_sizes is not None:
+    if aligned:
+        # the maskless epilogue is only sound when the bm-multiple layout
+        # is PROVABLE: with dynamic sizes a misaligned group would let a
+        # boundary tile silently clobber its neighbour's rows
+        assert static_sizes is not None, \
+            "aligned=True requires static_sizes (the maskless epilogue " \
+            "cannot be validated for traced group sizes)"
         assert all(s % bm == 0 for s in static_sizes), (bm, static_sizes)
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
     grid = (*grid2, ksteps)
@@ -575,7 +581,13 @@ def gmm_w4a8_packed(
     assert k2 * 2 == k, (k, k2)
     bm = min(bm, m)
     bn = min(bn, n)
-    if aligned and static_sizes is not None:
+    if aligned:
+        # the maskless epilogue is only sound when the bm-multiple layout
+        # is PROVABLE: with dynamic sizes a misaligned group would let a
+        # boundary tile silently clobber its neighbour's rows
+        assert static_sizes is not None, \
+            "aligned=True requires static_sizes (the maskless epilogue " \
+            "cannot be validated for traced group sizes)"
         assert all(s % bm == 0 for s in static_sizes), (bm, static_sizes)
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 

@@ -34,20 +34,28 @@ def initialize(
 ) -> None:
     """Join (or start) the jax.distributed coordination service.
 
-    No-op for single-process runs (every argument None and no cluster env
-    detected). On TPU pods the arguments auto-detect; on CPU/dev clusters
-    pass them explicitly.
+    MUST run before any other JAX call (jax.distributed's contract) —
+    including in this function: a ``jax.process_count()`` pre-check would
+    itself initialize the XLA backend and make distributed init raise.
+    Idempotent: re-entry while the service is up is a no-op. With every
+    argument None the arguments auto-detect from the cluster environment
+    (TPU pods, SLURM, ...); explicit arguments are for CPU/dev clusters.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        return  # single-process
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except (RuntimeError, ValueError):
+        if coordinator_address is not None or num_processes is not None:
+            raise   # explicit cluster args that failed = a real error
+        # all-None and no cluster environment detected: single process
 
 
 def host_expert_mesh(axis_names: tuple[str, str] = ("host", "expert")) -> Mesh:

@@ -12,8 +12,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..models.configs import MoEConfig
 from ..models.layers import MoEImpl, moe_block, rms_norm
+from .decode_attention import (decode_attention_update_stacked,
+                               supports_manual_decode)
 from .kv_cache import (KVCache, QuantKVCache, attention_with_cache,
                        attention_with_quant_cache, scatter_layer_cache,
                        scatter_layer_cache_quant)
@@ -59,8 +63,6 @@ def _attention_block_cached(x, lp, cfg, cos, sin, ck, cv, layer, lengths,
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
     if fused and s == 1:
-        from .decode_attention import decode_attention_update_stacked
-
         out, (ck, cv) = decode_attention_update_stacked(
             q[:, 0], k[:, 0], v[:, 0], ck, None, cv, None, lengths, layer,
             valid=valid, interpret=interpret)
@@ -112,8 +114,6 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, layer, lengths,
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
     if fused and s == 1:
-        from .decode_attention import decode_attention_update_stacked
-
         out, (ck, cv) = decode_attention_update_stacked(
             q_full[:, 0], k_full[:, 0], v[:, 0], ck, None, cv, None,
             lengths, layer, valid=valid, interpret=interpret)
@@ -144,8 +144,6 @@ def _attention_block_cached_quant(x, lp, cfg, cos, sin, caches, layer,
     q = _apply_rope_bs(q, cos, sin)
     k = _apply_rope_bs(k, cos, sin)
     if fused and s == 1:
-        from .decode_attention import decode_attention_update_stacked
-
         out, (ckq, cks, cvq, cvs) = decode_attention_update_stacked(
             q[:, 0], k[:, 0], v[:, 0], ckq, cks, cvq, cvs, lengths,
             layer, valid=valid, interpret=interpret)
@@ -182,8 +180,6 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, layer,
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
 
     if fused and s == 1:
-        from .decode_attention import decode_attention_update_stacked
-
         out, (ckq, cks, cvq, cvs) = decode_attention_update_stacked(
             q_full[:, 0], k_full[:, 0], v[:, 0], ckq, cks, cvq, cvs,
             lengths, layer, valid=valid, interpret=interpret)
@@ -199,10 +195,6 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, layer,
 def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     """forward_cached over a QuantKVCache (GQA and MLA)."""
     b, s_new = tokens.shape
-    from functools import partial
-
-    from .decode_attention import supports_manual_decode
-
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     dims_ok = (supports_manual_decode(cfg.qk_head_dim, cfg.v_head_dim)
@@ -252,7 +244,10 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     from ..models.model import head_logits
 
     logits = head_logits(params, x, cfg)
-    new_cache = QuantKVCache(nkq, nks, nvq, nvs, cache.lengths + valid_lengths)
+    # clamp at capacity: an unbounded length would drive the manual
+    # decode kernels' read loop past the cache end (OOB DMA)
+    new_len = jnp.minimum(cache.lengths + valid_lengths, cache.max_len)
+    new_cache = QuantKVCache(nkq, nks, nvq, nvs, new_len)
     return logits, new_cache
 
 
@@ -271,12 +266,6 @@ def forward_cached(
     if isinstance(cache, QuantKVCache):
         return _forward_cached_quant(params, tokens, cache, cfg, impl,
                                      valid_lengths)
-    if valid_lengths is None:
-        valid_lengths = jnp.full((b,), s_new, jnp.int32)
-    from functools import partial
-
-    from .decode_attention import supports_manual_decode
-
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
@@ -324,7 +313,8 @@ def forward_cached(
     from ..models.model import head_logits
 
     logits = head_logits(params, x, cfg)
-    new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + valid_lengths)
+    new_len = jnp.minimum(cache.lengths + valid_lengths, cache.max_len)
+    new_cache = KVCache(k=new_k, v=new_v, lengths=new_len)
     return logits, new_cache
 
 

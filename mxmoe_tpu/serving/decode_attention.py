@@ -165,7 +165,10 @@ def _decode_attn_manual_kernel(layer, lengths, q_ref, kq_hbm,
     b = pl.program_id(0)
     h = pl.program_id(1)
     l = layer[0]
-    length = lengths[b]
+    s_max = kq_hbm.shape[-2]
+    # clamp: a full slot (length == s_max, decode.py caps there) must not
+    # push the read loop past the cache end (OOB DMA)
+    length = jnp.minimum(lengths[b], s_max - 1)
     nblk = length // block_s + 1
     g = q_ref.shape[-2]
 
@@ -276,7 +279,12 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
     b = pl.program_id(0)
     h = pl.program_id(1)
     l = layer[0]
-    length = lengths[b]
+    s_max = kq_hbm.shape[-2]
+    # reads clamp so a FULL slot (raw length == s_max) can't DMA past the
+    # cache end; the write keeps the RAW length — its own guard skips the
+    # write at capacity rather than clobbering position s_max-1
+    raw_len = lengths[b]
+    length = jnp.minimum(raw_len, s_max - 1)
     nblk = length // block_s + 1
     g = q_ref.shape[-2]
     cdt = kbuf.dtype
@@ -287,19 +295,18 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
         sc = jnp.maximum(amax, 1e-8) / 127.0
         return jnp.round(x / sc).astype(jnp.int8), sc
 
-    s_max = kq_hbm.shape[-2]
     # single-row DMA into a (8, 128)-tiled HBM buffer is illegal (Mosaic:
     # slice shape along the sublane dim must be 8-aligned), so the write
     # is an 8-row-aligned read-modify-write of the tile row-group holding
     # position ``length``; scale vectors (quant layout) are updated by the
     # XLA scatter outside (tiny f32 arrays — the copies that matter are
     # the int8 code arrays, which stay in-kernel + aliased)
-    base = (length // 8) * 8
-    row = length - base
-    sbase = (length // sw) * sw            # scale RMW block (lane-aligned)
-    scol = length - sbase
+    base = (raw_len // 8) * 8
+    row = raw_len - base
+    sbase = (raw_len // sw) * sw           # scale RMW block (lane-aligned)
+    scol = raw_len - sbase
 
-    @pl.when((valid[b] != 0) & (length < s_max))
+    @pl.when((valid[b] != 0) & (raw_len < s_max))
     def _():
         rmw = [
             (pltpu.make_async_copy(

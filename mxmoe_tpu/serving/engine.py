@@ -99,8 +99,14 @@ class Engine:
         self._last_tokens = np.zeros((ecfg.batch_slots,), np.int32)
         self._results: dict[int, list[int]] = {}
 
-        self._prefill = jax.jit(partial(_prefill_slot, cfg=cfg, impl=impl))
-        self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl))
+        # donate the cache: without it every step copies the whole
+        # stacked KV cache input->output (the copy the in-place scatter
+        # protocol exists to avoid); the engine always adopts the
+        # returned cache, so the old buffer is dead anyway
+        self._prefill = jax.jit(partial(_prefill_slot, cfg=cfg, impl=impl),
+                                donate_argnums=2)
+        self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl),
+                               donate_argnums=2)
         self._batch_prefill = None   # compiled lazily (submit_batch)
 
     # -- request management ------------------------------------------------
@@ -160,7 +166,8 @@ class Engine:
             raise RuntimeError("not enough free slots (drain first)")
         if self._batch_prefill is None:
             self._batch_prefill = jax.jit(
-                partial(forward_cached, cfg=self.cfg, impl=self.impl))
+                partial(forward_cached, cfg=self.cfg, impl=self.impl),
+                donate_argnums=2)
 
         p = self.ecfg.prefill_chunk
         b = self.ecfg.batch_slots

@@ -454,10 +454,22 @@ def _main():
             losses[scheme] = json.load(f)
 
     perf = None
-    if args.perf_table is None and os.path.exists("perf/performance_table.json"):
+    if args.perf_table is None:
         # prefer measured costs over the analytic roofline whenever the
-        # profiler has produced a table (SURVEY §7 risk note)
-        args.perf_table = "perf/performance_table.json"
+        # profiler has produced a table (SURVEY §7 risk note); anchor to
+        # the repo root, not the cwd — and SAY so when falling back
+        from ..config import REPO_ROOT
+
+        for cand in ("perf/performance_table.json",
+                     str(REPO_ROOT / "perf" / "performance_table.json")):
+            if os.path.exists(cand):
+                args.perf_table = cand
+                break
+        else:
+            print("[bits_solver] no measured perf table found; runtime "
+                  "term uses the ANALYTIC roofline (run "
+                  "`python -m mxmoe_tpu.trace.profiler` for measured "
+                  "costs)", flush=True)
     if args.perf_table:
         from .perf_model import load_perf_table
 

@@ -15,11 +15,17 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
-)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# goes through the library entry point (idempotency + ordering contract
+# live there — a jax.process_count() pre-check would break it)
+from mxmoe_tpu.parallel.multihost import initialize  # noqa: E402
+
+initialize(coordinator_address=f"localhost:{port}", num_processes=nproc,
+           process_id=pid)
+initialize(coordinator_address=f"localhost:{port}", num_processes=nproc,
+           process_id=pid)   # re-entry must be a no-op
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
