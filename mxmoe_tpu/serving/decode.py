@@ -318,6 +318,48 @@ def forward_cached(
     return logits, new_cache
 
 
+def decode_scan(
+    params: dict,
+    last_tokens: jax.Array,   # [B] the most recent token per slot
+    cache,
+    n_steps: int,
+    cfg: MoEConfig,
+    impl: MoEImpl = MoEImpl(),
+    valid: jax.Array | None = None,   # [B] int32 active-slot mask
+    temperature: float = 0.0,
+    top_k: int = 0,
+    rng: jax.Array | None = None,
+):
+    """Generate ``n_steps`` tokens in ONE device dispatch.
+
+    A host loop pays a dispatch round-trip per token (~30 ms through the
+    axon tunnel — 1-2 tok/s however fast the step is); scanning the
+    decode step + sampling on device amortizes it to one round-trip per
+    chunk. EOS handling stays on the host (callers run chunks and trim) —
+    a slot's extra tokens past EOS are discarded and its cache slot is
+    re-prefilled from position 0 on reuse, so the over-run is harmless.
+
+    Returns ``(tokens [B, n_steps], cache)``.
+    """
+    b = last_tokens.shape[0]
+    if valid is None:
+        valid = jnp.ones((b,), jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(carry, key):
+        toks, c = carry
+        logits, c = forward_cached(params, toks, c, cfg, impl,
+                                   valid_lengths=valid)
+        nxt = sample_tokens(logits[:, -1], key, temperature, top_k)
+        return (nxt[:, None], c), nxt
+
+    keys = jax.random.split(rng, n_steps)
+    (_, cache), toks = jax.lax.scan(
+        body, (last_tokens[:, None].astype(jnp.int32), cache), keys)
+    return toks.T, cache
+
+
 def sample_tokens(
     logits: jax.Array,        # [B, V] last-position logits
     key: jax.Array,

@@ -108,6 +108,7 @@ class Engine:
         self._decode = jax.jit(partial(forward_cached, cfg=cfg, impl=impl),
                                donate_argnums=2)
         self._batch_prefill = None   # compiled lazily (submit_batch)
+        self._decode_scan = {}       # chunk size -> jitted decode_scan
 
     # -- request management ------------------------------------------------
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> int:
@@ -250,9 +251,53 @@ class Engine:
                 st.active = False
         return sum(1 for s in self.slots if s.active)
 
-    def run_to_completion(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+    def step_chunk(self, n: int = 32) -> int:
+        """``n`` decode steps for all active slots in ONE device dispatch
+        (decode_scan) — one host round-trip per chunk instead of per
+        token. EOS / max_new trimming happens here on the host; a slot's
+        tokens past its stop point are discarded (its cache is
+        re-prefilled from scratch on reuse). Returns #active."""
+        from .decode import decode_scan
+
+        active = [i for i, s in enumerate(self.slots) if s.active]
+        if not active:
+            return 0
+        n = min(n, max(1, min(
+            s.max_new - len(s.generated) for s in self.slots if s.active)))
+        if self._decode_scan.get(n) is None:
+            self._decode_scan[n] = jax.jit(partial(
+                decode_scan, n_steps=n, cfg=self.cfg, impl=self.impl,
+                temperature=self.ecfg.temperature, top_k=self.ecfg.top_k,
+            ), donate_argnums=2)
+        valid = jnp.asarray(
+            [1 if s.active else 0 for s in self.slots], jnp.int32)
+        toks, self.cache = self._decode_scan[n](
+            self.params, jnp.asarray(self._last_tokens), self.cache,
+            valid=valid, rng=self._split_key())
+        toks = np.asarray(toks)                       # [B, n]
+        for i in active:
+            st = self.slots[i]
+            for t in toks[i]:
+                tok = int(t)
+                st.generated.append(tok)
+                self._last_tokens[i] = tok
+                if (len(st.generated) >= st.max_new
+                        or (self.ecfg.eos_token is not None
+                            and tok == self.ecfg.eos_token)):
+                    self._results[st.request_id] = st.generated
+                    st.active = False
+                    break
+            if st.active and int(self.cache.lengths[i]) >= self.ecfg.max_len - 1:
+                self._results[st.request_id] = st.generated
+                st.active = False
+        return sum(1 for s in self.slots if s.active)
+
+    def run_to_completion(self, max_steps: int = 10_000,
+                          chunk: int = 0) -> dict[int, list[int]]:
+        """``chunk > 1`` decodes in on-device chunks (step_chunk)."""
         for _ in range(max_steps):
-            if self.step() == 0:
+            n = self.step_chunk(chunk) if chunk > 1 else self.step()
+            if n == 0:
                 break
         return dict(self._results)
 

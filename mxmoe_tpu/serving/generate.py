@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--quant", default=None, help="uniform scheme, e.g. w8a8_g-1_sym")
     ap.add_argument("--slots", type=int, default=2)
     ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="decode tokens per device dispatch (decode_scan); "
+                         "1 = one host round-trip per token")
     args = ap.parse_args()
 
     from ..models import configs, model as model_mod
@@ -79,7 +82,7 @@ def main():
     rid = eng.submit(prompt, max_new_tokens=args.max_new)
     t_prefill = time.perf_counter() - t0
     t0 = time.perf_counter()
-    results = eng.run_to_completion()
+    results = eng.run_to_completion(chunk=args.chunk)
     t_decode = time.perf_counter() - t0
 
     out = results[rid]

@@ -323,3 +323,19 @@ def test_engine_submit_batch_matches_sequential():
     assert bat.result(s_a) == seq.result(r_a)
     assert bat.result(s_b) == seq.result(r_b)
     assert bat.result(s_c) == seq.result(r_c)
+
+
+def test_engine_chunked_decode_matches_per_step():
+    """step_chunk (N tokens per dispatch via decode_scan) produces exactly
+    the per-step greedy tokens."""
+    cfg, params = _setup(seed=13)
+    eng1 = Engine(params, cfg, EngineConfig(batch_slots=2, max_len=64,
+                                            prefill_chunk=8))
+    r1 = eng1.submit([3, 1, 4], max_new_tokens=9)
+    out1 = eng1.run_to_completion()[r1]
+
+    eng2 = Engine(params, cfg, EngineConfig(batch_slots=2, max_len=64,
+                                            prefill_chunk=8))
+    r2 = eng2.submit([3, 1, 4], max_new_tokens=9)
+    out2 = eng2.run_to_completion(chunk=4)[r2]
+    assert out1 == out2, (out1, out2)
