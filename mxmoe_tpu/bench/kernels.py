@@ -33,7 +33,8 @@ DEFAULT_TILES = (
     TileSpec(256, 256),
     TileSpec(256, 512),
     TileSpec(256, 1024),
-    TileSpec(256, 2816),   # full-row for the canonical N (no lhs refetch)
+    TileSpec(128, 2816),   # full-row for the canonical N (no lhs refetch;
+    TileSpec(256, 2816),   # bm128 full-row is the measured headline tile)
     TileSpec(512, 512),
 )
 

@@ -74,6 +74,21 @@ def build_performance_table(
     for scheme in schemes:
         table[scheme] = {}
         for tile in tiles:
+            # measured-infeasible combos (Mosaic scoped-VMEM overflow at
+            # compile time — the dequant intermediate is fusion-dependent,
+            # so the Python-side _check_vmem estimate cannot see it):
+            # skip them OUTRIGHT rather than ship a compile that fails
+            # remotely (failed Mosaic compiles can wedge the backend,
+            # CLAUDE.md hazard)
+            infeasible = (
+                ("a16" in scheme and tile.bm >= 256 and tile.bn >= 2048)
+                or ("g128" in scheme and tile.bn >= 2048)
+            )
+            if infeasible:
+                if verbose:
+                    print(f"  {scheme} {tile!r}: SKIP (known scoped-VMEM "
+                          f"overflow)", flush=True)
+                continue
             try:
                 tc = profile_scheme_tile(
                     scheme, tile, k=k, n=n, num_experts=num_experts,
