@@ -254,18 +254,40 @@ def _quantize_weights_mixed_onelaunch(operands, w4_mask_per_wl):
     max code (7/127) from their expert's scheme in a single fused quant
     pass (quantize_act_per_token_rowbits). Analog of the reference's
     Fused mode — one persistent launch, per-problem QParams as data
-    (``hz_fused.cuh:14-127``) — with zero in-kernel branching."""
+    (``hz_fused.cuh:14-127``) — with zero in-kernel branching.
+
+    ``BENCH_ALIGNED``: pad every expert's rows to a BENCH_BM multiple
+    (zero rows) so each output tile has a single owner expert — removes
+    the ~(E-1) boundary tiles the unaligned layout computes twice (+23%
+    m-tiles at bm=128/E=60) for ~bm/2 padding rows per expert (+11.7%),
+    and unlocks the maskless epilogue + weight-stationary kernel."""
     import numpy as np
 
     out = []
     for (lhs, rhs, gs, shared), w4_mask in zip(operands, w4_mask_per_wl):
+        sizes = np.asarray(gs)
+        if BENCH_ALIGNED:
+            bm = BENCH_BM
+            starts = np.concatenate([[0], np.cumsum(sizes)])
+            padded = ((sizes + bm - 1) // bm) * bm
+            row_order = np.concatenate([
+                np.concatenate([
+                    np.arange(starts[e], starts[e + 1]),
+                    np.full(padded[e] - sizes[e], -1, np.int64),
+                ])
+                for e in range(len(sizes))
+            ])
+            keep = (row_order >= 0)[:, None]
+            lhs = jnp.take(lhs, jnp.asarray(np.maximum(row_order, 0)),
+                           axis=0) * jnp.asarray(keep, lhs.dtype)
+            sizes = padded
         w = rhs.astype(jnp.float32)
         maxcode = jnp.asarray(np.where(w4_mask, 7.0, 127.0),
                               jnp.float32)[:, None, None]      # [E,1,1]
         wsc = jnp.max(jnp.abs(w), axis=1, keepdims=True) / maxcode
         wq = jnp.round(w / wsc).astype(jnp.int8)
         row_bits = jnp.asarray(
-            np.repeat(np.where(w4_mask, 4.0, 8.0), np.asarray(gs)),
+            np.repeat(np.where(w4_mask, 4.0, 8.0), sizes),
             jnp.float32)                                        # [M]
         sh = None
         if shared is not None:
@@ -273,7 +295,7 @@ def _quantize_weights_mixed_onelaunch(operands, w4_mask_per_wl):
             ssc = jnp.max(jnp.abs(sw), axis=0, keepdims=True) / 127.0
             sh = (shared[0], jnp.round(sw / ssc).astype(jnp.int8), ssc)
         out.append(dict(lhs=lhs, wq=wq, wsc=wsc, bits=row_bits,
-                        gs=tuple(int(x) for x in gs), shared=sh))
+                        gs=tuple(int(x) for x in sizes), shared=sh))
     return out
 
 
@@ -297,11 +319,18 @@ def _mixed_onelaunch_step_factory(qmix):
         for i, ((gs, has_shared), p) in enumerate(zip(statics, cc)):
             lhs = _scaled(p["lhs"], state["s"][i])
             aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
-            o = pallas_gmm.gmm_w8a8(
-                aq, asc, p["wq"], p["wsc"], jnp.asarray(gs, jnp.int32),
-                bm=BENCH_BM, bn=BENCH_BN or p["wq"].shape[-1],
-                static_sizes=gs,
-            )
+            if BENCH_WS:
+                n_full = BENCH_BN or p["wq"].shape[-1]
+                o = pallas_gmm.gmm_w8a8_ws(
+                    aq, asc, p["wq"], p["wsc"], gs, bm=BENCH_BM,
+                    bn=None if n_full == p["wq"].shape[-1] else n_full,
+                )
+            else:
+                o = pallas_gmm.gmm_w8a8(
+                    aq, asc, p["wq"], p["wsc"], jnp.asarray(gs, jnp.int32),
+                    bm=BENCH_BM, bn=BENCH_BN or p["wq"].shape[-1],
+                    static_sizes=gs, aligned=BENCH_ALIGNED,
+                )
             wl = [o]
             if has_shared:
                 saq, sasc = quantize_act_per_token(
