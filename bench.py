@@ -49,6 +49,10 @@ BENCH_ALIGNED = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
 # step, killing the group-switch DMA stall (measured: gate_up 2.0 -> 1.4
 # ms, tools/tpu_ws_check.py). Requires the aligned layout.
 BENCH_WS = os.environ.get("MXMOE_BENCH_WS", "1") != "0" and BENCH_ALIGNED
+# single-pass Pallas act quant (ops/act_quant.py): XLA's amax+quantize
+# lowering reads the activations twice from HBM (0.79 ms/iter on the
+# headline workload vs the 0.46 ms single-read bound)
+BENCH_PALLAS_QUANT = os.environ.get("MXMOE_BENCH_PQUANT", "1") != "0"
 
 from mxmoe_tpu.bench import workloads
 from mxmoe_tpu.bench.timing import bench_step_chained as bench_fn_chained
@@ -303,6 +307,7 @@ def _mixed_onelaunch_step_factory(qmix):
     """Chainable step for the one-launch mixed path (see
     _quantize_weights_mixed_onelaunch). Same dispatch the quantized model
     forward uses (models/layers.py qgemm mixed branch)."""
+    from mxmoe_tpu.ops.act_quant import quantize_rows, quantize_rows_uniform
     from mxmoe_tpu.quant.qparams import quantize_act_per_row_bits
 
     statics = [(p["gs"], p["shared"] is not None) for p in qmix]
@@ -317,8 +322,13 @@ def _mixed_onelaunch_step_factory(qmix):
     def step(state, cc):
         outs = []
         for i, ((gs, has_shared), p) in enumerate(zip(statics, cc)):
-            lhs = _scaled(p["lhs"], state["s"][i])
-            aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
+            if BENCH_PALLAS_QUANT:
+                # chain gain folds into the kernel's single read
+                aq, asc = quantize_rows(p["lhs"], p["bits"],
+                                        gain=1 + 1e-3 * state["s"][i])
+            else:
+                lhs = _scaled(p["lhs"], state["s"][i])
+                aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
             if BENCH_WS:
                 n_full = BENCH_BN or p["wq"].shape[-1]
                 o = pallas_gmm.gmm_w8a8_ws(
@@ -333,8 +343,12 @@ def _mixed_onelaunch_step_factory(qmix):
                 )
             wl = [o]
             if has_shared:
-                saq, sasc = quantize_act_per_token(
-                    _scaled(p["sl"], state["s"][i]), 8)
+                if BENCH_PALLAS_QUANT:
+                    saq, sasc = quantize_rows_uniform(
+                        p["sl"], 8, gain=1 + 1e-3 * state["s"][i])
+                else:
+                    saq, sasc = quantize_act_per_token(
+                        _scaled(p["sl"], state["s"][i]), 8)
                 acc = jnp.dot(saq, p["sw"], preferred_element_type=jnp.int32)
                 wl.append((acc.astype(jnp.float32) * sasc * p["ssc"])
                           .astype(jnp.bfloat16))
