@@ -128,6 +128,11 @@ class MoEImpl:
                                      # gmm_mixed_wo_wxa (measured faster
                                      # than bucketed at every M —
                                      # bench/fused_ab.py, PERF.md)
+    pallas_quant: bool = True        # single-pass Pallas act quant
+                                     # (ops/act_quant.py): XLA's lowering
+                                     # reads activations twice; measured
+                                     # 0.8 ms/step on the headline workload
+                                     # (PERF.md). Bitwise-identical codes.
 
     def use_fused_decode(self, s_max: int | None = None) -> bool:
         """auto: the fused update+attention kernel's cost is ~flat in
@@ -230,8 +235,23 @@ def moe_ffn_ragged_quant(
     """
     from ..quant.qparams import quantize_act_rtn, quantize_act_per_row_bits
     from ..ops import pallas_gmm
+    from ..ops import act_quant
 
     qcfg = impl.quant
+
+    def _aquant_rows(acts, row_bits):
+        """Per-row-bits act quant; single-pass Pallas kernel when enabled
+        (bitwise-identical to the XLA path — tests/test_act_quant.py)."""
+        if impl.pallas_quant:
+            return act_quant.quantize_rows(acts, row_bits,
+                                           interpret=impl.interpret)
+        return quantize_act_per_row_bits(acts, row_bits)
+
+    def _aquant_uniform(acts):
+        if impl.pallas_quant and qcfg.a_sym:
+            return act_quant.quantize_rows_uniform(
+                acts, int(qcfg.a_bits), interpret=impl.interpret)
+        return quantize_act_rtn(acts, qcfg)
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
@@ -262,12 +282,12 @@ def moe_ffn_ragged_quant(
                     gsize=qcfg.w_gsize, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret,
                 )
-            aq, asc = quantize_act_rtn(acts, qcfg) if not mixed else (None, None)
+            aq, asc = _aquant_uniform(acts) if not mixed else (None, None)
             if mixed:
                 bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
                             else "act_bits_down")
                 row_bits = jnp.take(layer_params[bits_key], row_expert)
-                aq, asc = quantize_act_per_row_bits(acts, row_bits)
+                aq, asc = _aquant_rows(acts, row_bits)
             return pallas_gmm.gmm_w4a8_packed(
                 aq, asc, wqp, sc, disp.group_sizes, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret,
@@ -284,7 +304,7 @@ def moe_ffn_ragged_quant(
             # data (per-expert scales, per-row act clip ranges)
             bits_key = "act_bits_gateup" if prefix == "expert_gate_up" else "act_bits_down"
             row_bits = jnp.take(layer_params[bits_key], row_expert)
-            aq, asc = quantize_act_per_row_bits(acts, row_bits)
+            aq, asc = _aquant_rows(acts, row_bits)
             if impl.mixed_weight_only:
                 # layer mixes a16 weight-only experts with w×a ones: the
                 # fused launch keeps a16 rows at full act precision
@@ -317,7 +337,7 @@ def moe_ffn_ragged_quant(
                     aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret,
                 )
-            aq, asc = quantize_act_rtn(acts, qcfg)
+            aq, asc = _aquant_uniform(acts)
             if not qcfg.w_sym:
                 return pallas_gmm.gmm_w8a8_asym(
                     aq, asc, wq, sc, zp, disp.group_sizes, bn=bn,
