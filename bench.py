@@ -157,16 +157,22 @@ def _w8a8_step_factory(qoperands):
               for lhs, wq, wsc, gs, sh in qoperands]
     state0 = {"s": jnp.zeros((len(qoperands),), jnp.float32)}
 
+    def _q8(x, s):
+        if BENCH_PALLAS_QUANT:
+            from mxmoe_tpu.ops.act_quant import quantize_rows_uniform
+
+            return quantize_rows_uniform(x, 8, gain=1 + 1e-3 * s)
+        return quantize_act_per_token(_scaled(x, s), 8)
+
     def step(state, cc):
         outs = []
         for i, (lhs, wq, wsc, gs, sh) in enumerate(cc):
-            aq, asc = quantize_act_per_token(_scaled(lhs, state["s"][i]), 8)
+            aq, asc = _q8(lhs, state["s"][i])
             wl = [pallas_gmm.gmm_w8a8(aq, asc, wq, wsc, gs, bm=BENCH_BM,
                                       bn=wq.shape[-1])]
             if sh is not None:
                 sl, swq, ssc = sh
-                saq, sasc = quantize_act_per_token(
-                    _scaled(sl, state["s"][i]), 8)
+                saq, sasc = _q8(sl, state["s"][i])
                 acc = jnp.dot(saq, swq, preferred_element_type=jnp.int32)
                 wl.append((acc.astype(jnp.float32) * sasc * ssc)
                           .astype(jnp.bfloat16))

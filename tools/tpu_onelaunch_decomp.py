@@ -44,16 +44,21 @@ def main():
     bm = bench.BENCH_BM
     ws = bench.BENCH_WS
 
+    def _quant(p, s):
+        if bench.BENCH_PALLAS_QUANT:
+            from mxmoe_tpu.ops.act_quant import quantize_rows
+
+            return quantize_rows(p["lhs"], p["bits"], gain=1 + 1e-3 * s)
+        return quantize_act_per_row_bits(
+            bench._scaled(p["lhs"], s), p["bits"])
+
     def quant_i(state, cc, i):
-        p = cc[i]
-        lhs = bench._scaled(p["lhs"], state["s"][i])
-        aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
+        aq, asc = _quant(cc[i], state["s"][i])
         return [aq, asc]
 
     def routed_i(state, cc, i):
         p = cc[i]
-        lhs = bench._scaled(p["lhs"], state["s"][i])
-        aq, asc = quantize_act_per_row_bits(lhs, p["bits"])
+        aq, asc = _quant(p, state["s"][i])
         if ws:
             o = pallas_gmm.gmm_w8a8_ws(aq, asc, p["wq"], p["wsc"],
                                        statics[i], bm=bm)
@@ -67,8 +72,14 @@ def main():
 
     def shared_i(state, cc, i):
         p = cc[i]
-        saq, sasc = quantize_act_per_token(
-            bench._scaled(p["sl"], state["s"][i]), 8)
+        if bench.BENCH_PALLAS_QUANT:
+            from mxmoe_tpu.ops.act_quant import quantize_rows_uniform
+
+            saq, sasc = quantize_rows_uniform(
+                p["sl"], 8, gain=1 + 1e-3 * state["s"][i])
+        else:
+            saq, sasc = quantize_act_per_token(
+                bench._scaled(p["sl"], state["s"][i]), 8)
         acc = jnp.dot(saq, p["sw"], preferred_element_type=jnp.int32)
         return [(acc.astype(jnp.float32) * sasc * p["ssc"])
                 .astype(jnp.bfloat16)]
