@@ -73,3 +73,51 @@ def test_mixed_aligned_layout_properties():
         assert np.all(pad_rows == 0)
         assert np.any(lhs[off: off + g_real] != 0)
         off += g_pad
+
+
+def test_onelaunch_aligned_matches_unaligned_bitwise():
+    """The aligned one-launch layout (bench.py default: pad each expert's
+    rows to a bm multiple) must produce bitwise-identical expert outputs
+    to the unaligned layout — padding only inserts zero rows."""
+    from mxmoe_tpu.ops.act_quant import quantize_rows
+    from mxmoe_tpu.quant.qparams import quantize_act_per_row_bits
+
+    wl = GroupGemmWorkload("t", group_sizes=(5, 9, 0, 10), k=32, n=48)
+    key = jax.random.PRNGKey(2)
+    operands = [bench_mod._build_fp_operands(wl, key, dtype=jnp.float32)]
+    mask = np.array([True, False, True, False])
+    gs = np.array(wl.group_sizes)
+    bm = 8
+
+    old_bm, old_aligned = bench_mod.BENCH_BM, bench_mod.BENCH_ALIGNED
+    try:
+        bench_mod.BENCH_BM, bench_mod.BENCH_ALIGNED = bm, False
+        pu = bench_mod._quantize_weights_mixed_onelaunch(operands, [mask])[0]
+        bench_mod.BENCH_ALIGNED = True
+        pa = bench_mod._quantize_weights_mixed_onelaunch(operands, [mask])[0]
+    finally:
+        bench_mod.BENCH_BM, bench_mod.BENCH_ALIGNED = old_bm, old_aligned
+
+    aqu, ascu = quantize_act_per_row_bits(pu["lhs"], pu["bits"])
+    ou = pallas_gmm.gmm_w8a8(
+        aqu, ascu, pu["wq"], pu["wsc"], jnp.asarray(pu["gs"], jnp.int32),
+        bm=bm, bn=wl.n, static_sizes=pu["gs"], interpret=INTERPRET)
+    # aligned path with the Pallas quant kernel (the bench default)
+    aqa, asca = quantize_rows(pa["lhs"], pa["bits"], interpret=INTERPRET)
+    oa = pallas_gmm.gmm_w8a8(
+        aqa, asca, pa["wq"], pa["wsc"], jnp.asarray(pa["gs"], jnp.int32),
+        bm=bm, bn=wl.n, static_sizes=pa["gs"], aligned=True,
+        interpret=INTERPRET)
+    ows = pallas_gmm.gmm_w8a8_ws(
+        aqa, asca, pa["wq"], pa["wsc"], pa["gs"], bm=bm,
+        interpret=INTERPRET)
+
+    padded = ((gs + bm - 1) // bm) * bm
+    st_a = np.concatenate([[0], np.cumsum(padded)])
+    st_u = np.concatenate([[0], np.cumsum(gs)])
+    for e in range(len(gs)):
+        rows_u = np.asarray(ou[st_u[e]: st_u[e] + gs[e]], np.float32)
+        rows_a = np.asarray(oa[st_a[e]: st_a[e] + gs[e]], np.float32)
+        rows_w = np.asarray(ows[st_a[e]: st_a[e] + gs[e]], np.float32)
+        np.testing.assert_array_equal(rows_a, rows_u)
+        np.testing.assert_array_equal(rows_w, rows_a)
