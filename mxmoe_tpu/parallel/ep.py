@@ -236,19 +236,22 @@ def moe_ffn_ep_quant(
     the same int8 MXU grouped kernel as single-chip execution.
     Call inside shard_map. Weights must be pre-quantized (qparams).
     """
-    from ..quant.qparams import quantize_act_per_token
     from ..ops import pallas_gmm
+    from ..ops.act_quant import quantize_rows_uniform
 
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
     e_local = cfg.num_experts // ep
     t_l, h = x_local.shape
+    interpret = ep_cfg.resolve_interpret()
 
     b = _bucket_assignments(x_local, layer_params["router"], cfg, ep,
                             ep_cfg.capacity_factor)
 
-    # quantize ONCE at the source; ship int8 codes + f32 per-token scale
-    xq, xscale = quantize_act_per_token(x_local, a_bits)      # [T_l,H] i8, [T_l,1]
+    # quantize ONCE at the source (single-pass Pallas kernel - XLA's
+    # lowering reads x twice); ship int8 codes + f32 per-token scale
+    xq, xscale = quantize_rows_uniform(x_local, a_bits,
+                                       interpret=interpret)  # [T_l,H] i8
     send_x = _fill_send(b, xq[b.token_ids], ep)
     send_s = _fill_send(b, xscale[b.token_ids, 0], ep)
     send_le = _send_local_exp(b, ep, e_local)
@@ -261,13 +264,12 @@ def moe_ffn_ep_quant(
     rows_s = jnp.take(recv_x.reshape(ep * b.cap, h), srt.order, axis=0)
     rscale_s = jnp.take(recv_s.reshape(ep * b.cap, 1), srt.order, axis=0)
 
-    interpret = ep_cfg.resolve_interpret()
     hh = pallas_gmm.gmm_w8a8(
         rows_s, rscale_s, layer_params["expert_gate_up_q"],
         layer_params["expert_gate_up_sc"], srt.group_sizes, interpret=interpret,
     )
     hh = silu_mul(hh)
-    hq, hscale = quantize_act_per_token(hh, a_bits)
+    hq, hscale = quantize_rows_uniform(hh, a_bits, interpret=interpret)
     out_s = pallas_gmm.gmm_w8a8(
         hq, hscale, layer_params["expert_down_q"],
         layer_params["expert_down_sc"], srt.group_sizes, interpret=interpret,
@@ -333,19 +335,21 @@ def moe_ffn_ep_quant_a4(
     Receivers unpack to int8 and run the same int8 MXU kernel.
     Call inside shard_map; weights pre-quantized.
     """
-    from ..quant.qparams import quantize_act_per_token
     from ..ops import pallas_gmm
+    from ..ops.act_quant import quantize_rows_uniform
 
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
     e_local = cfg.num_experts // ep
     t_l, h = x_local.shape
     assert h % 2 == 0
+    interpret = ep_cfg.resolve_interpret()
 
     b = _bucket_assignments(x_local, layer_params["router"], cfg, ep,
                             ep_cfg.capacity_factor)
 
-    xq, xscale = quantize_act_per_token(x_local, 4)       # codes in [-7, 7]
+    xq, xscale = quantize_rows_uniform(x_local, 4,
+                                       interpret=interpret)  # codes [-7, 7]
     xq_packed = _pack_nibbles_lastdim(xq)                 # [T_l, H//2]
     send_x = _fill_send(b, xq_packed[b.token_ids], ep)
     send_s = _fill_send(b, xscale[b.token_ids, 0], ep)
@@ -360,13 +364,12 @@ def moe_ffn_ep_quant_a4(
     rows_s = jnp.take(rows, srt.order, axis=0)
     rscale_s = jnp.take(recv_s.reshape(ep * b.cap, 1), srt.order, axis=0)
 
-    interpret = ep_cfg.resolve_interpret()
     hh = pallas_gmm.gmm_w8a8(
         rows_s, rscale_s, layer_params["expert_gate_up_q"],
         layer_params["expert_gate_up_sc"], srt.group_sizes, interpret=interpret,
     )
     hh = silu_mul(hh)
-    hq, hscale = quantize_act_per_token(hh, 8)
+    hq, hscale = quantize_rows_uniform(hh, 8, interpret=interpret)
     out_s = pallas_gmm.gmm_w8a8(
         hq, hscale, layer_params["expert_down_q"],
         layer_params["expert_down_sc"], srt.group_sizes, interpret=interpret,
