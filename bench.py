@@ -51,7 +51,11 @@ BENCH_ALIGNED = os.environ.get("MXMOE_BENCH_ALIGNED", "1") != "0"
 BENCH_WS = os.environ.get("MXMOE_BENCH_WS", "1") != "0" and BENCH_ALIGNED
 # single-pass Pallas act quant (ops/act_quant.py): XLA's amax+quantize
 # lowering reads the activations twice from HBM (0.79 ms/iter on the
-# headline workload vs the 0.46 ms single-read bound)
+# headline workload vs the 0.46 ms single-read bound).
+# NOTE: the PQUANT=0/1 A/B compares COST SHAPE, not bits — the kernel
+# applies the chain-feedback gain in f32 (x.astype(f32) * gain) while the
+# XLA arm applies _scaled in bf16 before quantizing, so the two arms
+# quantize slightly different values (harmless for timing).
 BENCH_PALLAS_QUANT = os.environ.get("MXMOE_BENCH_PQUANT", "1") != "0"
 
 from mxmoe_tpu.bench import workloads

@@ -248,7 +248,10 @@ def moe_ffn_ragged_quant(
         return quantize_act_per_row_bits(acts, row_bits)
 
     def _aquant_uniform(acts):
-        if impl.pallas_quant and qcfg.a_sym:
+        # a_bits <= 8 guard: quantize_rows clips bits>=16 to 8 while the XLA
+        # fallback does not — keep an a16 scheme from ever silently taking
+        # the clipped Pallas path if a future call site drops the outer gate
+        if impl.pallas_quant and qcfg.a_sym and qcfg.a_bits <= 8:
             return act_quant.quantize_rows_uniform(
                 acts, int(qcfg.a_bits), interpret=impl.interpret)
         return quantize_act_rtn(acts, qcfg)
@@ -258,7 +261,8 @@ def moe_ffn_ragged_quant(
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed = "act_bits_gateup" in layer_params and (
         "expert_gate_up_q" in layer_params
-        or "expert_gate_up_q_packed" in layer_params)
+        or "expert_gate_up_q_packed" in layer_params
+        or "expert_gate_up_qcat" in layer_params)
     if mixed:
         row_expert = jnp.repeat(
             jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
@@ -268,6 +272,23 @@ def moe_ffn_ragged_quant(
     def qgemm(acts, prefix):
         sc = layer_params[f"{prefix}_sc"]
         k = acts.shape[-1]
+        if f"{prefix}_qcat" in layer_params:
+            # mixed schemes with PACKED w<=4 storage: one launch over the
+            # ragged weight buffer (w4 experts stream half the bytes);
+            # bitwise-identical to the int8-stored one-launch path
+            # (quantize_model_experts_mixed(pack_w4=True))
+            bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
+                        else "act_bits_down")
+            row_bits = jnp.take(layer_params[bits_key], row_expert)
+            aq, asc = _aquant_rows(acts, row_bits)
+            n_out = sc.shape[-1]
+            bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
+            return pallas_gmm.gmm_mixed_packed(
+                aq, asc, layer_params[f"{prefix}_qcat"], sc,
+                disp.group_sizes, layer_params[f"{prefix}_pf"],
+                layer_params[f"{prefix}_blk"], bn=bn,
+                out_dtype=acts.dtype, interpret=impl.interpret,
+            )
         if f"{prefix}_q_packed" in layer_params:
             # nibble-packed w4 weights (convert --pack-int4): half the HBM
             wqp = layer_params[f"{prefix}_q_packed"]
@@ -389,7 +410,8 @@ def moe_block(
         y = moe_ffn_dense(x2d, layer_params, cfg)
     elif impl.quant is not None and (
             "expert_gate_up_q" in layer_params
-            or "expert_gate_up_q_packed" in layer_params):
+            or "expert_gate_up_q_packed" in layer_params
+            or "expert_gate_up_qcat" in layer_params):
         y = moe_ffn_ragged_quant(x2d, layer_params, cfg, impl)
     else:
         y = moe_ffn_ragged(x2d, layer_params, cfg, impl)

@@ -49,9 +49,15 @@ def quantize_rows(
 ) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric quant -> (int8 codes [M,K], f32 scales [M,1])."""
     m, k = x.shape
-    bm = min(bm, m)
+    # keep the row tile at a sublane-safe multiple for the int8 output
+    # (32 rows = one int8 sublane tile): tiny decode batches (m as small as
+    # top_k) would otherwise produce sub-tile int8 OUTPUT blocks, a layout
+    # this kernel family has never compiled on hardware (a failed Mosaic
+    # compile wedges the remote backend — CLAUDE.md). Pallas masks the
+    # out-of-bounds partial block when bm > m.
+    bm = max(32, min(bm, m))
     # auto-shrink the row tile for wide K (full row must stage in VMEM)
-    while bm > 8 and bm * k * (2 * x.dtype.itemsize + 4 + 2) > 12 * 2**20:
+    while bm > 32 and bm * k * (2 * x.dtype.itemsize + 4 + 2) > 12 * 2**20:
         bm //= 2
     gain = jnp.asarray(gain, jnp.float32).reshape(1, 1)
     bits2d = bits_per_row.astype(jnp.float32).reshape(m, 1)

@@ -726,6 +726,250 @@ def gmm_weight_only_packed(
 
 
 # ---------------------------------------------------------------------------
+# Mixed PACKED/int8 one-launch GMM over a ragged weight buffer
+# ---------------------------------------------------------------------------
+
+class MixedGroupMetadata(NamedTuple):
+    group_ids: jax.Array    # [T] group per logical tile
+    m_tile_ids: jax.Array   # [T] output m-tile
+    rhs_blks: jax.Array     # [T] K/2-unit block index into the ragged buffer
+    kts: jax.Array          # [T] k-step within the group (0; 0/1 for int8)
+    lasts: jax.Array        # [T] 1 on the group's final k-step (epilogue)
+    pfs: jax.Array          # [T] 1 = nibble-packed group
+    group_offsets: jax.Array  # [E+1] row starts
+    num_logical: jax.Array  # scalar int32
+
+
+def make_mixed_metadata(
+    group_sizes: jax.Array,  # [E] int32 (traced ok)
+    pflags: jax.Array,       # [E] int32, 1 = packed (traced ok)
+    blk_offsets: jax.Array,  # [E] int32 K/2-unit start of each group's weights
+    m: int,
+    bm: int,
+) -> MixedGroupMetadata:
+    """Logical-tile schedule for the mixed packed/int8 grouped matmul.
+
+    Extends :func:`make_group_metadata` with a per-group K-STEP dimension
+    folded into the tile enumeration: packed groups contribute one k-step
+    per m-tile (their whole K streams as one K/2-row nibble block), int8
+    groups two (upper/lower K halves as two K/2-row blocks). All metadata
+    is data — traced group sizes and per-layer scheme flags ride a scan.
+    """
+    e = group_sizes.shape[0]
+    sizes = group_sizes.astype(jnp.int32)
+    ends = jnp.cumsum(sizes)
+    starts = ends - sizes
+    group_offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])
+
+    first_tile = starts // bm
+    last_tile = jnp.where(sizes > 0, (ends - 1) // bm, first_tile)
+    mtiles = jnp.where(sizes > 0, last_tile - first_tile + 1, 0)
+    ktiles = 2 - pflags.astype(jnp.int32)                  # [E] 1 or 2
+    tiles = mtiles * ktiles
+    num_logical = jnp.sum(tiles)
+
+    max_logical = 2 * (min(_cdiv(m, bm) + e - 1,
+                           _cdiv(m, bm) + min(e, m) - 1))
+    tile_offsets = jnp.cumsum(tiles) - tiles               # exclusive
+    t_idx = jnp.arange(max_logical, dtype=jnp.int32)
+    gid = jnp.repeat(jnp.arange(e, dtype=jnp.int32), tiles,
+                     total_repeat_length=max_logical)
+    gid = jnp.clip(gid, 0, e - 1)
+    within = t_idx - tile_offsets[gid]
+    ktg = ktiles[gid]
+    # k-step innermost: an int8 group's two K-halves visit the same
+    # (m_tile, out block) consecutively, so lhs/out blocks stay in VMEM
+    m_idx = within // ktg
+    kt = jnp.clip(within - m_idx * ktg, 0, 1)
+    m_tile_ids = jnp.clip(first_tile[gid] + m_idx, 0,
+                          max(_cdiv(m, bm) - 1, 0))
+    lasts = (kt == ktg - 1).astype(jnp.int32)
+    rhs_blks = blk_offsets[gid] + kt
+    return MixedGroupMetadata(gid, m_tile_ids, rhs_blks, kt, lasts,
+                              pflags.astype(jnp.int32)[gid],
+                              group_offsets, num_logical)
+
+
+def make_mixed_metadata_static(group_sizes, pflags, m, bm):
+    """Concrete-python mixed metadata: exact tile count = exact grid.
+
+    ``blk_offsets`` are derived here (packed groups: 1 K/2-unit; int8: 2).
+    Returns (metadata, num_tiles, blk_offsets list).
+    """
+    import numpy as np
+
+    sizes = np.asarray(group_sizes, np.int64)
+    pf = np.asarray(pflags, np.int64)
+    e = sizes.shape[0]
+    blk_offsets = np.concatenate([[0], np.cumsum(2 - pf)])[:-1]
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    group_offsets = np.concatenate([[0], ends]).astype(np.int32)
+    gids, mtids, blks, kts, lasts, pfs = [], [], [], [], [], []
+    for g in range(e):
+        if sizes[g] == 0:
+            continue
+        first, last = starts[g] // bm, (ends[g] - 1) // bm
+        nk = 1 if pf[g] else 2
+        for t in range(int(first), int(last) + 1):
+            for kk in range(nk):
+                gids.append(g)
+                mtids.append(t)
+                blks.append(int(blk_offsets[g]) + kk)
+                kts.append(kk)
+                lasts.append(1 if kk == nk - 1 else 0)
+                pfs.append(int(pf[g]))
+    num = max(len(gids), 1)
+    if not gids:
+        gids, mtids, blks, kts, lasts, pfs = [0], [0], [0], [0], [1], [1]
+    arr = lambda x: jnp.asarray(x, jnp.int32)
+    meta = MixedGroupMetadata(
+        arr(gids), arr(mtids), arr(blks), arr(kts), arr(lasts), arr(pfs),
+        jnp.asarray(group_offsets, jnp.int32), jnp.asarray(num, jnp.int32),
+    )
+    return meta, num, [int(b) for b in blk_offsets]
+
+
+def _gmm_mixed_packed_kernel(gids, mtids, blks, kts, lasts, pfs, goffs, nlog,
+                             lhs_ref, asc_ref, rhs_ref, bsc_ref, out_ref,
+                             acc_ref, *, bm, bn, k2, aligned=False):
+    """Mixed packed/int8 body. The rhs block is ALWAYS [K/2, bn] int8:
+    a packed group's nibble block (unpacked in-kernel to its full [K, bn])
+    or one K-half of an int8 group (two consecutive k-steps accumulate in
+    the int32 scratch). Bitwise-identical to the all-int8 one-launch
+    kernel: the packed dot and the two half-K dots are exact int32 sums.
+    Per-problem bitwidths stay data (scales/clip ranges) — the reference's
+    Fused-mode QParams dispatch (``hz_fused.cuh:14-127``) with the STORAGE
+    side of its w4 families (``cta_gemm.cuh:112-286`` packed mainloops)
+    finally realized in the same launch."""
+    t = pl.program_id(1)
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+
+        def _epilogue(acc):
+            res = acc.astype(jnp.float32) * asc_ref[...] * bsc_ref[0]
+            if aligned:
+                out_ref[...] = res.astype(out_ref.dtype)
+            else:
+                mask = _row_mask(mtids[t], goffs[g], goffs[g + 1], bm, bn)
+                out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                         out_ref[...])
+
+        @pl.when(pfs[t] == 1)
+        def _():  # nibble-packed: one k-step covers the full K
+            p = rhs_ref[...].astype(jnp.int32)                 # [K/2, bn]
+            lo = ((p & 0xF) ^ 8) - 8
+            hi = (((p >> 4) & 0xF) ^ 8) - 8
+            w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+            _epilogue(jnp.dot(lhs_ref[...], w,
+                              preferred_element_type=jnp.int32))
+
+        @pl.when(pfs[t] == 0)
+        def _():  # int8: two K-half steps accumulate exactly in int32
+            @pl.when(kts[t] == 0)
+            def _():
+                acc_ref[...] = jnp.dot(lhs_ref[:, :k2], rhs_ref[...],
+                                       preferred_element_type=jnp.int32)
+
+            @pl.when(kts[t] == 1)
+            def _():
+                part = jnp.dot(lhs_ref[:, k2:], rhs_ref[...],
+                               preferred_element_type=jnp.int32)
+                _epilogue(acc_ref[...] + part)
+
+
+def gmm_mixed_packed(
+    lhs_q: jax.Array,        # [M, K] int8 codes
+    lhs_scale: jax.Array,    # [M, 1] f32 per-token scale
+    rhs_cat: jax.Array,      # [R, N] int8 ragged: per expert, 1 K/2-row
+                             # nibble block (packed) or 2 K/2-row int8 blocks
+    rhs_scale: jax.Array,    # [E, 1, N] f32 per-channel scale
+    group_sizes: jax.Array,  # [E] int32
+    pflags: jax.Array,       # [E] int32: 1 = expert's weights nibble-packed
+    blk_offsets: jax.Array | None = None,  # [E] K/2-unit starts (derived
+                             # from pflags when None — requires traced ops)
+    k: int | None = None,    # full contraction dim (required: not derivable
+                             # from the ragged buffer)
+    bm: int = 256,
+    bn: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    static_sizes=None,
+    static_pflags=None,
+    aligned: bool = False,
+) -> jax.Array:
+    """ONE-launch mixed grouped matmul with per-expert PACKED storage.
+
+    The round-2 gap closer: the ILP's avg-bits budget becomes real HBM
+    bytes AND real weight traffic — w<=4 experts stream half the bytes —
+    while every expert still hits the int8 MXU in the same launch
+    (bitwidths as data). Output is bitwise-identical to gmm_w8a8 on the
+    equivalent int8-stored codes. Works with traced sizes/flags (metadata
+    is data), so it rides the layer scan; static variants get exact grids.
+    """
+    m, kdim = lhs_q.shape
+    k = k or kdim
+    assert k == kdim and k % 2 == 0, (k, kdim)
+    k2 = k // 2
+    r, n = rhs_cat.shape
+    assert r % k2 == 0, (r, k2)
+    e = group_sizes.shape[0] if hasattr(group_sizes, "shape") else len(group_sizes)
+    bm = min(bm, m)
+    bn = min(bn, n)
+    if static_sizes is not None and static_pflags is not None:
+        meta, num, _ = make_mixed_metadata_static(static_sizes, static_pflags,
+                                                  m, bm)
+        grid = (_cdiv(n, bn), num)
+        if aligned:
+            assert all(s % bm == 0 for s in static_sizes), (bm, static_sizes)
+    else:
+        assert not aligned, "aligned=True requires static sizes+flags"
+        if blk_offsets is None:
+            pfl = pflags.astype(jnp.int32)
+            blk_offsets = jnp.cumsum(2 - pfl) - (2 - pfl)
+        meta = make_mixed_metadata(group_sizes, pflags, blk_offsets, m, bm)
+        grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+
+    _check_vmem("gmm_mixed_packed",
+                (bm * k, True),                  # lhs int8
+                (k2 * bn, True),                 # rhs block
+                (k * bn, False),                 # unpack intermediate
+                (bm * bn * 4, False),            # int32 scratch
+                (bm * bn * jnp.dtype(out_dtype).itemsize, True))
+    kernel = functools.partial(_gmm_mixed_packed_kernel, bm=bm, bn=bn, k2=k2,
+                               aligned=aligned)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+                pl.BlockSpec((k2, bn), lambda i, t, *s: (s[2][t], i)),
+                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n // max(e, 1),
+            bytes_accessed=m * k + r * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.rhs_blks, meta.kts, meta.lasts,
+      meta.pfs, meta.group_offsets, meta.num_logical.reshape(1),
+      lhs_q, lhs_scale, rhs_cat, rhs_scale)
+
+
+# ---------------------------------------------------------------------------
 # Grouped-scale w×a GMM (g128-class): per-k-group rescale inside the k loop
 # ---------------------------------------------------------------------------
 

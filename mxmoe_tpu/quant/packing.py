@@ -87,6 +87,35 @@ def unpack_int4_rows(packed: jax.Array) -> jax.Array:
     return out.reshape(*packed.shape[:-2], 2 * k2, n).astype(jnp.int8)
 
 
+def build_ragged_mixed(codes_i8: jax.Array, pflags) -> tuple[jax.Array, list[int]]:
+    """Stacked int8 codes [E, K, N] + per-expert packed flags -> the ragged
+    mixed weight buffer consumed by ``ops.pallas_gmm.gmm_mixed_packed``.
+
+    Experts with ``pflags[e]`` true must hold int4-range codes; they are
+    nibble-packed (halves layout) into ONE K/2-row unit. int8 experts span
+    TWO K/2-row units (their upper/lower K halves). Returns
+    (rhs_cat [R, N] int8, blk_offsets) with R = sum over experts of
+    (K/2 if packed else K) — the exact avg-bits HBM footprint.
+    """
+    import numpy as np
+
+    e, k, n = codes_i8.shape
+    assert k % 2 == 0, k
+    pf = np.asarray(pflags, bool)
+    pieces = []
+    blk_offsets = []
+    off = 0
+    for ei in range(e):
+        blk_offsets.append(off)
+        if pf[ei]:
+            pieces.append(pack_int4_halves(codes_i8[ei]))
+            off += 1
+        else:
+            pieces.append(codes_i8[ei])
+            off += 2
+    return jnp.concatenate(pieces, axis=0), blk_offsets
+
+
 def _to_signed_storage(codes: jax.Array, scale: jax.Array, zp: jax.Array,
                        bits: float, sym: bool):
     dtype = storage_dtype_for(bits)

@@ -115,7 +115,9 @@ def quantize_act_per_row_bits(
     return q.astype(jnp.int8), scale[:, None]
 
 
-def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
+def quantize_model_experts_mixed(
+    params: dict, model_cfg, qmodel_cfg, pack_w4: bool = False
+) -> dict:
     """Real-quantize routed experts with per-expert mixed schemes.
 
     TPU-native mixed execution (contrast ``hz_fused.cuh``'s per-scheme CUDA
@@ -124,6 +126,15 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
     per-row clip range (activations), so a mixed layer is ONE grouped
     matmul launch. Emits ``expert_*_q/_sc/_zp`` plus ``act_bits_gateup`` /
     ``act_bits_down`` [L, E] arrays consumed by the ragged quant forward.
+
+    ``pack_w4=True`` stores w<=4 w×a experts NIBBLE-PACKED in a per-layer
+    ragged buffer (``expert_*_qcat [L, R, N]`` + ``_blk``/``_pf`` [L, E]
+    metadata) consumed by ``ops.pallas_gmm.gmm_mixed_packed`` — the ILP's
+    avg-bits budget becomes real HBM bytes and real decode weight traffic
+    (the reference's w4 storage families, ``cta_gemm.cuh:112-286`` +
+    ``quantize.cuh:383-475``), still ONE launch, bitwise-identical outputs.
+    Requires all schemes a_bits<=8 (a16 weight-only mixes keep int8-stored
+    codes for the fused wo+w×a kernel's [E, K, N] operand).
 
     Requires: all routed schemes w_bits<=8, w_sym, w_gsize==-1, a_bits<=8.
     """
@@ -137,9 +148,11 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
         q_acc = jnp.zeros(w.shape, jnp.int8)
         sc_acc = jnp.zeros((*w.shape[:2], 1, w.shape[-1]), jnp.float32)
         zp_acc = jnp.zeros_like(sc_acc)
+        pf_all = []
         for l in range(num_layers):
             lcfg = qmodel_cfg.layer(l)
             buckets: dict[str, list[int]] = {}
+            pf_l = [0] * e
             for ei in range(e):
                 c = lcfg.experts[str(ei)].qmap()[lin]
                 assert (c.w_bits <= 8 and c.w_sym and c.w_gsize == -1
@@ -148,7 +161,13 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
                     f"(a<=8) and weight-only (a>=16) schemes, got "
                     f"{c.scheme_name}"
                 )
+                if pack_w4:
+                    assert c.a_bits <= 8, (
+                        "pack_w4 requires pure w×a mixes (a16 weight-only "
+                        f"experts need int8-stored codes), got {c.scheme_name}")
+                    pf_l[ei] = int(c.w_bits <= 4)
                 buckets.setdefault(c.scheme_name, []).append(ei)
+            pf_all.append(pf_l)
             for scheme, eids in buckets.items():
                 c = lcfg.experts[str(eids[0])].qmap()[lin]
                 idx = jnp.asarray(eids, jnp.int32)
@@ -157,6 +176,26 @@ def quantize_model_experts_mixed(params: dict, model_cfg, qmodel_cfg) -> dict:
                 q_acc = q_acc.at[l, idx].set(qp.q)
                 sc_acc = sc_acc.at[l, idx].set(qp.scale)
                 zp_acc = zp_acc.at[l, idx].set(qp.zp)
+        if pack_w4:
+            from .packing import build_ragged_mixed
+            import numpy as np
+
+            k = w.shape[-2]
+            cats, blks = [], []
+            for l in range(num_layers):
+                cat, blk = build_ragged_mixed(q_acc[l], pf_all[l])
+                cats.append(cat)
+                blks.append(blk)
+            r_max = max(c.shape[0] for c in cats)
+            cats = [jnp.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
+                    for c in cats]
+            new[f"{name}_qcat"] = jnp.stack(cats)          # [L, R, N]
+            new[f"{name}_blk"] = jnp.asarray(blks, jnp.int32)   # [L, E]
+            new[f"{name}_pf"] = jnp.asarray(pf_all, jnp.int32)  # [L, E]
+            new[f"{name}_sc"] = sc_acc
+            # sym-only by the assert above: no zp, and no 8-bit q_acc copy
+            del layers[name]
+            continue
         new[f"{name}_q"] = q_acc
         new[f"{name}_sc"] = sc_acc
         new[f"{name}_zp"] = zp_acc

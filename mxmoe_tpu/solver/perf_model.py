@@ -194,6 +194,15 @@ class AnalyticPerfModel(PerfModel):
             # measurements put it ~10% over the int8-stored kernel at
             # compute-bound shapes (perf/performance_table.json)
             compute *= 1.10
+        # Non-packed weight-only (int8-stored w4a16/w8a16) deliberately gets
+        # NO dequant compute factor: the measured table has w4a16 FASTER
+        # than w16a16 at every shape including deep compute-bound
+        # (8192x11264 — the 0.08*min comment below), i.e. the VPU dequant
+        # multiply hides behind the MXU bf16 dot. Restoring a 1.08 factor
+        # drops validate_analytic_against_measured agreement 0.83 -> 0.78
+        # with every new disagreement a (w16a16, w4a16) pair — the factor
+        # predicts inversions the hardware doesn't show (round-2 advisor
+        # item, resolved by recording this evidence).
         memory = (w_bytes + a_bytes + o_bytes) / self.bw
         # max + beta*min: overlap is imperfect, so the non-dominant term
         # still bleeds through — measured full-row-tile kernels show halved
@@ -214,3 +223,115 @@ class AnalyticPerfModel(PerfModel):
         m = max(int(sum(p[0] for p in probs) / max(len(probs), 1)), 1)
         n = max(int(sum(p[1] for p in probs) / max(len(probs), 1)), 1)
         return self.best_tile(scheme, m, n)
+
+
+class _SchemeCost:
+    """Adapter binding a model+scheme to the TileCost.problem_ms protocol
+    consumed by bits_solver._cost_vectors' fixed point."""
+
+    def __init__(self, model: "OneLaunchPerfModel", scheme: str):
+        self.model, self.scheme = model, scheme
+        self.bm, self.bn = 0, 0
+
+    def problem_ms(self, m: int, n: int) -> float:
+        return self.model.problem_ms(self.scheme, m, n)
+
+
+class OneLaunchPerfModel(PerfModel):
+    """Runtime model of the PRODUCTION one-launch mixed execution.
+
+    The bucketed measured table (``perf/performance_table.json``) costs each
+    scheme as its own launch — but the deployed forward runs every <=8-bit
+    sym w×a expert in ONE int8 launch where per-problem COMPUTE is
+    bitwidth-independent ("bitwidths are data", PERF.md) and the real
+    runtime lever is PACKED w<=4 weight traffic
+    (``quantize_model_experts_mixed(pack_w4=True)`` +
+    ``ops.pallas_gmm.gmm_mixed_packed``). a16 weight-only experts ride the
+    fused wo+w×a launch at the bf16 MXU rate with full-precision act reads.
+
+    Matches the reference's coupling of the solve to the kernel that
+    actually runs (``bits_solver.py:518-542`` costs the fused kernel's
+    tiles). Per-problem cost is the problem's additive share of the launch:
+
+      w×a:  quant(m) + max(2mnk/int8_eff, (w_bytes + mk + 2mn)/bw)
+      a16:  max(2mnk/bf16_eff, (w_bytes + 2mk + 2mn)/bw)
+
+    with w_bytes = nk/2 for packed w<=4 (the discount the bucketed model
+    cannot see) and nk otherwise. Effective rates default to the chained
+    one-launch decomposition measurements (PERF.md: routed GMM 80% of
+    394 int8 TOPS; act quant at the single-read HBM bound) and are
+    refreshed from ``perf/onelaunch_model.json`` when the fit tool has
+    run (``tools/tpu_onelaunch_fit.py``).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        int8_tflops_eff: float = 315.0,
+        bf16_tflops_eff: float = 160.0,
+        hbm_gbps_eff: float = 700.0,
+        quant_gbps_eff: float = 650.0,
+        packed_w4: bool = True,
+    ):
+        self.k = k
+        self.int8 = int8_tflops_eff * 1e12
+        self.bf16 = bf16_tflops_eff * 1e12
+        self.bw = hbm_gbps_eff * 1e9
+        self.qbw = quant_gbps_eff * 1e9
+        self.packed_w4 = packed_w4
+        self.table = {}
+
+    @classmethod
+    def from_fit_json(cls, path: str, k: int, packed_w4: bool = True):
+        with open(path) as f:
+            fit = json.load(f)
+        return cls(
+            k,
+            int8_tflops_eff=float(fit.get("int8_tflops_eff", 315.0)),
+            bf16_tflops_eff=float(fit.get("bf16_tflops_eff", 160.0)),
+            hbm_gbps_eff=float(fit.get("hbm_gbps_eff", 700.0)),
+            quant_gbps_eff=float(fit.get("quant_gbps_eff", 650.0)),
+            packed_w4=packed_w4,
+        )
+
+    def _parse(self, scheme: str):
+        if scheme.endswith("_packed"):
+            scheme = scheme[: -len("_packed")]
+        from ..quant.schemes import parse_scheme
+
+        try:
+            c = parse_scheme(scheme)
+            return float(c.w_bits), float(c.a_bits)
+        except ValueError:
+            return 16.0, 16.0
+
+    def problem_ms(self, scheme: str, m: int, n: int) -> float:
+        wb, ab = self._parse(scheme)
+        k = self.k
+        m = max(m, 1)
+        flops = 2.0 * m * n * k
+        if ab <= 8 and wb <= 8:
+            # one-launch int8 w×a: storage is the only per-scheme lever
+            w_bytes = n * k * (0.5 if (wb <= 4 and self.packed_w4) else 1.0)
+            # single-pass act quant: read bf16 once, write int8 codes
+            quant = m * k * 3.0 / self.qbw
+            gmm = max(flops / self.int8,
+                      (w_bytes + m * k + 2.0 * m * n) / self.bw)
+            return (quant + gmm) * 1e3
+        if ab >= 16 and wb < 16:
+            # fused wo+w×a launch: bf16 dot on in-kernel-dequantized weights
+            w_bytes = n * k * (0.5 if wb <= 4 else 1.0)
+            return max(flops / self.bf16,
+                       (w_bytes + 2.0 * m * k + 2.0 * m * n) / self.bw) * 1e3
+        # bf16 baseline scheme
+        return max(flops / self.bf16,
+                   (2.0 * n * k + 2.0 * m * k + 2.0 * m * n) / self.bw) * 1e3
+
+    def best_tile(self, scheme: str, m: int, n: int):
+        return ("onelaunch", _SchemeCost(self, scheme))
+
+    def bucket_tile(self, scheme: str, probs):
+        # every w×a problem shares the single launch: cost is additive and
+        # tile-free, so the solver's assignment<->tile fixed point converges
+        # immediately (the "tile" never changes)
+        return ("onelaunch", _SchemeCost(self, scheme))

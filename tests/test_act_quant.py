@@ -58,3 +58,22 @@ def test_quantize_rows_wide_k_autoshrinks_tile():
     q, s = quantize_rows_uniform(x, 8, bm=256, interpret=True)
     q_ref, s_ref = quantize_act_per_token(x, 8)
     np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+
+
+@pytest.mark.parametrize("m", [1, 2, 8, 31])
+def test_quantize_rows_tiny_m_sublane_clamp(m):
+    """Decode-size batches (m as small as top_k) must still produce exact
+    codes: the kernel clamps its row tile to a 32-row int8 sublane multiple
+    and relies on Pallas partial-block masking (round-2 advisor: sub-tile
+    int8 OUTPUT blocks are an untested Mosaic layout — never emit them)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((m, 128)), jnp.float32).astype(
+        jnp.bfloat16)
+    bits = jnp.asarray(rng.choice([4.0, 8.0], m), jnp.float32)
+    q_ref, s_ref = quantize_act_per_row_bits(x, bits)
+    q, s = quantize_rows(x, bits, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref))
+    qu, su = quantize_rows_uniform(x, 8, interpret=True)
+    qu_ref, su_ref = quantize_act_per_token(x, 8)
+    np.testing.assert_array_equal(np.asarray(qu), np.asarray(qu_ref))

@@ -437,3 +437,70 @@ def test_gmm_w4a8_packed_ws_matches_unpacked():
         aq, asc, pack_int4_halves(q4), wsc, sizes, bm=bm, bn=128,
         interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_gmm_mixed_packed_matches_int8_all_modes():
+    """ONE-launch mixed packed/int8 GMM (ragged weight buffer, per-expert
+    nibble packing) is bitwise-identical to the all-int8 one-launch kernel
+    in every scheduling mode: traced metadata, static grid, aligned
+    maskless, and under jit with traced sizes. The round-2 storage gap
+    closer — w<=4 experts stream half the weight bytes in the SAME launch
+    (reference storage families ``cta_gemm.cuh:112-286``, fused dispatch
+    ``hz_fused.cuh:14-127``)."""
+    from mxmoe_tpu.quant.packing import build_ragged_mixed
+
+    rng = np.random.default_rng(0)
+    e_, k_, n_ = 6, 256, 384
+    sizes = [96, 0, 128, 33, 257, 64]
+    m = sum(sizes)
+    pflags = np.array([1, 0, 0, 1, 1, 0], np.int32)
+    wq = np.zeros((e_, k_, n_), np.int8)
+    for ei in range(e_):
+        hi = 8 if pflags[ei] else 128
+        wq[ei] = rng.integers(-hi, hi, size=(k_, n_)).astype(np.int8)
+    aq = rng.integers(-128, 128, size=(m, k_)).astype(np.int8)
+    asc = rng.uniform(0.5, 2, (m, 1)).astype(np.float32)
+    wsc = rng.uniform(0.5, 2, (e_, 1, n_)).astype(np.float32)
+    gs = jnp.asarray(sizes, jnp.int32)
+
+    rhs_cat, blk_off = build_ragged_mixed(jnp.asarray(wq), pflags)
+    # ragged buffer realizes the byte budget exactly: K/2 rows per packed
+    # expert, K per int8 expert
+    assert rhs_cat.shape[0] == sum(
+        k_ // 2 if pflags[ei] else k_ for ei in range(e_))
+
+    ref = pallas_gmm.gmm_w8a8(
+        jnp.asarray(aq), jnp.asarray(asc), jnp.asarray(wq), jnp.asarray(wsc),
+        gs, bm=64, bn=128, interpret=INTERPRET)
+
+    out_dyn = pallas_gmm.gmm_mixed_packed(
+        jnp.asarray(aq), jnp.asarray(asc), rhs_cat, jnp.asarray(wsc), gs,
+        jnp.asarray(pflags), bm=64, bn=128, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_dyn))
+
+    out_st = pallas_gmm.gmm_mixed_packed(
+        jnp.asarray(aq), jnp.asarray(asc), rhs_cat, jnp.asarray(wsc), gs,
+        jnp.asarray(pflags), bm=64, bn=128, interpret=INTERPRET,
+        static_sizes=sizes, static_pflags=list(pflags))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_st))
+
+    sizes_al = [64, 0, 128, 64, 256, 64]
+    m2 = sum(sizes_al)
+    aq2 = rng.integers(-128, 128, size=(m2, k_)).astype(np.int8)
+    asc2 = rng.uniform(0.5, 2, (m2, 1)).astype(np.float32)
+    ref2 = pallas_gmm.gmm_w8a8(
+        jnp.asarray(aq2), jnp.asarray(asc2), jnp.asarray(wq),
+        jnp.asarray(wsc), jnp.asarray(sizes_al, jnp.int32), bm=64, bn=128,
+        interpret=INTERPRET)
+    out_al = pallas_gmm.gmm_mixed_packed(
+        jnp.asarray(aq2), jnp.asarray(asc2), rhs_cat, jnp.asarray(wsc),
+        jnp.asarray(sizes_al, jnp.int32), jnp.asarray(pflags), bm=64, bn=128,
+        interpret=INTERPRET, static_sizes=sizes_al,
+        static_pflags=list(pflags), aligned=True)
+    np.testing.assert_array_equal(np.asarray(ref2), np.asarray(out_al))
+
+    f = jax.jit(lambda a, s, rc, ws, g, pf: pallas_gmm.gmm_mixed_packed(
+        a, s, rc, ws, g, pf, bm=64, bn=128, interpret=INTERPRET))
+    out_j = f(jnp.asarray(aq), jnp.asarray(asc), rhs_cat, jnp.asarray(wsc),
+              gs, jnp.asarray(pflags))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_j))
