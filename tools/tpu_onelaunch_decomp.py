@@ -80,7 +80,7 @@ def main():
         else:
             saq, sasc = quantize_act_per_token(
                 bench._scaled(p["sl"], state["s"][i]), 8)
-        acc = jnp.dot(saq, p["sw"], preferred_element_type=jnp.int32)
+        acc = bench._shared_int8_dot(saq, p["sw"])
         return [(acc.astype(jnp.float32) * sasc * p["ssc"])
                 .astype(jnp.bfloat16)]
 
