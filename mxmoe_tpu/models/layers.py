@@ -133,6 +133,12 @@ class MoEImpl:
                                      # reads activations twice; measured
                                      # 0.8 ms/step on the headline workload
                                      # (PERF.md). Bitwise-identical codes.
+    ep_moe: object = None            # multi-chip routed MoE block
+                                     # ((x [B,S,H], lp, cfg) -> y, built by
+                                     # parallel.ep.make_ep_moe_block): the
+                                     # cached decode/forward paths run the
+                                     # EP all-to-all inside the step when
+                                     # set (serving over a device mesh)
 
     def use_fused_decode(self, s_max: int | None = None) -> bool:
         """auto: the fused update+attention kernel's cost is ~flat in
@@ -384,14 +390,36 @@ def moe_ffn_ragged_quant(
 
 
 def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
-    x_in = x2d
-    if "act_bits_shared" in layer_params:
-        bits = layer_params["act_bits_shared"]  # [2] (gate_up input, down input)
-        x_in = _act_fq_per_row(x2d, jnp.full((x2d.shape[0],), bits[0]))
-    h = silu_mul(x_in @ layer_params["shared_gate_up"])
-    if "act_bits_shared" in layer_params:
-        h = _act_fq_per_row(h, jnp.full((h.shape[0],), bits[1]))
-    out = h @ layer_params["shared_down"]
+    if "shared_gate_up_q" in layer_params:
+        # REAL-quantized shared expert (quantize_model_experts_mixed):
+        # per-token int8 act quant at the config's act bits + int8 MXU
+        # dots with the 2-way K-split on tall-narrow weights (exact;
+        # ops.gmm.int8_dot_ksplit) — same execution class the headline
+        # bench uses for the shared block
+        from ..ops.gmm import int8_dot_ksplit
+        from ..quant.qparams import quantize_act_per_row_bits
+
+        t = x2d.shape[0]
+        bits = layer_params["act_bits_shared"]          # [2]
+
+        def qdot(acts, name, b):
+            aq, asc = quantize_act_per_row_bits(
+                acts, jnp.full((t,), b, jnp.float32))
+            acc = int8_dot_ksplit(aq, layer_params[f"{name}_q"])
+            return (acc.astype(jnp.float32) * asc
+                    * layer_params[f"{name}_sc"]).astype(x2d.dtype)
+
+        h = silu_mul(qdot(x2d, "shared_gate_up", bits[0]))
+        out = qdot(h, "shared_down", bits[1])
+    else:
+        x_in = x2d
+        if "act_bits_shared" in layer_params:
+            bits = layer_params["act_bits_shared"]  # [2] (gate_up, down input)
+            x_in = _act_fq_per_row(x2d, jnp.full((x2d.shape[0],), bits[0]))
+        h = silu_mul(x_in @ layer_params["shared_gate_up"])
+        if "act_bits_shared" in layer_params:
+            h = _act_fq_per_row(h, jnp.full((h.shape[0],), bits[1]))
+        out = h @ layer_params["shared_down"]
     if cfg.has_shared_expert_gate:
         gate = jax.nn.sigmoid(x2d @ layer_params["shared_gate"])  # [T, 1]
         out = out * gate.astype(out.dtype)

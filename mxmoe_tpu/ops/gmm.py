@@ -53,3 +53,21 @@ def gmm(
 
         return pallas_gmm.gmm_bf16(lhs, rhs, group_sizes)
     raise ValueError(f"unknown gmm backend {backend!r}")
+
+
+def int8_dot_ksplit(aq: jax.Array, wq: jax.Array) -> jax.Array:
+    """Dense int8 dot -> int32, 2-way K-split on tall-narrow weights.
+
+    XLA's int8 dot collapses at tall-narrow shapes (K=5632, N=2048:
+    ~120 TFLOPS vs 339 at K=2048/N=11264, PERF.md "Shared-expert");
+    summing two K-half dots in int32 restores the rate and is EXACT
+    (int32 accumulation — bitwise-identical output). The shared-expert
+    execution path for real-quantized models (models.layers
+    shared_expert_ffn, bench.py _shared_int8_dot)."""
+    k, n = wq.shape
+    if k >= 2 * n and k % 2 == 0:
+        h = k // 2
+        return (jnp.dot(aq[:, :h], wq[:h], preferred_element_type=jnp.int32)
+                + jnp.dot(aq[:, h:], wq[h:],
+                          preferred_element_type=jnp.int32))
+    return jnp.dot(aq, wq, preferred_element_type=jnp.int32)

@@ -404,3 +404,38 @@ def make_ep_moe_quant_a4_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig())
         out_specs=out_specs,
         check_vma=False,
     )
+
+
+def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
+                      ep_cfg: EPConfig = EPConfig()):
+    """EP MoE as a drop-in ``moe_block`` replacement for the CACHED paths.
+
+    Returns ``block(x [B, S, H], layer_params, cfg) -> y [B, S, H]`` that
+    runs the routed experts through the shard_map all-to-all (experts
+    sharded over ``ep_cfg.axis``, tokens data-parallel over the same axis)
+    and adds the shared expert (GSPMD dense/int8 dots, replicated
+    weights). Assign to ``MoEImpl.ep_moe`` to make the serving decode step
+    (``serving.decode.forward_cached``) multi-chip — the round-2 verdict's
+    missing serving+EP composition (#6): cache sharded over slots,
+    experts over the expert axis, one EP A2A inside every cached step.
+    """
+    from ..models.layers import shared_expert_ffn
+
+    ep_fn = (make_ep_moe_quant_fn(cfg, mesh, ep_cfg) if quantized
+             else make_ep_moe_fn(cfg, mesh, ep_cfg))
+
+    def block(x: jax.Array, lp: dict, cfg_: MoEConfig) -> jax.Array:
+        b, s, hdim = x.shape
+        x2d = x.reshape(-1, hdim)
+        if quantized:
+            y = ep_fn(x2d, lp["router"],
+                      lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
+                      lp["expert_down_q"], lp["expert_down_sc"])
+        else:
+            y = ep_fn(x2d, lp["router"], lp["expert_gate_up"],
+                      lp["expert_down"])
+        if cfg_.shared_expert_intermediate_size > 0:
+            y = y + shared_expert_ffn(x2d, lp, cfg_)
+        return y.reshape(b, s, hdim)
+
+    return block

@@ -81,6 +81,93 @@ def bench_ep_scaling(
     return rows
 
 
+def bench_decode_scaling(
+    cfg,
+    device_counts: list[int],
+    slots_per_device: int = 8,
+    max_len: int = 256,
+    quantized: bool = True,
+    steps: int = 32,
+) -> list[dict]:
+    """Weak-scaling DECODE tokens/s: full cached serving step (attention +
+    KV update + EP MoE all-to-all) over the slot-sharded Engine layout —
+    the serving leg of the BASELINE tokens/s north star (round-2 verdict
+    #6). Per-device slot count constant; each step decodes one token per
+    slot through serving.decode.forward_cached with MoEImpl.ep_moe."""
+    import dataclasses as _dc
+    import time
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.layers import MoEImpl
+    from ..parallel.ep import make_ep_moe_block
+    from ..parallel.sharded import ep_param_shardings
+    from ..serving.decode import forward_cached
+    from ..serving.kv_cache import init_kv_cache
+
+    params = model_mod.init_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.float32)
+    if quantized:
+        from ..quant.qparams import quantize_model_experts_uniform
+        from ..quant.schemes import QLinearConfig
+
+        qc = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8,
+                           a_sym=True)
+        params = quantize_model_experts_uniform(params, qc)
+        impl0 = MoEImpl(kind="ragged", quant=qc,
+                        interpret=jax.default_backend() == "cpu")
+    else:
+        impl0 = MoEImpl(kind="ragged",
+                        interpret=jax.default_backend() == "cpu")
+
+    rows = []
+    base_rate = None
+    for nd in device_counts:
+        if len(jax.devices()) < nd:
+            continue
+        mesh = Mesh(np.array(jax.devices()[:nd]), axis_names=("expert",))
+        b = slots_per_device * nd
+        impl = _dc.replace(impl0, ep_moe=make_ep_moe_block(
+            cfg, mesh, quantized, EPConfig(capacity_factor=4.0)))
+        p = jax.device_put(params, ep_param_shardings(params, mesh))
+        cache = init_kv_cache(cfg, b, max_len, jnp.bfloat16)
+        shard = lambda a, ax: jax.device_put(a, NamedSharding(
+            mesh, P(*[("expert" if i == ax else None)
+                      for i in range(a.ndim)])))
+        cache = type(cache)(*( [shard(a, 1) for a in list(cache)[:-1]]
+                               + [shard(list(cache)[-1], 0)]))
+
+        def step(carry, _):
+            toks, cache = carry
+            logits, cache = forward_cached(p, toks[:, None], cache, cfg,
+                                           impl)
+            return (jnp.argmax(logits[:, 0], -1).astype(jnp.int32), cache), None
+
+        @jax.jit
+        def run(toks, cache):
+            (toks, cache), _ = jax.lax.scan(step, (toks, cache), None,
+                                            length=steps)
+            return toks, cache
+
+        toks0 = jnp.zeros((b,), jnp.int32)
+        with mesh:
+            t, c = run(toks0, cache)            # compile + warm
+            t.block_until_ready()
+            t0 = time.perf_counter()
+            t, c = run(t, c)
+            np.asarray(t)                        # readback fences the chain
+            dt = time.perf_counter() - t0
+        rate = b * steps / dt
+        if base_rate is None:
+            base_rate = rate / nd
+        rows.append({
+            "devices": nd, "slots": b, "decode_steps": steps,
+            "tokens_per_s_decode": round(rate, 1),
+            "scaling_efficiency": round(rate / (base_rate * nd), 4),
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -88,6 +175,8 @@ def main():
     ap.add_argument("--experts", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--decode", action="store_true",
+                    help="also run the serving-decode weak-scaling rows")
     args = ap.parse_args()
 
     import dataclasses
@@ -100,6 +189,10 @@ def main():
     rows = bench_ep_scaling(cfg, args.devices, args.tokens, args.quantized)
     for r in rows:
         print(json.dumps(r))
+    if args.decode:
+        cfg_d = dataclasses.replace(cfg, num_layers=2)
+        for r in bench_decode_scaling(cfg_d, args.devices):
+            print(json.dumps(r))
 
 
 if __name__ == "__main__":

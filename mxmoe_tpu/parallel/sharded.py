@@ -73,25 +73,24 @@ def make_sharded_forward(
 
 def ep_param_shardings(params: dict, mesh, quantized: bool = False):
     """NamedShardings for the hybrid forward: expert arrays sharded on the
-    'expert' axis (dim E), everything else replicated (DP on tokens)."""
+    mesh axis (dim E = axis 1 of the stacked [L, E, ...] layout),
+    everything else replicated (DP on tokens). Structure-generic: walks
+    the whole pytree so quantized variants (``expert_*_q/_sc``,
+    ``lm_head_q``) and future keys shard correctly without editing this
+    function."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def spec_for(name, arr):
-        if name.startswith("expert_"):
-            return P(None, "expert", *([None] * (arr.ndim - 2)))
+    (axis,) = mesh.axis_names
+
+    def spec_for(path, arr):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        # packed ragged buffers ([L, R, N] + metadata) have no clean expert
+        # dim; the EP path consumes int8-stored codes, so replicate these
+        if name.endswith(("_qcat", "_blk", "_pf")):
+            return P(*([None] * arr.ndim))
+        if name.startswith("expert_") and arr.ndim >= 2:
+            return P(None, axis, *([None] * (arr.ndim - 2)))
         return P(*([None] * arr.ndim))
 
-    ns = lambda s: NamedSharding(mesh, s)
-    out = {
-        "embed": ns(P(None, None)),
-        "final_norm": ns(P(None)),
-        "lm_head": ns(P(None, None)),
-        "layers": {
-            k: ns(spec_for(k, v)) for k, v in params["layers"].items()
-        },
-    }
-    if "dense_layers" in params:
-        out["dense_layers"] = {
-            k: ns(P(*([None] * v.ndim))) for k, v in params["dense_layers"].items()
-        }
-    return out
+    return jax.tree_util.tree_map_with_path(
+        lambda p, a: NamedSharding(mesh, spec_for(p, a)), params)

@@ -405,6 +405,11 @@ def _main():
     ap.add_argument("--seqlen", type=int, default=512)
     ap.add_argument("--layers", type=int, default=None, help="truncate depth (smoke)")
     ap.add_argument("--save_dir", default="calib")
+    ap.add_argument("--w_clip", default=None, choices=[None, "mse"],
+                    help="mse = grid-searched weight clip on every scheme "
+                         "(reference find_params mse branch, "
+                         "gptq.py:96-110); equivalent to the _mse scheme "
+                         "suffix")
     args = ap.parse_args()
 
     from .schemes import parse_scheme
@@ -427,6 +432,10 @@ def _main():
         args.nsamples, args.seqlen, vocab_size=cfg.vocab_size
     )
     schemes = {name: parse_scheme(name) for name in args.qcfg}
+    if args.w_clip == "mse":
+        import dataclasses as _dc
+
+        schemes = {n: _dc.replace(c, w_clip="mse") for n, c in schemes.items()}
     calibrate_model(
         params, tokens, cfg, schemes,
         save_dir=args.save_dir, model_id=args.model, method=args.method,

@@ -56,9 +56,17 @@ def _find_group_params(w_cols: jax.Array, bits: float, sym: bool,
     """Min-max scale/zp over the last axis (one group of columns).
 
     w_cols: [..., g] -> scale/zp [...]. Same math as rtn.quantize groups.
-    """
+    ``clip="mse"`` grid-searches the shrink minimizing reconstruction
+    error (reference ``Quantizer.find_params`` mse branch,
+    ``gptq.py:96-110`` — the reference runs exactly this search inside
+    GPTQ's find_params call)."""
     upper, lower, eff_sym = quant_ranges(bits, sym)
-    if eff_sym:
+    if isinstance(clip, str):
+        from .rtn import _mse_search
+
+        assert clip == "mse", clip
+        scale, zp = _mse_search(w_cols, upper, lower, eff_sym, (1.0, 1.0))
+    elif eff_sym:
         scale = jnp.max(jnp.abs(w_cols), axis=-1) / upper
         zp = jnp.zeros_like(scale)
     else:

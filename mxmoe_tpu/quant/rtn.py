@@ -59,14 +59,67 @@ def quant_ranges(bits: float, sym: bool) -> tuple[float, float, bool]:
     return upper, 0.0, False
 
 
+# MSE clip-search grid (reference Quantizer.find_params defaults,
+# ``gptq.py:51-133``, grid loop ``:96-110``)
+MSE_MAXSHRINK = 0.8
+MSE_GRID = 100
+MSE_NORM = 2.4
+
+
+def _mse_search(tg, upper, lower, eff_sym, clip):
+    """Per-group grid search over clip shrink p ∈ (1-maxshrink, 1]:
+    pick the (scale, zp) minimizing Σ|W - Q(W)|^norm (reference
+    ``find_params`` with mse=True). Vectorized over every group; the grid
+    rides a fori_loop so the whole search stays one fused program."""
+    if eff_sym:
+        gmax0 = jnp.max(jnp.abs(tg), axis=-1)
+        gmin0 = -gmax0
+    else:
+        gmin0 = jnp.min(tg, axis=-1) * clip[0]
+        gmax0 = jnp.max(tg, axis=-1) * clip[1]
+
+    def qerr(scale, zp):
+        safe = jnp.where(scale == 0, 1.0, scale)
+        codes = jnp.round(jnp.clip(
+            (tg - zp[..., None]) / safe[..., None], lower, upper))
+        deq = codes * safe[..., None] + zp[..., None]
+        return jnp.sum(jnp.abs(deq - tg) ** MSE_NORM, axis=-1)
+
+    def body(i, carry):
+        best_err, best_s, best_z = carry
+        p = 1.0 - i.astype(jnp.float32) * (MSE_MAXSHRINK / MSE_GRID)
+        if eff_sym:
+            s = p * gmax0 / upper
+            z = jnp.zeros_like(s)
+        else:
+            mn, mx = p * gmin0, p * gmax0
+            s = (mx - mn) / upper
+            z = mn
+        err = qerr(s, z)
+        take = err < best_err
+        return (jnp.where(take, err, best_err),
+                jnp.where(take, s, best_s),
+                jnp.where(take, z, best_z))
+
+    init = (jnp.full(gmax0.shape, jnp.inf, jnp.float32),
+            jnp.zeros_like(gmax0), jnp.zeros_like(gmax0))
+    _, scale, zp = jax.lax.fori_loop(0, MSE_GRID, body, init)
+    return scale, zp
+
+
 def quantize(
     t: jax.Array,
     bits: float,
     gsize: int,
     sym: bool,
-    clip: tuple[float, float] = (1.0, 1.0),
+    clip: tuple[float, float] | str = (1.0, 1.0),
 ) -> QuantResult:
     """Grouped min-max quantization along the last axis (``quant.py:40-84``).
+
+    ``clip="mse"`` grid-searches the clip shrink per group minimizing the
+    reconstruction error (reference ``Quantizer.find_params`` mse branch,
+    ``gptq.py:96-110``: maxshrink 0.8, 100 points, norm 2.4) — the
+    standard w4 accuracy lever (round-2 verdict missing #2).
 
     Returns integer codes (as float32) with per-group scale/zp such that
     ``dequant = codes * scale + zp``.
@@ -80,7 +133,10 @@ def quantize(
     upper, lower, eff_sym = quant_ranges(bits, sym)
     tg, g = _group_reshape(t.astype(jnp.float32), gsize)
 
-    if eff_sym:
+    if isinstance(clip, str):
+        assert clip == "mse", clip
+        scale, zp = _mse_search(tg, upper, lower, eff_sym, (1.0, 1.0))
+    elif eff_sym:
         gmax = jnp.max(jnp.abs(tg), axis=-1)
         scale = gmax / upper
         zp = jnp.zeros_like(scale)

@@ -37,7 +37,7 @@ class QLinearConfig:
     w_bits: float = 16
     w_gsize: int = -1
     w_sym: bool = False
-    w_clip: tuple[float, float] = (1.0, 1.0)
+    w_clip: "tuple[float, float] | str" = (1.0, 1.0)  # or "mse" (grid search)
     a_bits: float = 16
     a_gsize: int = -1
     a_sym: bool = True
@@ -81,7 +81,9 @@ class QLinearConfig:
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
-        d["w_clip"] = list(self.w_clip)
+        # w_clip may be the "mse" sentinel (grid-searched clip, rtn.quantize)
+        d["w_clip"] = (self.w_clip if isinstance(self.w_clip, str)
+                       else list(self.w_clip))
         d["a_clip"] = list(self.a_clip)
         d["w_bits"] = _canon_bits(self.w_bits)
         d["a_bits"] = _canon_bits(self.a_bits)
@@ -89,11 +91,12 @@ class QLinearConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "QLinearConfig":
+        wc = d.get("w_clip", (1.0, 1.0))
         return QLinearConfig(
             w_bits=d.get("w_bits", 16),
             w_gsize=d.get("w_gsize", -1),
             w_sym=d.get("w_sym", False),
-            w_clip=tuple(d.get("w_clip", (1.0, 1.0))),
+            w_clip=wc if isinstance(wc, str) else tuple(wc),
             a_bits=d.get("a_bits", 16),
             a_gsize=d.get("a_gsize", -1),
             a_sym=d.get("a_sym", True),
@@ -123,8 +126,11 @@ def parse_scheme(name: str) -> QLinearConfig:
     a = float(m.group("a"))
     g = int(m.group("g"))
     sym = m.group("sym") == "sym"
+    # "_mse" suffix: grid-searched weight clip (rtn._mse_search; the
+    # reference's find_params mse branch, gptq.py:96-110)
+    w_clip = "mse" if "_mse" in (m.group("suffix") or "") else (1.0, 1.0)
     return QLinearConfig(
-        w_bits=_canon_bits(w), w_gsize=g, w_sym=sym,
+        w_bits=_canon_bits(w), w_gsize=g, w_sym=sym, w_clip=w_clip,
         a_bits=_canon_bits(a), a_gsize=g, a_sym=sym,
     )
 

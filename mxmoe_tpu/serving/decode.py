@@ -19,8 +19,8 @@ from ..models.layers import MoEImpl, moe_block, rms_norm
 from .decode_attention import (decode_attention_update_stacked,
                                supports_manual_decode)
 from .kv_cache import (KVCache, QuantKVCache, attention_with_cache,
-                       attention_with_quant_cache, scatter_layer_cache,
-                       scatter_layer_cache_quant)
+                       attention_with_quant_cache, mla_cache_k_dim,
+                       scatter_layer_cache, scatter_layer_cache_quant)
 
 
 def _rope_tables(cfg: MoEConfig, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -112,16 +112,27 @@ def _attention_block_cached_mla(x, lp, cfg, cos, sin, ck, cv, layer, lengths,
     k_pe = jnp.broadcast_to(k_pe, (b, s, n_h, d_rope))
     q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+    # MLA cache lanes are padded to a 128 multiple (kv_cache.mla_cache_k_dim)
+    # so the fused kernel's lane-sliced DMA is legal; the zero tail adds
+    # nothing to q.k. Scale stays 1/sqrt(qk_head_dim), NOT the padded dim.
+    dk_c = ck.shape[-1]
+    if dk_c > d_qk:
+        padw = ((0, 0), (0, 0), (0, 0), (0, dk_c - d_qk))
+        q_full = jnp.pad(q_full, padw)
+        k_full = jnp.pad(k_full, padw)
+    mla_scale = 1.0 / float(d_qk) ** 0.5
 
     if fused and s == 1:
         out, (ck, cv) = decode_attention_update_stacked(
             q_full[:, 0], k_full[:, 0], v[:, 0], ck, None, cv, None,
-            lengths, layer, valid=valid, interpret=interpret)
+            lengths, layer, valid=valid, scale=mla_scale,
+            interpret=interpret)
         out = out[:, None]
     else:
         ck, cv = scatter_layer_cache(ck, cv, layer, k_full, v, lengths,
                                      valid=valid)
-        out = attention_with_cache(q_full, ck[layer], cv[layer], lengths, s)
+        out = attention_with_cache(q_full, ck[layer], cv[layer], lengths, s,
+                                   scale=mla_scale)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], ck, cv
 
 
@@ -178,17 +189,28 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, layer,
     k_pe = jnp.broadcast_to(k_pe, (b, s, n_h, d_rope))
     q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
     k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+    # MLA cache lanes are padded to a 128 multiple (kv_cache.mla_cache_k_dim)
+    # so the fused kernel's lane-sliced DMA is legal; the zero tail adds
+    # nothing to q.k. Scale stays 1/sqrt(qk_head_dim), NOT the padded dim.
+    dk_c = ckq.shape[-1]
+    if dk_c > d_qk:
+        padw = ((0, 0), (0, 0), (0, 0), (0, dk_c - d_qk))
+        q_full = jnp.pad(q_full, padw)
+        k_full = jnp.pad(k_full, padw)
+    mla_scale = 1.0 / float(d_qk) ** 0.5
 
     if fused and s == 1:
         out, (ckq, cks, cvq, cvs) = decode_attention_update_stacked(
             q_full[:, 0], k_full[:, 0], v[:, 0], ckq, cks, cvq, cvs,
-            lengths, layer, valid=valid, interpret=interpret)
+            lengths, layer, valid=valid, scale=mla_scale,
+            interpret=interpret)
         out = out[:, None]
     else:
         ckq, cks, cvq, cvs = scatter_layer_cache_quant(
             ckq, cks, cvq, cvs, layer, k_full, v, lengths, valid=valid)
         out = attention_with_quant_cache(q_full, ckq[layer], cks[layer],
-                                         cvq[layer], cvs[layer], lengths, s)
+                                         cvq[layer], cvs[layer], lengths, s,
+                                         scale=mla_scale)
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
@@ -197,7 +219,9 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     b, s_new = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
-    dims_ok = (supports_manual_decode(cfg.qk_head_dim, cfg.v_head_dim)
+    # MLA: K-cache lanes padded to 128 (kv_cache.mla_cache_k_dim), so the
+    # fused kernel is legal whenever v_head_dim is lane-aligned
+    dims_ok = (supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
                if cfg.attention_type == "mla"
                else supports_manual_decode(cfg.head_dim, cfg.head_dim))
     fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
@@ -228,7 +252,9 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
 
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
-                out = h + moe_block(norm_h, lp, cfg, impl)
+                moe = (impl.ep_moe if impl.ep_moe is not None
+                       else lambda a, b, c: moe_block(a, b, c, impl))
+                out = h + moe(norm_h, lp, cfg)
             return (out, caches, l + 1), None
         return body
 
@@ -269,7 +295,7 @@ def forward_cached(
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     positions = cache.lengths[:, None] + jnp.arange(s_new)[None]
     mla = cfg.attention_type == "mla"
-    dims_ok = (supports_manual_decode(cfg.qk_head_dim, cfg.v_head_dim)
+    dims_ok = (supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
                if mla else supports_manual_decode(cfg.head_dim, cfg.head_dim))
     fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
@@ -298,7 +324,9 @@ def forward_cached(
 
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
-                out = h + moe_block(norm_h, lp, cfg, impl)
+                moe = (impl.ep_moe if impl.ep_moe is not None
+                       else lambda a, b, c: moe_block(a, b, c, impl))
+                out = h + moe(norm_h, lp, cfg)
             return (out, ck, cv, l + 1), None
         return body
 

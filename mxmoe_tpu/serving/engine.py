@@ -80,7 +80,32 @@ class Engine:
     """Minimal continuous-batching loop over the cached forward."""
 
     def __init__(self, params, cfg: MoEConfig, ecfg: EngineConfig = EngineConfig(),
-                 impl: MoEImpl = MoEImpl()):
+                 impl: MoEImpl = MoEImpl(), mesh=None, ep_cfg=None):
+        """``mesh``: serve over a device mesh — params get EP shardings
+        (experts split over the mesh axis, dense parts replicated), the KV
+        cache is sharded over SLOTS on the same axis, and every cached
+        step runs the routed experts through the EP all-to-all
+        (parallel.ep.make_ep_moe_block). batch_slots must be a multiple of
+        the mesh size. Single-axis hybrid layout per the scaling-book
+        recipe (SURVEY §2.3); round-2 verdict #6."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.ep import EPConfig, make_ep_moe_block
+            from ..parallel.sharded import ep_param_shardings
+
+            (axis,) = mesh.axis_names
+            assert ecfg.batch_slots % mesh.size == 0, (
+                ecfg.batch_slots, mesh.size)
+            ep_cfg = ep_cfg or EPConfig(axis=axis)
+            quantized = "expert_gate_up_q" in params["layers"]
+            impl = dataclasses.replace(
+                impl, ep_moe=make_ep_moe_block(cfg, mesh, quantized, ep_cfg))
+            params = jax.device_put(
+                params, ep_param_shardings(params, mesh, quantized))
+            self._mesh, self._axis = mesh, axis
+        else:
+            self._mesh = self._axis = None
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -93,6 +118,22 @@ class Engine:
         else:
             self.cache = init_kv_cache(cfg, ecfg.batch_slots, ecfg.max_len,
                                        ecfg.cache_dtype)
+        if self._mesh is not None:
+            # cache sharded over SLOTS (batch axis 1 on every KV leaf,
+            # axis 0 on lengths): decode data-parallelism rides the same
+            # mesh axis the experts shard over
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def _shard(a, batch_axis):
+                spec = [None] * a.ndim
+                spec[batch_axis] = self._axis
+                return jax.device_put(
+                    a, NamedSharding(self._mesh, P(*spec)))
+
+            arrays = list(self.cache)
+            arrays = ([_shard(a, 1) for a in arrays[:-1]]
+                      + [_shard(arrays[-1], 0)])
+            self.cache = type(self.cache)(*arrays)
         self.slots = [_Slot() for _ in range(ecfg.batch_slots)]
         self.key = jax.random.PRNGKey(0)
         self._next_req = 0

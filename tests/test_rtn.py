@@ -116,3 +116,68 @@ def test_qmodel_config_json_roundtrip(tmp_path):
     assert back.layers["1"].experts["2"].down.w_bits == 8
     assert back.lt["0"] == (0.5, 1.25)
     assert back.all_schemes() == ["w8a8_g-1_sym"]
+
+
+def test_mse_clip_search_reduces_reconstruction_error():
+    """w_clip="mse" (reference find_params mse branch, gptq.py:96-110):
+    the grid-searched clip must not increase — and on outlier-heavy
+    weights must strictly decrease — per-group ||W - Q(W)||^2.4."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # heavy-tailed rows: a few large outliers per group make the min-max
+    # scale waste most codes, exactly where clipping pays
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    w[:, ::17] *= 8.0
+    wj = jnp.asarray(w)
+
+    def err(clip):
+        fq = fake_quant(wj, 4, -1, True, clip)
+        return float(jnp.sum(jnp.abs(fq - wj) ** 2.4))
+
+    e_minmax = err((1.0, 1.0))
+    e_mse = err("mse")
+    assert e_mse < e_minmax * 0.9, (e_mse, e_minmax)
+
+    # asym + grouped paths run too (no crash, no regression)
+    for sym, g in ((False, 32), (True, 32), (False, -1)):
+        fq_m = fake_quant(wj, 4, g, sym, "mse")
+        fq_0 = fake_quant(wj, 4, g, sym)
+        em = float(jnp.sum(jnp.abs(fq_m - wj) ** 2.4))
+        e0 = float(jnp.sum(jnp.abs(fq_0 - wj) ** 2.4))
+        assert em <= e0 * 1.0001, (sym, g, em, e0)
+
+
+def test_mse_clip_through_scheme_grammar_and_json():
+    from mxmoe_tpu.quant.schemes import QLinearConfig, parse_scheme
+
+    c = parse_scheme("w4a4_g-1_sym_mse")
+    assert c.w_clip == "mse" and c.w_bits == 4 and c.a_bits == 4
+    rt = QLinearConfig.from_dict(c.to_dict())
+    assert rt.w_clip == "mse"
+    assert parse_scheme("w4a4_g-1_sym").w_clip == (1.0, 1.0)
+
+
+def test_mse_clip_in_gptq_find_params():
+    """GPTQ's per-channel params honor the mse clip (reference runs the
+    grid inside GPTQ's find_params)."""
+    import numpy as np
+
+    from mxmoe_tpu.quant.gptq import _find_group_params
+    from mxmoe_tpu.quant.rtn import quant_ranges
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((2, 8, 64)).astype(np.float32)
+    w[..., ::13] *= 6.0
+    wj = jnp.asarray(w)
+    upper, lower, _ = quant_ranges(4, True)
+
+    def recon_err(scale, zp):
+        q = jnp.clip(jnp.round((wj - zp[..., None]) / scale[..., None]),
+                     lower, upper)
+        deq = q * scale[..., None] + zp[..., None]
+        return float(jnp.sum(jnp.abs(deq - wj) ** 2.4))
+
+    s0, z0 = _find_group_params(wj, 4, True)
+    sm, zm = _find_group_params(wj, 4, True, clip="mse")
+    assert recon_err(sm, zm) < recon_err(s0, z0)

@@ -1,0 +1,78 @@
+"""Multi-chip serving decode: Engine over a device mesh == single-device.
+
+Round-2 verdict #6: the EP sharded forward and the KV-cache/decode stack
+finally meet — cache sharded over slots, experts over the mesh axis, the
+EP all-to-all running INSIDE every cached decode step
+(parallel.ep.make_ep_moe_block via MoEImpl.ep_moe).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mxmoe_tpu.models import configs, model
+from mxmoe_tpu.models.layers import MoEImpl
+from mxmoe_tpu.parallel.ep import EPConfig
+from mxmoe_tpu.serving.engine import Engine, EngineConfig
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def _setup(seed=0, quantized=False):
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(seed),
+                               dtype=jnp.float32)
+    impl = MoEImpl(kind="ragged", interpret=INTERPRET)
+    if quantized:
+        from mxmoe_tpu.quant.qparams import quantize_model_experts_uniform
+        from mxmoe_tpu.quant.schemes import QLinearConfig
+
+        qcfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True,
+                             a_bits=8, a_sym=True)
+        params = quantize_model_experts_uniform(params, qcfg)
+        impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+    return cfg, params, impl
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_mesh_engine_decodes_like_single_device(quantized):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    cfg, params, impl = _setup(quantized=quantized)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    # capacity high enough that the EP path provably drops nothing -> the
+    # two engines must produce the SAME greedy tokens
+    ep_cfg = EPConfig(axis="expert", capacity_factor=float(cfg.num_experts))
+    ecfg = EngineConfig(batch_slots=4, max_len=64, temperature=0.0)
+
+    prompts = [[3, 14, 15, 9, 2], [6, 5, 35, 8], [9, 7, 9], [31, 4, 1, 5, 9]]
+
+    def run(mesh_arg):
+        eng = Engine(params, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg if mesh_arg is not None else None)
+        rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    ref = run(None)
+    got = run(mesh)
+    assert got == ref, (got, ref)
+
+
+def test_mesh_engine_shards_cache_and_experts():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    cfg, params, impl = _setup(quantized=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    eng = Engine(params, cfg, EngineConfig(batch_slots=4, max_len=32),
+                 impl, mesh=mesh)
+    # expert weights sharded over the mesh axis, cache over slots
+    gq = eng.params["layers"]["expert_gate_up_q"]
+    assert "expert" in str(gq.sharding.spec), gq.sharding
+    assert gq.sharding.spec[1] == "expert"
+    k = list(eng.cache)[0]
+    assert k.sharding.spec[1] == "expert", k.sharding
+    lengths = list(eng.cache)[-1]
+    assert lengths.sharding.spec[0] == "expert", lengths.sharding
