@@ -421,13 +421,22 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     """
     from ..models.layers import shared_expert_ffn
 
-    ep_fn = (make_ep_moe_quant_fn(cfg, mesh, ep_cfg) if quantized
-             else make_ep_moe_fn(cfg, mesh, ep_cfg))
+    if quantized == "mixed":
+        ep_fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg)
+    elif quantized:
+        ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
+    else:
+        ep_fn = make_ep_moe_fn(cfg, mesh, ep_cfg)
 
     def block(x: jax.Array, lp: dict, cfg_: MoEConfig) -> jax.Array:
         b, s, hdim = x.shape
         x2d = x.reshape(-1, hdim)
-        if quantized:
+        if quantized == "mixed":
+            y = ep_fn(x2d, lp["router"],
+                      lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
+                      lp["expert_down_q"], lp["expert_down_sc"],
+                      lp["act_bits_gateup"], lp["act_bits_down"])
+        elif quantized:
             y = ep_fn(x2d, lp["router"],
                       lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
                       lp["expert_down_q"], lp["expert_down_sc"])
@@ -439,3 +448,108 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
         return y.reshape(b, s, hdim)
 
     return block
+
+
+def moe_ffn_ep_mixed(
+    x_local: jax.Array,          # [T_l, H]
+    layer_params: dict,          # router + expert_*_q/_sc [E_l,...] sharded
+                                 # + act_bits_gateup/_down [E] REPLICATED
+    cfg: MoEConfig,
+    ep_cfg: EPConfig = EPConfig(),
+) -> jax.Array:
+    """Expert parallelism for MIXED per-expert schemes (the ILP's output).
+
+    The one-launch mixed execution model composed with the A2A: bitwidths
+    are data end to end. Each (token, k) assignment is quantized AT THE
+    SOURCE to its DESTINATION expert's act bits (per-row-bits Pallas
+    kernel) and ships int8 codes + per-row scales; receivers run the same
+    ONE int8 grouped launch as single-chip mixed execution (weights are
+    int8-stored mixed codes with per-expert scales). Call inside
+    shard_map; weights from quantize_model_experts_mixed, expert arrays
+    sharded [E_l, ...], act-bits arrays replicated [E] (source-side
+    routing needs GLOBAL expert bits).
+    """
+    from ..ops import pallas_gmm
+    from ..ops.act_quant import quantize_rows
+
+    axis = ep_cfg.axis
+    ep = jax.lax.axis_size(axis)
+    e_local = cfg.num_experts // ep
+    t_l, h = x_local.shape
+    interpret = ep_cfg.resolve_interpret()
+
+    b = _bucket_assignments(x_local, layer_params["router"], cfg, ep,
+                            ep_cfg.capacity_factor)
+    flat_exp = b.dest * e_local + b.local_exp                 # global ids
+
+    # per-assignment act quant at the destination expert's gateup bits
+    rows = x_local[b.token_ids]                               # [T_l*k, H]
+    row_bits = jnp.take(layer_params["act_bits_gateup"], flat_exp)
+    rq, rscale = quantize_rows(rows, row_bits, interpret=interpret)
+
+    send_x = _fill_send(b, rq, ep)
+    send_s = _fill_send(b, rscale[:, 0], ep)
+    send_le = _send_local_exp(b, ep, e_local)
+
+    recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)
+    recv_s = jax.lax.all_to_all(send_s, axis, 0, 0)
+    recv_le = jax.lax.all_to_all(send_le, axis, 0, 0)
+
+    srt = _sort_recv(recv_le, e_local)
+    rows_s = jnp.take(recv_x.reshape(ep * b.cap, h), srt.order, axis=0)
+    rscale_s = jnp.take(recv_s.reshape(ep * b.cap, 1), srt.order, axis=0)
+
+    # ONE int8 launch over this shard's experts (bitwidths live in the
+    # codes and scales — models/layers.py qgemm mixed branch, EP edition)
+    hh = pallas_gmm.gmm_w8a8(
+        rows_s, rscale_s, layer_params["expert_gate_up_q"],
+        layer_params["expert_gate_up_sc"], srt.group_sizes,
+        out_dtype=x_local.dtype, interpret=interpret,
+    )
+    hh = silu_mul(hh)
+    # down-proj act bits from the LOCAL expert owning each sorted row;
+    # padding rows (sentinel e_local) read a clamped bits entry — their
+    # outputs never travel back (slot_safe gather excludes them)
+    le_sorted = jnp.take(recv_le.reshape(-1), srt.order)
+    shard0 = jax.lax.axis_index(axis) * e_local
+    gbits = jnp.take(layer_params["act_bits_down"],
+                     jnp.clip(shard0 + le_sorted, 0, cfg.num_experts - 1))
+    hq, hscale = quantize_rows(hh, gbits, interpret=interpret)
+    out_s = pallas_gmm.gmm_w8a8(
+        hq, hscale, layer_params["expert_down_q"],
+        layer_params["expert_down_sc"], srt.group_sizes,
+        out_dtype=x_local.dtype, interpret=interpret,
+    )
+    unsort = jnp.argsort(srt.order, stable=True)
+    out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, b.cap, h)
+
+    back = jax.lax.all_to_all(out_rows, axis, 0, 0)
+    y = _combine(back, b, t_l, x_local.dtype)
+    return _maybe_stats(y, b, ep_cfg)
+
+
+def make_ep_moe_mixed_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
+    """shard_map wrapper of the MIXED-scheme EP MoE block."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
+        lp = {
+            "router": router,
+            "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
+            "expert_down_q": dq, "expert_down_sc": dsc,
+            "act_bits_gateup": bits_g, "act_bits_down": bits_d,
+        }
+        return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+
+    ax = ep_cfg.axis
+    out_specs = (P(ax, None), P(ax)) if ep_cfg.return_stats else P(ax, None)
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(ax, None), P(None, None),
+                  P(ax, None, None), P(ax, None, None),
+                  P(ax, None, None), P(ax, None, None),
+                  P(None), P(None)),
+        out_specs=out_specs,
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )

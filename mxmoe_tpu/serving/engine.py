@@ -98,7 +98,11 @@ class Engine:
             assert ecfg.batch_slots % mesh.size == 0, (
                 ecfg.batch_slots, mesh.size)
             ep_cfg = ep_cfg or EPConfig(axis=axis)
-            quantized = "expert_gate_up_q" in params["layers"]
+            lp = params["layers"]
+            if "expert_gate_up_q" in lp and "act_bits_gateup" in lp:
+                quantized = "mixed"     # per-expert schemes over the A2A
+            else:
+                quantized = "expert_gate_up_q" in lp
             impl = dataclasses.replace(
                 impl, ep_moe=make_ep_moe_block(cfg, mesh, quantized, ep_cfg))
             params = jax.device_put(

@@ -303,3 +303,44 @@ def test_capacity_factor_from_freq():
     cf2 = capacity_factor_from_freq(skewed, ep=4, margin=1.0)
     assert abs(cf2 - 4 * (16 / 22)) < 1e-6
     assert cf2 > 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mixed_ep_matches_single_device():
+    """MIXED per-expert schemes over the EP all-to-all == the single-device
+    one-launch mixed forward (round-3: the ILP's output composed with
+    expert parallelism — bitwidths as data across the wire: assignments
+    quantize at the SOURCE to the destination expert's act bits)."""
+    from mxmoe_tpu.models.layers import MoEImpl, moe_ffn_ragged_quant
+    from mxmoe_tpu.parallel.ep import make_ep_moe_mixed_fn
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    ep = 4
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)
+    })})
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lp = {k: v[0] for k, v in qp["layers"].items()}
+
+    t = 64
+    x = jax.random.normal(jax.random.PRNGKey(6), (t, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=True)
+    ref = moe_ffn_ragged_quant(x, lp, cfg, impl)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    fn = make_ep_moe_mixed_fn(
+        cfg, mesh, EPConfig(capacity_factor=float(cfg.top_k * ep)))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"],
+                          lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
+                          lp["expert_down_q"], lp["expert_down_sc"],
+                          lp["act_bits_gateup"], lp["act_bits_down"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

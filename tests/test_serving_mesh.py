@@ -76,3 +76,38 @@ def test_mesh_engine_shards_cache_and_experts():
     assert k.sharding.spec[1] == "expert", k.sharding
     lengths = list(eng.cache)[-1]
     assert lengths.sharding.spec[0] == "expert", lengths.sharding
+
+
+def test_mesh_engine_mixed_model_decodes_like_single_device():
+    """Mesh Engine with a MIXED-scheme quantized model (per-expert w4/w8,
+    real int8 codes) greedy-decodes the same tokens as single-device."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)
+    }) for l in range(2)})
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    ep_cfg = EPConfig(axis="expert", capacity_factor=float(cfg.num_experts))
+    ecfg = EngineConfig(batch_slots=4, max_len=48, temperature=0.0)
+    prompts = [[3, 14, 15], [6, 5, 35, 8], [9, 7], [31, 4, 1, 5]]
+
+    def run(mesh_arg):
+        eng = Engine(qp, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg if mesh_arg is not None else None)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    ref = run(None)
+    got = run(mesh)
+    assert got == ref, (got, ref)
