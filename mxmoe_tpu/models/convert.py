@@ -43,6 +43,8 @@ def convert(
     pack_int4: bool = False,
     dtype=jnp.bfloat16,
     layers: int | None = None,
+    qconfig: str | None = None,
+    pack_w4: bool = True,
 ) -> dict:
     from .configs import config_for
     from .hf_loader import params_from_safetensors
@@ -53,8 +55,21 @@ def convert(
     params = params_from_safetensors(ckpt_dir, cfg, dtype=dtype)
 
     meta = {"model": model_id, "dtype": str(dtype), "quant": quant,
-            "pack_int4": bool(pack_int4)}
-    if quant:
+            "pack_int4": bool(pack_int4), "qconfig": qconfig,
+            "pack_w4": bool(pack_w4 and qconfig)}
+    if qconfig:
+        # the ILP's solved MIXED allocation (bits_solver qconfig JSON):
+        # quantize once offline, serve forever — per-expert int8 codes,
+        # w<=4 experts nibble-packed into the ragged one-launch buffer
+        # (pack_w4; exactly avg-bits/16 of the bf16 bytes in the artifact)
+        assert quant is None, "--qconfig and --quant are mutually exclusive"
+        from ..quant.qparams import quantize_model_experts_mixed
+        from ..quant.schemes import QModelConfig
+
+        qmc = QModelConfig.load(qconfig)
+        params = quantize_model_experts_mixed(params, cfg, qmc,
+                                              pack_w4=pack_w4)
+    elif quant:
         from ..quant.schemes import parse_scheme
         from ..quant.qparams import quantize_model_experts_uniform
 
@@ -95,9 +110,16 @@ def _main():
     ap.add_argument("--quant", default=None)
     ap.add_argument("--pack-int4", action="store_true")
     ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--qconfig", default=None,
+                    help="solved mixed qconfig JSON (bits_solver export): "
+                         "per-expert real quant, w<=4 experts nibble-packed")
+    ap.add_argument("--no-pack-w4", action="store_true",
+                    help="with --qconfig: keep int8-stored codes (skip the "
+                         "ragged packed buffer)")
     args = ap.parse_args()
     convert(args.ckpt, args.model, args.out, args.quant, args.pack_int4,
-            layers=args.layers)
+            layers=args.layers, qconfig=args.qconfig,
+            pack_w4=not args.no_pack_w4)
     print(f"converted -> {args.out}")
 
 

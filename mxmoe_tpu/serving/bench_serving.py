@@ -52,7 +52,25 @@ def main():
                               num_layers=args.layers)
     params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
-    if args.quant and args.quant != "none":
+    if args.quant == "mixed" or args.quant == "mixed-packed":
+        # alternating w4a4/w8a8 per-expert mix (the ILP decides WHICH
+        # experts in production; serving cost depends only on the split);
+        # mixed-packed stores w4 experts nibble-packed (half the weight
+        # bytes at decode — gmm_mixed_packed one-launch)
+        from ..quant.qparams import quantize_model_experts_mixed
+        from ..quant.schemes import (QExpertConfig, QLayerConfig,
+                                     QModelConfig, parse_scheme)
+
+        schemes = [parse_scheme("w4a4_g-1_sym"), parse_scheme("w8a8_g-1_sym")]
+        qmc = QModelConfig(layers={str(l): QLayerConfig(experts={
+            str(e): QExpertConfig(*([schemes[e % 2]] * 3))
+            for e in range(cfg.num_experts)
+        }) for l in range(cfg.num_layers)})
+        params = quantize_model_experts_mixed(
+            params, cfg, qmc, pack_w4=args.quant == "mixed-packed")
+        impl = MoEImpl(kind="ragged", quant="mixed",
+                       decode_attn=args.decode_attn)
+    elif args.quant and args.quant != "none":
         from ..quant.qparams import quantize_model_experts_uniform
         from ..quant.schemes import parse_scheme
 

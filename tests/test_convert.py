@@ -119,3 +119,45 @@ def test_packed_int4_forward_runs():
     logits_unpacked = model.forward_logits(qp2, toks, cfg, impl)
     np.testing.assert_allclose(np.asarray(logits_packed),
                                np.asarray(logits_unpacked), rtol=1e-5, atol=1e-5)
+
+
+def test_convert_mixed_qconfig_packed_roundtrip(tmp_path, monkeypatch):
+    """The full offline production pipeline: solved mixed qconfig JSON ->
+    convert (real per-expert quant, w<=4 experts nibble-packed into the
+    ragged one-launch buffer) -> orbax save/load -> forward equality with
+    the in-memory quantized model. The artifact's expert bytes equal the
+    avg-bits budget (round-3: the ILP's output is a SERVABLE checkpoint)."""
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    _write_fake_hf_ckpt(tmp_path, cfg)
+
+    from mxmoe_tpu.models import convert as cv
+    from mxmoe_tpu.models import configs as cfgs
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    monkeypatch.setattr(cfgs, "config_for", lambda m: cfg)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmc = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(4)
+    }) for l in range(2)})
+    qpath = tmp_path / "mixed_qconfig.json"
+    qmc.save(str(qpath))
+
+    qp = cv.convert(str(tmp_path / "hf"), "tiny", str(tmp_path / "out_mix"),
+                    qconfig=str(qpath), dtype=jnp.float32)
+    assert "expert_gate_up_qcat" in qp["layers"]
+    assert "expert_gate_up_q" not in qp["layers"]      # no int8 shadow copy
+    # avg 6 bits -> 6/16 of the bf16 expert bytes
+    w_elems = (cfg.num_layers * cfg.num_experts * cfg.hidden_size
+               * 2 * cfg.moe_intermediate_size)
+    assert qp["layers"]["expert_gate_up_qcat"].nbytes * 16 == w_elems * 2 * 6
+
+    loaded = cv.load_params(str(tmp_path / "out_mix"))
+    impl = MoEImpl(kind="ragged", quant="mixed",
+                   interpret=jax.default_backend() == "cpu")
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                              cfg.vocab_size)
+    a = model.forward_logits(qp, toks, cfg, impl)
+    b = model.forward_logits(loaded, toks, cfg, impl)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
