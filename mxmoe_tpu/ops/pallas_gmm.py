@@ -918,6 +918,18 @@ def gmm_mixed_packed(
     e = group_sizes.shape[0] if hasattr(group_sizes, "shape") else len(group_sizes)
     bm = min(bm, m)
     bn = min(bn, n)
+
+    # auto-shrink tiles for huge K (mixtral-scale 14336): the unpack
+    # intermediate (k x bn) dominates VMEM — halve bn, then bm, until the
+    # launch fits instead of refusing (same spirit as _auto_bk elsewhere)
+    def _vmem(bm_, bn_):
+        return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ + bm_ * bn_ * 4
+                + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize)
+
+    while bn > 128 and _vmem(bm, bn) > _VMEM_LIMIT:
+        bn //= 2
+    while bm > 32 and _vmem(bm, bn) > _VMEM_LIMIT:
+        bm //= 2
     if static_sizes is not None and static_pflags is not None:
         meta, num, _ = make_mixed_metadata_static(static_sizes, static_pflags,
                                                   m, bm)

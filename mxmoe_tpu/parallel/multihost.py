@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..models.configs import MoEConfig
-from .ep import EPConfig, moe_ffn_ep, moe_ffn_ep_quant
+from .ep import EPConfig, moe_ffn_ep, moe_ffn_ep_mixed, moe_ffn_ep_quant
 
 
 def initialize(
@@ -79,6 +79,9 @@ class MultihostEPConfig:
     capacity_factor: float = 2.0
     gmm_backend: str = "ragged_dot"
     quantized: bool = False
+    mixed: bool = False        # per-expert schemes over the 2-level A2A
+                               # (moe_ffn_ep_mixed; weights from
+                               # quantize_model_experts_mixed)
     a_bits: int = 8
     return_stats: bool = False
 
@@ -104,7 +107,21 @@ def make_multihost_ep_fn(cfg: MoEConfig, mesh: Mesh,
         axis=axes, capacity_factor=mh.capacity_factor,
         gmm_backend=mh.gmm_backend, return_stats=mh.return_stats,
     )
-    if mh.quantized:
+    if mh.mixed:
+        def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
+            lp = {
+                "router": router,
+                "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
+                "expert_down_q": dq, "expert_down_sc": dsc,
+                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
+            }
+            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+
+        in_specs = (P(axes, None), P(None, None),
+                    P(axes, None, None), P(axes, None, None),
+                    P(axes, None, None), P(axes, None, None),
+                    P(None), P(None))
+    elif mh.quantized:
         def inner(x_local, router, gq, gsc, dq, dsc):
             lp = {
                 "router": router,

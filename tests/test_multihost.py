@@ -115,3 +115,44 @@ def test_two_process_distributed_ep():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "MULTIHOST-OK" in out, out[-3000:]
+
+
+def test_host_expert_mesh_ep_mixed_matches_single_device():
+    """MIXED per-expert schemes over the 2-level (host, expert) mesh ==
+    single-device one-launch mixed execution (the ILP's allocation served
+    across DCN x ICI; axis-tuple all-to-all + flattened axis_index)."""
+    import jax.numpy as jnp
+
+    from mxmoe_tpu.models import configs, model
+    from mxmoe_tpu.models.layers import MoEImpl, moe_ffn_ragged_quant
+    from mxmoe_tpu.parallel.multihost import (MultihostEPConfig,
+                                              make_multihost_ep_fn)
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)})})
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lp = {k: v[0] for k, v in qp["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=True)
+    ref = moe_ffn_ragged_quant(x, lp, cfg, impl)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("host", "expert"))
+    fn = make_multihost_ep_fn(cfg, mesh,
+                              MultihostEPConfig(mixed=True,
+                                                capacity_factor=32.0))
+    with mesh:
+        got = jax.jit(fn)(x, lp["router"],
+                          lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
+                          lp["expert_down_q"], lp["expert_down_sc"],
+                          lp["act_bits_gateup"], lp["act_bits_down"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -504,3 +504,31 @@ def test_gmm_mixed_packed_matches_int8_all_modes():
     out_j = f(jnp.asarray(aq), jnp.asarray(asc), rhs_cat, jnp.asarray(wsc),
               gs, jnp.asarray(pflags))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_j))
+
+
+def test_gmm_mixed_packed_mixtral_scale_k_autoshrinks():
+    """Mixtral-scale K (14336): the unpack intermediate would blow VMEM at
+    the default tiles — the entry must auto-shrink (never hand Mosaic an
+    oversized tile: a failed compile wedges the backend) and stay exact."""
+    from mxmoe_tpu.quant.packing import build_ragged_mixed
+
+    rng = np.random.default_rng(3)
+    e_, k_, n_ = 4, 14336, 256
+    pf = np.array([1, 0, 1, 0], np.int32)
+    wq = np.zeros((e_, k_, n_), np.int8)
+    for ei in range(e_):
+        hi = 8 if pf[ei] else 128
+        wq[ei] = rng.integers(-hi, hi, (k_, n_)).astype(np.int8)
+    cat, _ = build_ragged_mixed(jnp.asarray(wq), pf)
+    sizes = [16, 8, 16, 8]
+    m = sum(sizes)
+    aq = jnp.asarray(rng.integers(-128, 128, (m, k_)), jnp.int8)
+    asc = jnp.asarray(rng.uniform(0.5, 2, (m, 1)), jnp.float32)
+    wsc = jnp.asarray(rng.uniform(0.5, 2, (e_, 1, n_)), jnp.float32)
+    gs = jnp.asarray(sizes, jnp.int32)
+    ref = pallas_gmm.gmm_w8a8(aq, asc, jnp.asarray(wq), wsc, gs,
+                              bm=32, bn=256, bk=2048, interpret=INTERPRET)
+    got = pallas_gmm.gmm_mixed_packed(aq, asc, cat, wsc, gs,
+                                      jnp.asarray(pf), bn=512,
+                                      interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
