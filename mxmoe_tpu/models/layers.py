@@ -353,17 +353,28 @@ def moe_ffn_ragged_quant(
                 # g128-class w×a: per-(token, k-group) act scales feeding the
                 # Atom-style grouped-rescale kernel (same group size both
                 # sides, as in the reference's w4a4_g128)
-                if not qcfg.w_sym:
-                    raise NotImplementedError(
-                        "grouped ASYM w×a has no zp-corrected kernel; use "
-                        "sym grouped or per-channel asym")
                 from ..quant.qparams import quantize_act_grouped
 
                 aq, asc = quantize_act_grouped(acts, int(qcfg.a_bits), gsz)
-                return pallas_gmm.gmm_w8a8_grouped(
+                main = pallas_gmm.gmm_w8a8_grouped(
                     aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret,
                 )
+                if qcfg.w_sym:
+                    return main
+                # grouped ASYM: w = q·s_g + zp_g per k-group, so
+                #   out = Σ_g as_g·s_g (aq·q)  [the kernel above]
+                #       + Σ_g (as_g · Σ_{k∈g} aq) · zp_g[g, :]
+                # — the zp term contracts only over the G = K/gsz axis, a
+                # tiny f32 ragged dot outside the kernel (vs the reference
+                # folding zp into the CUDA mainloop, cta_gemm.cuh asym)
+                m_rows = aq.shape[0]
+                rows = (aq.astype(jnp.float32)
+                        .reshape(m_rows, k // gsz, gsz).sum(-1) * asc)
+                corr = jax.lax.ragged_dot(
+                    rows, layer_params[f"{prefix}_zp"].astype(jnp.float32),
+                    disp.group_sizes, preferred_element_type=jnp.float32)
+                return (main.astype(jnp.float32) + corr).astype(acts.dtype)
             aq, asc = _aquant_uniform(acts)
             if not qcfg.w_sym:
                 return pallas_gmm.gmm_w8a8_asym(

@@ -361,3 +361,40 @@ def test_mixed_packed_requires_wxa_only():
     with pytest.raises(AssertionError, match="pack_w4"):
         qparams.quantize_model_experts_mixed(params, cfg, qmodel,
                                              pack_w4=True)
+
+
+def test_grouped_asym_wxa_moe_matches_oracle():
+    """Grouped ASYM w×a end-to-end (round-3: was NotImplementedError).
+    The zp term factors out of the MXU dot as a per-k-group f32 ragged
+    dot: out = kernel(aq,q) + (as·rowsum(aq)) @ zp."""
+    cfg, _, lp, x = _tiny_setup(seed=23)
+    gsz = 16
+    qcfg = QLinearConfig(w_bits=4, w_gsize=gsz, w_sym=False,
+                         a_bits=4, a_gsize=gsz, a_sym=True)
+    qlp = _quantize_layer(lp, qcfg)
+    impl = MoEImpl(kind="ragged", quant=qcfg, interpret=INTERPRET)
+    got = moe_block(x[None], qlp, cfg, impl)[0]
+
+    logits = x @ qlp["router"]
+    routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob)
+    disp = make_dispatch(routing, cfg.num_experts)
+    xs = gather_tokens(x, disp)
+
+    def fq_gemm(acts, name):
+        k = acts.shape[-1]
+        w_fq = dequantize_weight_kn(PackedTensor(
+            qlp[f"{name}_q"], qlp[f"{name}_sc"], qlp[f"{name}_zp"],
+            4, gsz, False,
+        ))
+        aq, asc = qparams.quantize_act_grouped(acts, 4, gsz)
+        a_fq = (aq.astype(jnp.float32).reshape(-1, k // gsz, gsz)
+                * asc[..., None]).reshape(-1, k)
+        return gmm_dense_reference(a_fq, w_fq, disp.group_sizes)
+
+    h = silu_mul(fq_gemm(xs, "expert_gate_up"))
+    out = fq_gemm(h, "expert_down")
+    ref_moe = combine_tokens(out, disp, x.shape[0])
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    ref = ref_moe + shared_expert_ffn(x, qlp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
