@@ -130,20 +130,11 @@ def _scaled(x, scalar):
     return x * (1 + 1e-3 * scalar).astype(x.dtype)
 
 
-def _shared_int8_dot(saq, sw):
-    """Shared-expert int8 dot, 2-way K-split for tall-narrow shapes.
-
-    XLA's int8 dot collapses on the down shared shape (K=5632, N=2048:
-    120 TFLOPS vs 339 at K=2048/N=11264); summing two K-half dots in int32
-    restores the rate (0.72 -> 0.68 ms, tools/tpu_shared_dense.py) and is
-    EXACT (int32 accumulation) so outputs stay bitwise-identical."""
-    k, n = sw.shape
-    if k >= 2 * n and k % 2 == 0:
-        h = k // 2
-        return (jnp.dot(saq[:, :h], sw[:h], preferred_element_type=jnp.int32)
-                + jnp.dot(saq[:, h:], sw[h:],
-                          preferred_element_type=jnp.int32))
-    return jnp.dot(saq, sw, preferred_element_type=jnp.int32)
+# shared-expert int8 dot with the 2-way K-split on tall-narrow shapes
+# (0.72 -> 0.68 ms on the down shared dot, tools/tpu_shared_dense.py);
+# the SAME function the served model uses — bench and serving must never
+# desynchronize on this heuristic
+from mxmoe_tpu.ops.gmm import int8_dot_ksplit as _shared_int8_dot  # noqa: E402
 
 
 def _baseline_step_factory(operands):

@@ -139,7 +139,10 @@ def run_anchor(
     impl = MoEImpl(kind="ragged", gmm_backend=backend)
 
     # trained-weights cache: quant experiments iterate on the SAME model
-    ckpt = os.path.join(out_dir, f"anchor_params_s{steps}.npz")
+    # key on steps AND seqlen: loading weights trained at a different
+    # window length reintroduces the RoPE out-of-distribution ppl bug the
+    # eval-set comment below documents (round-2)
+    ckpt = os.path.join(out_dir, f"anchor_params_s{steps}_l{seqlen}.pkl")
     if os.path.exists(ckpt):
         import pickle
 

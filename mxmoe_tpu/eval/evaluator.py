@@ -224,10 +224,10 @@ def eval_ppl_decode(
     n_win, seqlen = tokens.shape
     batch = min(batch, n_win)
 
-    def make_cache():
+    def make_cache(b):
         if int8_kv:
-            return init_quant_kv_cache(cfg, batch, seqlen)
-        return init_kv_cache(cfg, batch, seqlen, jnp.bfloat16)
+            return init_quant_kv_cache(cfg, b, seqlen)
+        return init_kv_cache(cfg, b, seqlen, jnp.bfloat16)
 
     @jax.jit
     def window_nll(params, toks, cache):
@@ -244,8 +244,12 @@ def eval_ppl_decode(
 
     toks = jnp.asarray(tokens, jnp.int32)
     total_nll, total_tok = 0.0, 0
-    for i in range(0, n_win - batch + 1, batch):
-        nll, n = window_nll(params, toks[i: i + batch], make_cache())
+    # every window scores — a ragged tail chunk just specializes the jit
+    # once more (dropping it would score decode ppl on a different token
+    # set than the forward ppl it is compared against)
+    for i in range(0, n_win, batch):
+        chunk = toks[i: i + batch]
+        nll, n = window_nll(params, chunk, make_cache(chunk.shape[0]))
         total_nll += float(nll)
         total_tok += int(n)
     return float(np.exp(total_nll / max(total_tok, 1)))

@@ -734,7 +734,6 @@ class MixedGroupMetadata(NamedTuple):
     m_tile_ids: jax.Array   # [T] output m-tile
     rhs_blks: jax.Array     # [T] K/2-unit block index into the ragged buffer
     kts: jax.Array          # [T] k-step within the group (0; 0/1 for int8)
-    lasts: jax.Array        # [T] 1 on the group's final k-step (epilogue)
     pfs: jax.Array          # [T] 1 = nibble-packed group
     group_offsets: jax.Array  # [E+1] row starts
     num_logical: jax.Array  # scalar int32
@@ -783,9 +782,8 @@ def make_mixed_metadata(
     kt = jnp.clip(within - m_idx * ktg, 0, 1)
     m_tile_ids = jnp.clip(first_tile[gid] + m_idx, 0,
                           max(_cdiv(m, bm) - 1, 0))
-    lasts = (kt == ktg - 1).astype(jnp.int32)
     rhs_blks = blk_offsets[gid] + kt
-    return MixedGroupMetadata(gid, m_tile_ids, rhs_blks, kt, lasts,
+    return MixedGroupMetadata(gid, m_tile_ids, rhs_blks, kt,
                               pflags.astype(jnp.int32)[gid],
                               group_offsets, num_logical)
 
@@ -805,7 +803,7 @@ def make_mixed_metadata_static(group_sizes, pflags, m, bm):
     ends = np.cumsum(sizes)
     starts = ends - sizes
     group_offsets = np.concatenate([[0], ends]).astype(np.int32)
-    gids, mtids, blks, kts, lasts, pfs = [], [], [], [], [], []
+    gids, mtids, blks, kts, pfs = [], [], [], [], []
     for g in range(e):
         if sizes[g] == 0:
             continue
@@ -817,20 +815,19 @@ def make_mixed_metadata_static(group_sizes, pflags, m, bm):
                 mtids.append(t)
                 blks.append(int(blk_offsets[g]) + kk)
                 kts.append(kk)
-                lasts.append(1 if kk == nk - 1 else 0)
                 pfs.append(int(pf[g]))
     num = max(len(gids), 1)
     if not gids:
-        gids, mtids, blks, kts, lasts, pfs = [0], [0], [0], [0], [1], [1]
+        gids, mtids, blks, kts, pfs = [0], [0], [0], [0], [1]
     arr = lambda x: jnp.asarray(x, jnp.int32)
     meta = MixedGroupMetadata(
-        arr(gids), arr(mtids), arr(blks), arr(kts), arr(lasts), arr(pfs),
+        arr(gids), arr(mtids), arr(blks), arr(kts), arr(pfs),
         jnp.asarray(group_offsets, jnp.int32), jnp.asarray(num, jnp.int32),
     )
     return meta, num, [int(b) for b in blk_offsets]
 
 
-def _gmm_mixed_packed_kernel(gids, mtids, blks, kts, lasts, pfs, goffs, nlog,
+def _gmm_mixed_packed_kernel(gids, mtids, blks, kts, pfs, goffs, nlog,
                              lhs_ref, asc_ref, rhs_ref, bsc_ref, out_ref,
                              acc_ref, *, bm, bn, k2, aligned=False):
     """Mixed packed/int8 body. The rhs block is ALWAYS [K/2, bn] int8:
@@ -890,8 +887,6 @@ def gmm_mixed_packed(
     pflags: jax.Array,       # [E] int32: 1 = expert's weights nibble-packed
     blk_offsets: jax.Array | None = None,  # [E] K/2-unit starts (derived
                              # from pflags when None — requires traced ops)
-    k: int | None = None,    # full contraction dim (required: not derivable
-                             # from the ragged buffer)
     bm: int = 256,
     bn: int = 512,
     out_dtype=jnp.bfloat16,
@@ -909,9 +904,8 @@ def gmm_mixed_packed(
     equivalent int8-stored codes. Works with traced sizes/flags (metadata
     is data), so it rides the layer scan; static variants get exact grids.
     """
-    m, kdim = lhs_q.shape
-    k = k or kdim
-    assert k == kdim and k % 2 == 0, (k, kdim)
+    m, k = lhs_q.shape
+    assert k % 2 == 0, k
     k2 = k // 2
     r, n = rhs_cat.shape
     assert r % k2 == 0, (r, k2)
@@ -923,7 +917,11 @@ def gmm_mixed_packed(
     # intermediate (k x bn) dominates VMEM — halve bn, then bm, until the
     # launch fits instead of refusing (same spirit as _auto_bk elsewhere)
     def _vmem(bm_, bn_):
-        return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ + bm_ * bn_ * 4
+        # unpack allowance = 2x the int8 [k, bn] result (buffer + transient
+        # VREG staging): the 1x estimate is HW-proven at k<=2048 (bn=1536
+        # compiled and served), but a too-tight estimate at mixtral-scale K
+        # risks a failed Mosaic compile, which wedges the backend
+        return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ * 2 + bm_ * bn_ * 4
                 + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize)
 
     while bn > 128 and _vmem(bm, bn) > _VMEM_LIMIT:
@@ -947,7 +945,7 @@ def gmm_mixed_packed(
     _check_vmem("gmm_mixed_packed",
                 (bm * k, True),                  # lhs int8
                 (k2 * bn, True),                 # rhs block
-                (k * bn, False),                 # unpack intermediate
+                (k * bn * 2, False),             # unpack + transient staging
                 (bm * bn * 4, False),            # int32 scratch
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     kernel = functools.partial(_gmm_mixed_packed_kernel, bm=bm, bn=bn, k2=k2,
@@ -955,7 +953,7 @@ def gmm_mixed_packed(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
@@ -976,7 +974,7 @@ def gmm_mixed_packed(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta.group_ids, meta.m_tile_ids, meta.rhs_blks, meta.kts, meta.lasts,
+    )(meta.group_ids, meta.m_tile_ids, meta.rhs_blks, meta.kts,
       meta.pfs, meta.group_offsets, meta.num_logical.reshape(1),
       lhs_q, lhs_scale, rhs_cat, rhs_scale)
 

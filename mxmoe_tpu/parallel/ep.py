@@ -468,6 +468,11 @@ def moe_ffn_ep_mixed(
     shard_map; weights from quantize_model_experts_mixed, expert arrays
     sharded [E_l, ...], act-bits arrays replicated [E] (source-side
     routing needs GLOBAL expert bits).
+
+    Requires a pure w×a mix (every act_bits <= 8): a16 weight-only
+    experts would be silently clipped to int8 acts here (quantize_rows
+    clips bits>=16) — the Engine enforces this at construction; callers
+    composing shard_map directly must too.
     """
     from ..ops import pallas_gmm
     from ..ops.act_quant import quantize_rows

@@ -152,7 +152,10 @@ def bench_decode_scaling(
         toks0 = jnp.zeros((b,), jnp.int32)
         with mesh:
             t, c = run(toks0, cache)            # compile + warm
-            t.block_until_ready()
+            np.asarray(t)    # READBACK fences the warm run: block_until_
+                             # ready does not block through the axon
+                             # tunnel (CLAUDE.md), which would fold warm-
+                             # run remainder into the timed region
             t0 = time.perf_counter()
             t, c = run(t, c)
             np.asarray(t)                        # readback fences the chain

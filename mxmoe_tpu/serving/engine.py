@@ -99,8 +99,27 @@ class Engine:
                 ecfg.batch_slots, mesh.size)
             ep_cfg = ep_cfg or EPConfig(axis=axis)
             lp = params["layers"]
+            if "expert_gate_up_qcat" in lp:
+                raise ValueError(
+                    "mesh serving needs int8-stored expert codes: the packed "
+                    "ragged buffer (expert_*_qcat) has no per-shard layout "
+                    "yet. Re-quantize with pack_w4=False (convert "
+                    "--no-pack-w4) to serve this model over a mesh.")
             if "expert_gate_up_q" in lp and "act_bits_gateup" in lp:
                 quantized = "mixed"     # per-expert schemes over the A2A
+                # a16 weight-only experts need the bf16 fused path, which
+                # the EP mixed block doesn't carry — quantize_rows would
+                # silently clip their act bits to 8 (numeric divergence
+                # from single-chip on exactly the experts kept at a16)
+                max_bits = max(float(np.asarray(lp["act_bits_gateup"]).max()),
+                               float(np.asarray(lp["act_bits_down"]).max()))
+                if max_bits > 8:
+                    raise ValueError(
+                        "mesh serving of mixed models requires pure w×a "
+                        f"mixes (all act bits <= 8, got max {max_bits:g}): "
+                        "a16 weight-only experts have no EP weight-only "
+                        "path yet — serve single-chip (mixed_weight_only) "
+                        "or re-solve with w×a schemes only.")
             else:
                 quantized = "expert_gate_up_q" in lp
             impl = dataclasses.replace(

@@ -111,3 +111,35 @@ def test_mesh_engine_mixed_model_decodes_like_single_device():
     ref = run(None)
     got = run(mesh)
     assert got == ref, (got, ref)
+
+
+def test_mesh_engine_rejects_unsupported_mixed_artifacts():
+    """Loud failures instead of silent mis-execution: packed ragged
+    buffers have no per-shard layout, and a16 weight-only experts have no
+    EP weight-only path (quantize_rows would clip their acts to int8)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    ecfg = EngineConfig(batch_slots=4, max_len=32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+
+    def qm(schemes):
+        return QModelConfig(layers={"0": QLayerConfig(experts={
+            str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+            for e in range(8)})})
+
+    packed = qparams.quantize_model_experts_mixed(
+        params, cfg, qm(["w4a4_g-1_sym", "w8a8_g-1_sym"]), pack_w4=True)
+    with pytest.raises(ValueError, match="no-pack-w4"):
+        Engine(packed, cfg, ecfg, impl, mesh=mesh)
+
+    wo = qparams.quantize_model_experts_mixed(
+        params, cfg, qm(["w4a16_g-1_sym", "w8a8_g-1_sym"]))
+    with pytest.raises(ValueError, match="act bits"):
+        Engine(wo, cfg, ecfg, impl, mesh=mesh)
