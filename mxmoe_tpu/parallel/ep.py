@@ -423,6 +423,8 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
 
     if quantized == "mixed":
         ep_fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg)
+    elif quantized == "mixed-packed":
+        ep_fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg, packed=True)
     elif quantized:
         ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
     else:
@@ -431,7 +433,14 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     def block(x: jax.Array, lp: dict, cfg_: MoEConfig) -> jax.Array:
         b, s, hdim = x.shape
         x2d = x.reshape(-1, hdim)
-        if quantized == "mixed":
+        if quantized == "mixed-packed":
+            y = ep_fn(x2d, lp["router"],
+                      lp["expert_gate_up_qcat"], lp["expert_gate_up_sc"],
+                      lp["expert_gate_up_blk"], lp["expert_gate_up_pf"],
+                      lp["expert_down_qcat"], lp["expert_down_sc"],
+                      lp["expert_down_blk"], lp["expert_down_pf"],
+                      lp["act_bits_gateup"], lp["act_bits_down"])
+        elif quantized == "mixed":
             y = ep_fn(x2d, lp["router"],
                       lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
                       lp["expert_down_q"], lp["expert_down_sc"],
@@ -505,12 +514,26 @@ def moe_ffn_ep_mixed(
     rscale_s = jnp.take(recv_s.reshape(ep * b.cap, 1), srt.order, axis=0)
 
     # ONE int8 launch over this shard's experts (bitwidths live in the
-    # codes and scales — models/layers.py qgemm mixed branch, EP edition)
-    hh = pallas_gmm.gmm_w8a8(
-        rows_s, rscale_s, layer_params["expert_gate_up_q"],
-        layer_params["expert_gate_up_sc"], srt.group_sizes,
-        out_dtype=x_local.dtype, interpret=interpret,
-    )
+    # codes and scales — models/layers.py qgemm mixed branch, EP edition).
+    # With the per-shard PACKED ragged buffer (quant.packing
+    # shard_ragged_mixed) w<=4 experts stream half their weight bytes on
+    # every shard — the decode traffic win composed with EP.
+    packed = "expert_gate_up_qcat" in layer_params
+
+    def _mixed_gmm(acts_q, acts_sc, prefix):
+        if packed:
+            return pallas_gmm.gmm_mixed_packed(
+                acts_q, acts_sc, layer_params[f"{prefix}_qcat"][0],
+                layer_params[f"{prefix}_sc"], srt.group_sizes,
+                layer_params[f"{prefix}_pf"],
+                layer_params[f"{prefix}_blk"],
+                out_dtype=x_local.dtype, interpret=interpret)
+        return pallas_gmm.gmm_w8a8(
+            acts_q, acts_sc, layer_params[f"{prefix}_q"],
+            layer_params[f"{prefix}_sc"], srt.group_sizes,
+            out_dtype=x_local.dtype, interpret=interpret)
+
+    hh = _mixed_gmm(rows_s, rscale_s, "expert_gate_up")
     hh = silu_mul(hh)
     # down-proj act bits from the LOCAL expert owning each sorted row;
     # padding rows (sentinel e_local) read a clamped bits entry — their
@@ -520,11 +543,7 @@ def moe_ffn_ep_mixed(
     gbits = jnp.take(layer_params["act_bits_down"],
                      jnp.clip(shard0 + le_sorted, 0, cfg.num_experts - 1))
     hq, hscale = quantize_rows(hh, gbits, interpret=interpret)
-    out_s = pallas_gmm.gmm_w8a8(
-        hq, hscale, layer_params["expert_down_q"],
-        layer_params["expert_down_sc"], srt.group_sizes,
-        out_dtype=x_local.dtype, interpret=interpret,
-    )
+    out_s = _mixed_gmm(hq, hscale, "expert_down")
     unsort = jnp.argsort(srt.order, stable=True)
     out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, b.cap, h)
 
@@ -533,28 +552,52 @@ def moe_ffn_ep_mixed(
     return _maybe_stats(y, b, ep_cfg)
 
 
-def make_ep_moe_mixed_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
-    """shard_map wrapper of the MIXED-scheme EP MoE block."""
+def make_ep_moe_mixed_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig(),
+                         packed: bool = False):
+    """shard_map wrapper of the MIXED-scheme EP MoE block.
+
+    ``packed=True``: weight operands are the per-shard PACKED layout —
+    (qcat [ep, R_l, N], sc [E,1,N], blk [E], pf [E]) per linear, from
+    quant.packing.shard_ragged_mixed — instead of int8-stored codes."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
-        lp = {
-            "router": router,
-            "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
-            "expert_down_q": dq, "expert_down_sc": dsc,
-            "act_bits_gateup": bits_g, "act_bits_down": bits_d,
-        }
-        return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
-
     ax = ep_cfg.axis
+    if packed:
+        def inner(x_local, router, gcat, gsc, gblk, gpf,
+                  dcat, dsc, dblk, dpf, bits_g, bits_d):
+            lp = {
+                "router": router,
+                "expert_gate_up_qcat": gcat, "expert_gate_up_sc": gsc,
+                "expert_gate_up_blk": gblk, "expert_gate_up_pf": gpf,
+                "expert_down_qcat": dcat, "expert_down_sc": dsc,
+                "expert_down_blk": dblk, "expert_down_pf": dpf,
+                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
+            }
+            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+
+        in_specs = (P(ax, None), P(None, None),
+                    P(ax, None, None), P(ax, None, None), P(ax), P(ax),
+                    P(ax, None, None), P(ax, None, None), P(ax), P(ax),
+                    P(None), P(None))
+    else:
+        def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
+            lp = {
+                "router": router,
+                "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
+                "expert_down_q": dq, "expert_down_sc": dsc,
+                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
+            }
+            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+
+        in_specs = (P(ax, None), P(None, None),
+                    P(ax, None, None), P(ax, None, None),
+                    P(ax, None, None), P(ax, None, None),
+                    P(None), P(None))
     out_specs = (P(ax, None), P(ax)) if ep_cfg.return_stats else P(ax, None)
     return shard_map(
         inner, mesh=mesh,
-        in_specs=(P(ax, None), P(None, None),
-                  P(ax, None, None), P(ax, None, None),
-                  P(ax, None, None), P(ax, None, None),
-                  P(None), P(None)),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,  # pallas_call outputs carry no vma info
     )

@@ -84,10 +84,12 @@ def ep_param_shardings(params: dict, mesh, quantized: bool = False):
 
     def spec_for(path, arr):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        # packed ragged buffers ([L, R, N] + metadata) have no clean expert
-        # dim; the EP path consumes int8-stored codes, so replicate these
-        if name.endswith(("_qcat", "_blk", "_pf")):
-            return P(*([None] * arr.ndim))
+        if name.endswith("_qcat"):
+            # [L, ep, R, N] per-shard packed layout (engine reshard)
+            # shards dim 1; the global [L, R, N] layout has no clean
+            # expert dim and replicates
+            return (P(None, axis, None, None) if arr.ndim == 4
+                    else P(*([None] * arr.ndim)))
         if name.startswith("expert_") and arr.ndim >= 2:
             return P(None, axis, *([None] * (arr.ndim - 2)))
         return P(*([None] * arr.ndim))

@@ -171,3 +171,39 @@ def dequantize_weight_kn(p: PackedTensor) -> jax.Array:
     vg = v.reshape(*v.shape[:-2], k // p.gsize, p.gsize, n)
     out = vg * p.scale[..., :, None, :] + p.zp[..., :, None, :]
     return out.reshape(*v.shape[:-2], k, n)
+
+
+def shard_ragged_mixed(qcat: jax.Array, blk, pf, k: int, ep: int):
+    """Global ragged mixed buffer -> per-expert-shard stacked layout.
+
+    ``qcat [R, N]`` (one layer's buffer from :func:`build_ragged_mixed`),
+    ``blk``/``pf`` [E]: slice each expert's K/2-unit block(s) out of the
+    global buffer and re-concatenate per shard of ``E/ep`` contiguous
+    experts, padding every shard to the max shard length so the result
+    stacks to ``[ep, R_l, N]`` (shardable over a mesh axis). Returns
+    (qcat_sharded, blk_local [E]) — blk_local offsets are LOCAL to each
+    shard's buffer, ready for ``gmm_mixed_packed`` per shard.
+    """
+    import numpy as np
+
+    blk = np.asarray(blk, np.int64)
+    pf = np.asarray(pf, np.int64)
+    e = blk.shape[0]
+    assert e % ep == 0, (e, ep)
+    e_local = e // ep
+    k2 = k // 2
+    units = 2 - pf                                     # [E] K/2-units each
+    shard_units = units.reshape(ep, e_local).sum(1)
+    r_l = int(shard_units.max()) * k2
+
+    shards, blk_local = [], []
+    for s in range(ep):
+        pieces, off = [], 0
+        for ei in range(s * e_local, (s + 1) * e_local):
+            blk_local.append(off)
+            rows = int(units[ei]) * k2
+            pieces.append(qcat[int(blk[ei]) * k2: int(blk[ei]) * k2 + rows])
+            off += int(units[ei])
+        buf = jnp.concatenate(pieces, axis=0)
+        shards.append(jnp.pad(buf, ((0, r_l - buf.shape[0]), (0, 0))))
+    return jnp.stack(shards), blk_local

@@ -100,12 +100,35 @@ class Engine:
             ep_cfg = ep_cfg or EPConfig(axis=axis)
             lp = params["layers"]
             if "expert_gate_up_qcat" in lp:
-                raise ValueError(
-                    "mesh serving needs int8-stored expert codes: the packed "
-                    "ragged buffer (expert_*_qcat) has no per-shard layout "
-                    "yet. Re-quantize with pack_w4=False (convert "
-                    "--no-pack-w4) to serve this model over a mesh.")
-            if "expert_gate_up_q" in lp and "act_bits_gateup" in lp:
+                # packed mixed artifact: reshard the GLOBAL ragged buffers
+                # into per-shard buffers with local block offsets (once,
+                # host-side) so every shard streams its w<=4 experts at
+                # half the weight bytes through gmm_mixed_packed
+                from ..quant.packing import shard_ragged_mixed
+
+                new_lp = dict(lp)
+                for prefix, kdim in (
+                    ("expert_gate_up", cfg.hidden_size),
+                    ("expert_down", cfg.moe_intermediate_size),
+                ):
+                    qcat = lp[f"{prefix}_qcat"]
+                    blk = np.asarray(lp[f"{prefix}_blk"])
+                    pf = np.asarray(lp[f"{prefix}_pf"])
+                    cats, blks = [], []
+                    for l in range(qcat.shape[0]):
+                        c, b = shard_ragged_mixed(qcat[l], blk[l], pf[l],
+                                                  kdim, mesh.size)
+                        cats.append(c)
+                        blks.append(b)
+                    r_max = max(c.shape[1] for c in cats)
+                    cats = [jnp.pad(c, ((0, 0), (0, r_max - c.shape[1]),
+                                        (0, 0))) for c in cats]
+                    new_lp[f"{prefix}_qcat"] = jnp.stack(cats)  # [L,ep,R,N]
+                    new_lp[f"{prefix}_blk"] = jnp.asarray(blks, jnp.int32)
+                params = {**params, "layers": new_lp}
+                lp = new_lp
+                quantized = "mixed-packed"
+            elif "expert_gate_up_q" in lp and "act_bits_gateup" in lp:
                 quantized = "mixed"     # per-expert schemes over the A2A
                 # a16 weight-only experts need the bf16 fused path, which
                 # the EP mixed block doesn't carry — quantize_rows would

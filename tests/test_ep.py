@@ -344,3 +344,57 @@ def test_mixed_ep_matches_single_device():
                           lp["act_bits_gateup"], lp["act_bits_down"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mixed_ep_packed_matches_int8_stored():
+    """Per-shard PACKED ragged buffers over EP == the int8-stored mixed EP
+    == single-device: the decode weight-traffic win composed with expert
+    parallelism, bitwise on the kernel math (packing.shard_ragged_mixed
+    re-slices the global buffer per shard with LOCAL block offsets)."""
+    from mxmoe_tpu.models.layers import MoEImpl, moe_ffn_ragged_quant
+    from mxmoe_tpu.parallel.ep import make_ep_moe_mixed_fn
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.packing import shard_ragged_mixed
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    ep = 4
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)
+    })})
+    qpp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                               pack_w4=True)
+    qp8 = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lpp = {k: v[0] for k, v in qpp["layers"].items()}
+    lp8 = {k: v[0] for k, v in qp8["layers"].items()}
+
+    t = 64
+    x = jax.random.normal(jax.random.PRNGKey(8), (t, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=True)
+    ref = moe_ffn_ragged_quant(x, lp8, cfg, impl)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), axis_names=("expert",))
+    ep_cfg = EPConfig(capacity_factor=float(cfg.top_k * ep))
+    fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg, packed=True)
+
+    args = [x, lpp["router"]]
+    for prefix in ("expert_gate_up", "expert_down"):
+        kdim = (cfg.hidden_size if prefix == "expert_gate_up"
+                else cfg.moe_intermediate_size)
+        cat_s, blk_l = shard_ragged_mixed(
+            lpp[f"{prefix}_qcat"], np.asarray(lpp[f"{prefix}_blk"]),
+            np.asarray(lpp[f"{prefix}_pf"]), kdim, ep)
+        args += [cat_s, lpp[f"{prefix}_sc"],
+                 jnp.asarray(blk_l, jnp.int32),
+                 jnp.asarray(lpp[f"{prefix}_pf"], jnp.int32)]
+    args += [lpp["act_bits_gateup"], lpp["act_bits_down"]]
+    with mesh:
+        got = jax.jit(fn)(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -113,10 +113,10 @@ def test_mesh_engine_mixed_model_decodes_like_single_device():
     assert got == ref, (got, ref)
 
 
-def test_mesh_engine_rejects_unsupported_mixed_artifacts():
-    """Loud failures instead of silent mis-execution: packed ragged
-    buffers have no per-shard layout, and a16 weight-only experts have no
-    EP weight-only path (quantize_rows would clip their acts to int8)."""
+def test_mesh_engine_rejects_a16_mixed_artifacts():
+    """Loud failure instead of silent mis-execution: a16 weight-only
+    experts have no EP weight-only path (quantize_rows would clip their
+    acts to int8 and diverge from single-chip)."""
     if len(jax.devices()) < 4:
         pytest.skip("needs a multi-device mesh")
     from mxmoe_tpu.quant import qparams
@@ -134,12 +134,47 @@ def test_mesh_engine_rejects_unsupported_mixed_artifacts():
             str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
             for e in range(8)})})
 
-    packed = qparams.quantize_model_experts_mixed(
-        params, cfg, qm(["w4a4_g-1_sym", "w8a8_g-1_sym"]), pack_w4=True)
-    with pytest.raises(ValueError, match="no-pack-w4"):
-        Engine(packed, cfg, ecfg, impl, mesh=mesh)
-
     wo = qparams.quantize_model_experts_mixed(
         params, cfg, qm(["w4a16_g-1_sym", "w8a8_g-1_sym"]))
     with pytest.raises(ValueError, match="act bits"):
         Engine(wo, cfg, ecfg, impl, mesh=mesh)
+
+
+def test_mesh_engine_packed_mixed_decodes_like_single_device():
+    """A PACKED mixed artifact (convert --qconfig default) served over the
+    mesh: the Engine reshards the global ragged buffers per shard
+    (packing.shard_ragged_mixed) and greedy-decodes the same tokens as
+    single-device — the ILP's bit budget stays real HBM bytes at every
+    scale."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(12),
+                               dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)
+    }) for l in range(2)})
+    qpp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                               pack_w4=True)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    ep_cfg = EPConfig(axis="expert", capacity_factor=float(cfg.num_experts))
+    ecfg = EngineConfig(batch_slots=4, max_len=48, temperature=0.0)
+    prompts = [[3, 14, 15], [6, 5, 35, 8], [9, 7], [31, 4, 1, 5]]
+
+    def run(mesh_arg):
+        eng = Engine(qpp, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg if mesh_arg is not None else None)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    ref = run(None)
+    got = run(mesh)
+    assert got == ref, (got, ref)
