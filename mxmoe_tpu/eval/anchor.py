@@ -256,6 +256,19 @@ def run_anchor(
                    eval_ppl_decode(real_h, eval_toks, cfg, impl_real,
                                    int8_kv=True))
 
+        if method == "gptq-had":
+            # GPTQ-had codes through the REAL kernels (+ packed storage):
+            # the served model carries the gptq-had eval row's accuracy
+            from ..quant.quantizer import quantize_model_experts_mixed_gptq
+
+            impl_real = MoEImpl(kind="ragged", quant="mixed",
+                                interpret=jax.default_backend() == "cpu")
+            real = quantize_model_experts_mixed_gptq(
+                params, cfg, qcfg, calib_toks, backend=backend,
+                pack_w4=True, hadamard=True)
+            record(f"ppl_realexec_mixed_w{wbits_target:g}_gptq-had",
+                   eval_ppl_tokens(real, eval_toks, cfg, impl_real))
+
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     if write_md:
@@ -314,6 +327,9 @@ def _write_md(res: dict, path: str, wt: float, methods) -> None:
             f"| mixed w{wt:g}, real kernels + packed storage | {row(f'ppl_realexec_mixed_w{wt:g}')} |",
             f"| mixed w{wt:g}, serving DECODE + int8 KV + int8 head | {row(f'ppl_realexec_decode_mixed_w{wt:g}')} |",
         ]
+        if f"ppl_realexec_mixed_w{wt:g}_gptq-had" in res:
+            lines += [f"| mixed w{wt:g}, GPTQ-had codes, real kernels + "
+                      f"packed | {row(f'ppl_realexec_mixed_w{wt:g}_gptq-had')} |"]
     lines += [
         "",
         "The reproduction criterion is the reference's qualitative claim",

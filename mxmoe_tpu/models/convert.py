@@ -45,6 +45,9 @@ def convert(
     layers: int | None = None,
     qconfig: str | None = None,
     pack_w4: bool = True,
+    method: str = "rtn",
+    calib_nsamples: int = 8,
+    calib_seqlen: int = 512,
 ) -> dict:
     from .configs import config_for
     from .hf_loader import params_from_safetensors
@@ -63,12 +66,27 @@ def convert(
         # w<=4 experts nibble-packed into the ragged one-launch buffer
         # (pack_w4; exactly avg-bits/16 of the bf16 bytes in the artifact)
         assert quant is None, "--qconfig and --quant are mutually exclusive"
-        from ..quant.qparams import quantize_model_experts_mixed
         from ..quant.schemes import QModelConfig
 
         qmc = QModelConfig.load(qconfig)
-        params = quantize_model_experts_mixed(params, cfg, qmc,
-                                              pack_w4=pack_w4)
+        meta["method"] = method
+        if method == "rtn":
+            from ..quant.qparams import quantize_model_experts_mixed
+
+            params = quantize_model_experts_mixed(params, cfg, qmc,
+                                                  pack_w4=pack_w4)
+        else:
+            # GPTQ(-had): error-compensated codes into the SAME servable
+            # layout (the eval rows' accuracy, served)
+            assert method in ("gptq", "gptq-had"), method
+            from ..quant.data import get_calibration_tokens
+            from ..quant.quantizer import quantize_model_experts_mixed_gptq
+
+            toks = jnp.asarray(get_calibration_tokens(
+                calib_nsamples, calib_seqlen, vocab_size=cfg.vocab_size))
+            params = quantize_model_experts_mixed_gptq(
+                params, cfg, qmc, toks, pack_w4=pack_w4,
+                hadamard=method.endswith("-had"))
     elif quant:
         from ..quant.schemes import parse_scheme
         from ..quant.qparams import quantize_model_experts_uniform
@@ -116,10 +134,19 @@ def _main():
     ap.add_argument("--no-pack-w4", action="store_true",
                     help="with --qconfig: keep int8-stored codes (skip the "
                          "ragged packed buffer)")
+    ap.add_argument("--method", default="rtn",
+                    choices=["rtn", "gptq", "gptq-had"],
+                    help="with --qconfig: code optimizer for the real "
+                         "quantization (gptq runs the layer-streamed "
+                         "Hessian sweep on calibration data)")
+    ap.add_argument("--calib-nsamples", type=int, default=8)
+    ap.add_argument("--calib-seqlen", type=int, default=512)
     args = ap.parse_args()
     convert(args.ckpt, args.model, args.out, args.quant, args.pack_int4,
             layers=args.layers, qconfig=args.qconfig,
-            pack_w4=not args.no_pack_w4)
+            pack_w4=not args.no_pack_w4, method=args.method,
+            calib_nsamples=args.calib_nsamples,
+            calib_seqlen=args.calib_seqlen)
     print(f"converted -> {args.out}")
 
 

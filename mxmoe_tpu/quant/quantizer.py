@@ -314,3 +314,187 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
     if new_dense is not None:
         out["dense_layers"] = new_dense
     return out
+
+
+def quantize_model_experts_mixed_gptq(
+    params: dict,
+    cfg: MoEConfig,
+    qmodel_cfg: QModelConfig,
+    calib_tokens: jax.Array,
+    backend: str = "ragged_dot",
+    pack_w4: bool = False,
+    rotation_key: jax.Array | None = None,
+    hadamard: bool = False,
+) -> dict:
+    """REAL-quantize routed (+shared) experts with GPTQ-optimized codes.
+
+    The RTN real quantizer (``qparams.quantize_model_experts_mixed``)
+    serves RTN codes; this variant runs the same layer-streamed GPTQ
+    sweep as the fake-quant eval path (Hessians from the FP pass, inputs
+    propagated through already-quantized layers — llama_sequential
+    semantics) but keeps the INTEGER CODES and per-channel scales for the
+    one-launch kernels instead of dequantized weights. The served model
+    then carries exactly the accuracy the gptq eval rows measure — the
+    reference never connects its GPTQ quantizer to its kernels
+    (``quant.py:319-359`` fake hooks vs ``test.cu`` bench weights).
+
+    Same scheme constraints as the RTN variant: w<=8, w_sym, w_gsize=-1,
+    a<=8 for every routed expert (and the shared expert, when configured).
+    ``hadamard=True`` rotates the model first (gptq-had); the returned
+    pytree is the ROTATED model with quantized experts — serve it as-is.
+    Dense-first pseudo-layers (ds2) keep fake-quant handling: unsupported
+    here, asserted away.
+    """
+    from ..ops.dispatch import route_topk, make_dispatch, gather_tokens
+    from ..ops import gmm as gmm_ops
+    from ..models.layers import silu_mul
+    from .gptq import accumulate_hessian, gptq_quantize_kn
+
+    assert "dense_layers" not in params, (
+        "GPTQ real-quant does not handle dense-first pseudo-layers yet; "
+        "use the RTN real quantizer or fake-quant eval for ds2")
+    if hadamard:
+        params = rotate_model_hadamard(params, cfg, rotation_key)
+
+    e = cfg.num_experts
+    b, s = calib_tokens.shape
+    positions = jnp.arange(s)
+    cos, sin = make_rope_tables(cfg, positions)
+    x = jnp.take(params["embed"], calib_tokens, axis=0, mode="clip")
+    fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
+
+    @jax.jit
+    def hessians_for_layer(x2d, lp):
+        logits = x2d @ lp["router"]
+        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob,
+                             cfg.routed_scaling_factor)
+        disp = make_dispatch(routing, cfg.num_experts)
+        xs = gather_tokens(x2d, disp)
+        h_pre = silu_mul(gmm_ops.gmm(xs, lp["expert_gate_up"],
+                                     disp.group_sizes, backend=backend))
+        out = {
+            "expert_gate_up": accumulate_hessian(xs, disp.group_sizes,
+                                                 cfg.num_experts),
+            "expert_down": accumulate_hessian(h_pre, disp.group_sizes,
+                                              cfg.num_experts),
+        }
+        if "shared_gate_up" in lp:
+            sh = silu_mul(x2d @ lp["shared_gate_up"])
+            out["shared_gate_up"] = accumulate_hessian(x2d)
+            out["shared_down"] = accumulate_hessian(sh)
+        return out
+
+    num_layers = params["layers"]["router"].shape[0]
+    layers = params["layers"]
+    acc = {}      # name -> (q_list, sc_list) stacked later
+    fq_layers = {k: [] for k in layers}       # propagation weights
+    gb = np.zeros((num_layers, e), np.float32)
+    db = np.zeros((num_layers, e), np.float32)
+    pf_all = {"expert_gate_up": [], "expert_down": []}
+    # shared-expert real quant is all-or-nothing (mixed fp/int8 layers
+    # would complicate the forward): decide from the FULL config upfront
+    shared_ok = "shared_gate_up" in layers and all(
+        (sc := _shared_cfgs(qmodel_cfg.layer(l), e)) is not None
+        and all(q.w_bits <= 8 and q.w_sym and q.w_gsize == -1
+                and q.a_bits <= 8 for q in (sc["gate"], sc["down"]))
+        for l in range(num_layers))
+    sb = np.zeros((num_layers, 2), np.float32)
+
+    for l in range(num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], layers)
+        _, x2d = fwd(x, lp, cos=cos, sin=sin)
+        hs = hessians_for_layer(x2d, lp)
+        lcfg = qmodel_cfg.layer(l)
+        qlp = dict(lp)
+
+        for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):
+            w = lp[name]                                      # [E, K, N]
+            buckets: dict[str, list[int]] = {}
+            pf_l = [0] * e
+            for ei in range(e):
+                c = lcfg.experts[str(ei)].qmap()[lin]
+                assert (c.w_bits <= 8 and c.w_sym and c.w_gsize == -1
+                        and c.a_bits <= 8), (
+                    f"GPTQ real-quant supports int sym per-channel w×a "
+                    f"schemes, got {c.scheme_name}")
+                if pack_w4:
+                    pf_l[ei] = int(c.w_bits <= 4)
+                buckets.setdefault(c.scheme_name, []).append(ei)
+            pf_all[name].append(pf_l)
+            q_l = jnp.zeros(w.shape, jnp.int8)
+            sc_l = jnp.zeros((e, 1, w.shape[-1]), jnp.float32)
+            fq_l = jnp.zeros(w.shape, jnp.float32)
+            for scheme, eids in buckets.items():
+                c = lcfg.experts[str(eids[0])].qmap()[lin]
+                idx = jnp.asarray(eids, jnp.int32)
+                sub = jnp.take(w, idx, axis=0)
+                h_sub = jnp.take(hs[name], idx, axis=0)
+                res = gptq_quantize_kn(sub, h_sub, c)
+                q_l = q_l.at[idx].set(res.codes.astype(jnp.int8))
+                # scale [e, N, 1] (per-channel) -> kernel layout [e, 1, N]
+                sc_l = sc_l.at[idx].set(jnp.swapaxes(res.scale, -1, -2))
+                fq_l = fq_l.at[idx].set(res.w_fq)
+            acc.setdefault(f"{name}_q", []).append(q_l)
+            acc.setdefault(f"{name}_sc", []).append(sc_l)
+            qlp[name] = fq_l.astype(w.dtype)
+
+        for ei in range(e):
+            qm = lcfg.experts[str(ei)].qmap()
+            gb[l, ei] = float(qm["gate"].a_bits)
+            db[l, ei] = float(qm["down"].a_bits)
+
+        if shared_ok:
+            sh_cfg = _shared_cfgs(lcfg, e)
+            for name, lin in (("shared_gate_up", "gate"),
+                              ("shared_down", "down")):
+                res = gptq_quantize_kn(lp[name][None], hs[name][None],
+                                       sh_cfg[lin])
+                acc.setdefault(f"{name}_q", []).append(
+                    res.codes[0].astype(jnp.int8))
+                acc.setdefault(f"{name}_sc", []).append(
+                    jnp.swapaxes(res.scale[0], -1, -2))
+                qlp[name] = res.w_fq[0].astype(lp[name].dtype)
+            sb[l] = [float(sh_cfg["gate"].a_bits),
+                     float(sh_cfg["down"].a_bits)]
+
+        for k in fq_layers:
+            fq_layers[k].append(qlp[k])
+        # propagate through the QUANTIZED layer (llama_sequential)
+        x, _ = fwd(x, qlp, cos=cos, sin=sin)
+
+    new = dict(layers)
+    for name in ("expert_gate_up", "expert_down"):
+        del new[name]
+        q_acc = jnp.stack(acc[f"{name}_q"])
+        sc_acc = jnp.stack(acc[f"{name}_sc"])
+        if pack_w4:
+            from .packing import build_ragged_mixed
+
+            cats, blks = [], []
+            for l in range(num_layers):
+                cat, blk = build_ragged_mixed(q_acc[l], pf_all[name][l])
+                cats.append(cat)
+                blks.append(blk)
+            r_max = max(c.shape[0] for c in cats)
+            cats = [jnp.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
+                    for c in cats]
+            new[f"{name}_qcat"] = jnp.stack(cats)
+            new[f"{name}_blk"] = jnp.asarray(blks, jnp.int32)
+            new[f"{name}_pf"] = jnp.asarray(pf_all[name], jnp.int32)
+            new[f"{name}_sc"] = sc_acc
+        else:
+            new[f"{name}_q"] = q_acc
+            new[f"{name}_sc"] = sc_acc
+            new[f"{name}_zp"] = jnp.zeros_like(sc_acc)
+    new["act_bits_gateup"] = jnp.asarray(gb)
+    new["act_bits_down"] = jnp.asarray(db)
+    if shared_ok and "shared_gate_up_q" in acc:
+        for name in ("shared_gate_up", "shared_down"):
+            del new[name]
+            new[f"{name}_q"] = jnp.stack(acc[f"{name}_q"])
+            new[f"{name}_sc"] = jnp.stack(acc[f"{name}_sc"])
+        new["act_bits_shared"] = jnp.asarray(sb)
+
+    out = dict(params)
+    out["layers"] = new
+    return out

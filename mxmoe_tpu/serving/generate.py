@@ -19,6 +19,13 @@ def main():
     ap.add_argument("--model", default="tiny",
                     help="tiny | qwen2_moe | qwen2_moe_57b | mixtral")
     ap.add_argument("--ckpt", default=None, help="safetensors dir")
+    ap.add_argument("--artifact", default=None,
+                    help="converted orbax dir (models.convert output): "
+                         "loads weights + quant mode from mxmoe_meta.json "
+                         "— serve a --qconfig mixed/packed artifact as-is")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="serve over the first N devices (EP mesh: experts "
+                         "sharded, KV cache sharded over slots)")
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--prompt", default="1 2 3 4", help="space-separated token ids")
     ap.add_argument("--prompt-text", default=None, help="text (needs --tokenizer)")
@@ -46,22 +53,42 @@ def main():
 
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
 
-    if args.ckpt:
+    interp = jax.default_backend() == "cpu"
+    if args.artifact:
+        import json as _json
+        import os as _os
+
+        from ..models.convert import load_params
+
+        params = load_params(args.artifact)
+        meta_p = _os.path.join(args.artifact, "mxmoe_meta.json")
+        meta = _json.load(open(meta_p)) if _os.path.exists(meta_p) else {}
+        lp = params["layers"]
+        if "act_bits_gateup" in lp and (
+                "expert_gate_up_q" in lp or "expert_gate_up_qcat" in lp):
+            impl = MoEImpl(kind="ragged", quant="mixed", interpret=interp)
+        elif meta.get("quant"):
+            from ..quant.schemes import parse_scheme
+
+            impl = MoEImpl(kind="ragged", quant=parse_scheme(meta["quant"]),
+                           interpret=interp)
+        else:
+            impl = MoEImpl(kind="ragged")
+    elif args.ckpt:
         from ..models.hf_loader import params_from_safetensors
 
         params = params_from_safetensors(args.ckpt, cfg)
+        impl = MoEImpl(kind="ragged")
     else:
         params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-
-    impl = MoEImpl(kind="ragged")
-    if args.quant:
+        impl = MoEImpl(kind="ragged")
+    if args.quant and not args.artifact:
         from ..quant.schemes import parse_scheme
         from ..quant.qparams import quantize_model_experts_uniform
 
         qcfg = parse_scheme(args.quant)
         params = quantize_model_experts_uniform(params, qcfg)
-        impl = MoEImpl(kind="ragged", quant=qcfg,
-                       interpret=jax.default_backend() == "cpu")
+        impl = MoEImpl(kind="ragged", quant=qcfg, interpret=interp)
 
     tok = None
     if args.prompt_text is not None:
@@ -72,11 +99,18 @@ def main():
     else:
         prompt = [int(t) % cfg.vocab_size for t in args.prompt.split()]
 
+    mesh = None
+    if args.mesh:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:args.mesh]),
+                    axis_names=("expert",))
     eng = Engine(params, cfg, EngineConfig(
         batch_slots=args.slots, max_len=args.max_len,
         prefill_chunk=min(256, args.max_len // 2),
         temperature=args.temperature,
-    ), impl)
+    ), impl, mesh=mesh)
 
     t0 = time.perf_counter()
     rid = eng.submit(prompt, max_new_tokens=args.max_new)

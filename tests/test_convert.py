@@ -161,3 +161,37 @@ def test_convert_mixed_qconfig_packed_roundtrip(tmp_path, monkeypatch):
     a = model.forward_logits(qp, toks, cfg, impl)
     b = model.forward_logits(loaded, toks, cfg, impl)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_artifact_serves_through_engine(tmp_path, monkeypatch):
+    """convert --qconfig artifact -> Engine generation (the full switch-
+    user story: quantize once offline, load, serve)."""
+    from mxmoe_tpu.serving.engine import Engine, EngineConfig
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    _write_fake_hf_ckpt(tmp_path, cfg)
+    from mxmoe_tpu.models import convert as cv
+    from mxmoe_tpu.models import configs as cfgs
+
+    monkeypatch.setattr(cfgs, "config_for", lambda m: cfg)
+    qmc = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(
+            ["w4a4_g-1_sym", "w8a8_g-1_sym"][e % 2])] * 3))
+        for e in range(4)
+    }) for l in range(2)})
+    qpath = tmp_path / "q.json"
+    qmc.save(str(qpath))
+    cv.convert(str(tmp_path / "hf"), "tiny", str(tmp_path / "art"),
+               qconfig=str(qpath), dtype=jnp.float32)
+
+    loaded = cv.load_params(str(tmp_path / "art"))
+    impl = MoEImpl(kind="ragged", quant="mixed",
+                   interpret=jax.default_backend() == "cpu")
+    eng = Engine(loaded, cfg, EngineConfig(batch_slots=2, max_len=48,
+                                           temperature=0.0), impl)
+    rid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=6)
+    eng.run_to_completion()
+    out = eng.result(rid)
+    assert len(out) == 6 and all(0 <= t < cfg.vocab_size for t in out)

@@ -80,3 +80,33 @@ def test_real_exec_decode_ppl_matches_forward():
                                    batch=4)
     assert abs(ppl_dec_bf16 - ppl_real) / ppl_real < 5e-3, (
         ppl_dec_bf16, ppl_real)
+
+
+def test_gptq_real_exec_matches_gptq_fake():
+    """GPTQ-optimized codes through the REAL kernels == the GPTQ fake-quant
+    eval (round-3: the served model carries exactly the accuracy the gptq
+    rows measure — the reference never connects its GPTQ quantizer to its
+    kernels). Packed storage variant matches exactly."""
+    from mxmoe_tpu.quant.quantizer import (quantize_model_experts_mixed_gptq,
+                                           quantize_model_fake)
+
+    cfg, params, toks, qmodel = _setup(["w4a4_g-1_sym", "w8a8_g-1_sym"],
+                                       seed=5)
+    calib = jnp.asarray(np.asarray(jax.random.randint(
+        jax.random.PRNGKey(6), (2, 32), 0, cfg.vocab_size)))
+
+    fake = quantize_model_fake(params, cfg, qmodel, method="gptq",
+                               calib_tokens=calib)
+    ppl_fake = eval_ppl_tokens(fake, toks, cfg, MoEImpl(kind="ragged"))
+
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    real = quantize_model_experts_mixed_gptq(params, cfg, qmodel, calib)
+    assert "shared_gate_up_q" in real["layers"]
+    ppl_real = eval_ppl_tokens(real, toks, cfg, impl)
+    assert abs(ppl_real - ppl_fake) / ppl_fake < 5e-3, (ppl_real, ppl_fake)
+
+    realp = quantize_model_experts_mixed_gptq(params, cfg, qmodel, calib,
+                                              pack_w4=True)
+    assert "expert_gate_up_qcat" in realp["layers"]
+    ppl_packed = eval_ppl_tokens(realp, toks, cfg, impl)
+    assert ppl_packed == ppl_real, (ppl_packed, ppl_real)
