@@ -138,6 +138,8 @@ def quantize_model_experts_mixed(
 
     Requires: all routed schemes w_bits<=8, w_sym, w_gsize==-1, a_bits<=8.
     """
+    import numpy as np
+
     e = model_cfg.num_experts
     num_layers = params["layers"]["router"].shape[0]
     layers = dict(params["layers"])
@@ -145,9 +147,12 @@ def quantize_model_experts_mixed(
     act_gate, act_down = [], []
     for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):
         w = layers[name]                          # [L, E, K, N]
-        q_acc = jnp.zeros(w.shape, jnp.int8)
-        sc_acc = jnp.zeros((*w.shape[:2], 1, w.shape[-1]), jnp.float32)
-        zp_acc = jnp.zeros_like(sc_acc)
+        # HOST-staged accumulation: whole-stack device accumulators peaked
+        # HBM at (bf16 originals + int8 copies + f32 working set) and
+        # OOM'd real-model depths (a full qwen2_moe needs packed w4 just
+        # to FIT one chip's 16 GB). One layer of f32 work at a time on
+        # device; results stage in host RAM and ship back once.
+        q_layers, sc_layers, zp_layers = [], [], []
         pf_all = []
         for l in range(num_layers):
             lcfg = qmodel_cfg.layer(l)
@@ -168,37 +173,42 @@ def quantize_model_experts_mixed(
                     pf_l[ei] = int(c.w_bits <= 4)
                 buckets.setdefault(c.scheme_name, []).append(ei)
             pf_all.append(pf_l)
+            q_l = np.zeros(w.shape[1:], np.int8)
+            sc_l = np.zeros((e, 1, w.shape[-1]), np.float32)
+            zp_l = np.zeros_like(sc_l)
             for scheme, eids in buckets.items():
                 c = lcfg.experts[str(eids[0])].qmap()[lin]
                 idx = jnp.asarray(eids, jnp.int32)
                 sub = jnp.take(w[l], idx, axis=0)
                 qp = quantize_expert_weights(sub, c)
-                q_acc = q_acc.at[l, idx].set(qp.q)
-                sc_acc = sc_acc.at[l, idx].set(qp.scale)
-                zp_acc = zp_acc.at[l, idx].set(qp.zp)
+                q_l[np.asarray(eids)] = np.asarray(qp.q)
+                sc_l[np.asarray(eids)] = np.asarray(qp.scale)
+                zp_l[np.asarray(eids)] = np.asarray(qp.zp)
+            q_layers.append(q_l)
+            sc_layers.append(sc_l)
+            zp_layers.append(zp_l)
         if pack_w4:
             from .packing import build_ragged_mixed
-            import numpy as np
 
-            k = w.shape[-2]
             cats, blks = [], []
             for l in range(num_layers):
-                cat, blk = build_ragged_mixed(q_acc[l], pf_all[l])
-                cats.append(cat)
+                cat, blk = build_ragged_mixed(jnp.asarray(q_layers[l]),
+                                              pf_all[l])
+                cats.append(np.asarray(cat))
                 blks.append(blk)
             r_max = max(c.shape[0] for c in cats)
-            cats = [jnp.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
+            cats = [np.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
                     for c in cats]
-            new[f"{name}_qcat"] = jnp.stack(cats)          # [L, R, N]
+            new[f"{name}_qcat"] = jnp.asarray(np.stack(cats))   # [L, R, N]
             new[f"{name}_blk"] = jnp.asarray(blks, jnp.int32)   # [L, E]
             new[f"{name}_pf"] = jnp.asarray(pf_all, jnp.int32)  # [L, E]
-            new[f"{name}_sc"] = sc_acc
-            # sym-only by the assert above: no zp, and no 8-bit q_acc copy
+            new[f"{name}_sc"] = jnp.asarray(np.stack(sc_layers))
+            # sym-only by the assert above: no zp, and no 8-bit q copy
             del layers[name]
             continue
-        new[f"{name}_q"] = q_acc
-        new[f"{name}_sc"] = sc_acc
-        new[f"{name}_zp"] = zp_acc
+        new[f"{name}_q"] = jnp.asarray(np.stack(q_layers))
+        new[f"{name}_sc"] = jnp.asarray(np.stack(sc_layers))
+        new[f"{name}_zp"] = jnp.asarray(np.stack(zp_layers))
         del layers[name]
 
     import numpy as np
