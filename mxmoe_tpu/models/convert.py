@@ -59,7 +59,13 @@ def convert(
 
     meta = {"model": model_id, "dtype": str(dtype), "quant": quant,
             "pack_int4": bool(pack_int4), "qconfig": qconfig,
-            "pack_w4": bool(pack_w4 and qconfig)}
+            "pack_w4": bool(pack_w4 and qconfig),
+            "layers": cfg.num_layers}
+    if method != "rtn" and not qconfig:
+        raise ValueError(
+            f"--method {method} only applies with --qconfig (uniform "
+            "--quant uses RTN codes); pass a solved qconfig or drop "
+            "--method")
     if qconfig:
         # the ILP's solved MIXED allocation (bits_solver qconfig JSON):
         # quantize once offline, serve forever — per-expert int8 codes,
@@ -82,8 +88,24 @@ def convert(
             from ..quant.data import get_calibration_tokens
             from ..quant.quantizer import quantize_model_experts_mixed_gptq
 
+            tok = None
+            try:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(ckpt_dir)
+            except Exception:
+                pass
+            if tok is None:
+                # GPTQ fitted to random-activation statistics can be WORSE
+                # than RTN — never do it silently
+                print("[convert] WARNING: no tokenizer found in the ckpt "
+                      "dir; GPTQ calibration falls back to SYNTHETIC "
+                      "tokens. Provide real calibration data "
+                      "(tokenizer in ckpt dir or MXMOE_CALIB_TEXT) for "
+                      "the eval-row accuracy claim to hold.", flush=True)
             toks = jnp.asarray(get_calibration_tokens(
-                calib_nsamples, calib_seqlen, vocab_size=cfg.vocab_size))
+                calib_nsamples, calib_seqlen, tokenizer=tok,
+                vocab_size=cfg.vocab_size))
             params = quantize_model_experts_mixed_gptq(
                 params, cfg, qmc, toks, pack_w4=pack_w4,
                 hadamard=method.endswith("-had"))

@@ -207,3 +207,23 @@ def shard_ragged_mixed(qcat: jax.Array, blk, pf, k: int, ep: int):
         buf = jnp.concatenate(pieces, axis=0)
         shards.append(jnp.pad(buf, ((0, r_l - buf.shape[0]), (0, 0))))
     return jnp.stack(shards), blk_local
+
+
+def pack_ragged_stack(q_layers, pf_all):
+    """Per-layer int8 code stacks -> the stacked ragged mixed layout.
+
+    ``q_layers``: sequence of [E, K, N] int8 (numpy or jax), ``pf_all``:
+    [L][E] packed flags. Returns (qcat [L, R_max, N], blk [L, E], pf
+    [L, E]) — the single emission point for the packed storage layout so
+    the RTN/GPTQ real quantizers can't drift apart."""
+    import numpy as np
+
+    cats, blks = [], []
+    for q_l, pf_l in zip(q_layers, pf_all):
+        cat, blk = build_ragged_mixed(jnp.asarray(q_l), pf_l)
+        cats.append(np.asarray(cat))
+        blks.append(blk)
+    r_max = max(c.shape[0] for c in cats)
+    cats = [np.pad(c, ((0, r_max - c.shape[0]), (0, 0))) for c in cats]
+    return (jnp.asarray(np.stack(cats)), jnp.asarray(blks, jnp.int32),
+            jnp.asarray(pf_all, jnp.int32))

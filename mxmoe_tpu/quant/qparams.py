@@ -188,20 +188,10 @@ def quantize_model_experts_mixed(
             sc_layers.append(sc_l)
             zp_layers.append(zp_l)
         if pack_w4:
-            from .packing import build_ragged_mixed
+            from .packing import pack_ragged_stack
 
-            cats, blks = [], []
-            for l in range(num_layers):
-                cat, blk = build_ragged_mixed(jnp.asarray(q_layers[l]),
-                                              pf_all[l])
-                cats.append(np.asarray(cat))
-                blks.append(blk)
-            r_max = max(c.shape[0] for c in cats)
-            cats = [np.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
-                    for c in cats]
-            new[f"{name}_qcat"] = jnp.asarray(np.stack(cats))   # [L, R, N]
-            new[f"{name}_blk"] = jnp.asarray(blks, jnp.int32)   # [L, E]
-            new[f"{name}_pf"] = jnp.asarray(pf_all, jnp.int32)  # [L, E]
+            (new[f"{name}_qcat"], new[f"{name}_blk"],
+             new[f"{name}_pf"]) = pack_ragged_stack(q_layers, pf_all)
             new[f"{name}_sc"] = jnp.asarray(np.stack(sc_layers))
             # sym-only by the assert above: no zp, and no 8-bit q copy
             del layers[name]

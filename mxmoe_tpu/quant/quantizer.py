@@ -61,6 +61,38 @@ def _act_bits_arrays(layer_cfg, num_experts: int):
     return jnp.asarray(gb), jnp.asarray(db)
 
 
+def make_moe_hessian_fn(cfg: MoEConfig, backend: str):
+    """Jitted per-layer GPTQ Hessian accumulator (routed + shared expert)
+    — shared by the fake-quant GPTQ sweep and the real-quant GPTQ path so
+    the two can never diverge on Hessian semantics."""
+    from ..models.layers import silu_mul
+    from ..ops import gmm as gmm_ops
+    from ..ops.dispatch import gather_tokens, make_dispatch, route_topk
+
+    @jax.jit
+    def hessians_for_layer(x2d, lp):
+        logits = x2d @ lp["router"]
+        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob,
+                             cfg.routed_scaling_factor)
+        disp = make_dispatch(routing, cfg.num_experts)
+        xs = gather_tokens(x2d, disp)
+        h_pre = silu_mul(gmm_ops.gmm(xs, lp["expert_gate_up"],
+                                     disp.group_sizes, backend=backend))
+        out = {
+            "expert_gate_up": accumulate_hessian(xs, disp.group_sizes,
+                                                 cfg.num_experts),
+            "expert_down": accumulate_hessian(h_pre, disp.group_sizes,
+                                              cfg.num_experts),
+        }
+        if "shared_gate_up" in lp:
+            sh = silu_mul(x2d @ lp["shared_gate_up"])
+            out["shared_gate_up"] = accumulate_hessian(x2d)
+            out["shared_down"] = accumulate_hessian(sh)
+        return out
+
+    return hessians_for_layer
+
+
 def quantize_model_fake(
     params: dict,
     cfg: MoEConfig,
@@ -272,24 +304,7 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
             new_dense["act_bits_dense"] = jnp.stack(act_dense)
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
-    @jax.jit
-    def hessians_for_layer(x2d, lp):
-        logits = x2d @ lp["router"]
-        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
-        disp = make_dispatch(routing, cfg.num_experts)
-        xs = gather_tokens(x2d, disp)
-        h_pre = silu_mul(
-            gmm_ops.gmm(xs, lp["expert_gate_up"], disp.group_sizes, backend=backend)
-        )
-        out = {
-            "expert_gate_up": accumulate_hessian(xs, disp.group_sizes, cfg.num_experts),
-            "expert_down": accumulate_hessian(h_pre, disp.group_sizes, cfg.num_experts),
-        }
-        if "shared_gate_up" in lp:
-            sh = silu_mul(x2d @ lp["shared_gate_up"])
-            out["shared_gate_up"] = accumulate_hessian(x2d)
-            out["shared_down"] = accumulate_hessian(sh)
-        return out
+    hessians_for_layer = make_moe_hessian_fn(cfg, backend)
 
     num_layers = params["layers"]["router"].shape[0]
     new_layers = {k: [] for k in params["layers"]}
@@ -363,31 +378,11 @@ def quantize_model_experts_mixed_gptq(
     x = jnp.take(params["embed"], calib_tokens, axis=0, mode="clip")
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
 
-    @jax.jit
-    def hessians_for_layer(x2d, lp):
-        logits = x2d @ lp["router"]
-        routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob,
-                             cfg.routed_scaling_factor)
-        disp = make_dispatch(routing, cfg.num_experts)
-        xs = gather_tokens(x2d, disp)
-        h_pre = silu_mul(gmm_ops.gmm(xs, lp["expert_gate_up"],
-                                     disp.group_sizes, backend=backend))
-        out = {
-            "expert_gate_up": accumulate_hessian(xs, disp.group_sizes,
-                                                 cfg.num_experts),
-            "expert_down": accumulate_hessian(h_pre, disp.group_sizes,
-                                              cfg.num_experts),
-        }
-        if "shared_gate_up" in lp:
-            sh = silu_mul(x2d @ lp["shared_gate_up"])
-            out["shared_gate_up"] = accumulate_hessian(x2d)
-            out["shared_down"] = accumulate_hessian(sh)
-        return out
+    hessians_for_layer = make_moe_hessian_fn(cfg, backend)
 
     num_layers = params["layers"]["router"].shape[0]
     layers = params["layers"]
-    acc = {}      # name -> (q_list, sc_list) stacked later
-    fq_layers = {k: [] for k in layers}       # propagation weights
+    acc = {}      # name -> per-layer HOST-staged (np) results
     gb = np.zeros((num_layers, e), np.float32)
     db = np.zeros((num_layers, e), np.float32)
     pf_all = {"expert_gate_up": [], "expert_down": []}
@@ -421,8 +416,11 @@ def quantize_model_experts_mixed_gptq(
                     pf_l[ei] = int(c.w_bits <= 4)
                 buckets.setdefault(c.scheme_name, []).append(ei)
             pf_all[name].append(pf_l)
-            q_l = jnp.zeros(w.shape, jnp.int8)
-            sc_l = jnp.zeros((e, 1, w.shape[-1]), jnp.float32)
+            # HOST-staged results (same rationale as the RTN variant:
+            # whole-stack device accumulators OOM real-model depths);
+            # only the fake weights needed for propagation stay on device
+            q_l = np.zeros(w.shape, np.int8)
+            sc_l = np.zeros((e, 1, w.shape[-1]), np.float32)
             fq_l = jnp.zeros(w.shape, jnp.float32)
             for scheme, eids in buckets.items():
                 c = lcfg.experts[str(eids[0])].qmap()[lin]
@@ -430,9 +428,10 @@ def quantize_model_experts_mixed_gptq(
                 sub = jnp.take(w, idx, axis=0)
                 h_sub = jnp.take(hs[name], idx, axis=0)
                 res = gptq_quantize_kn(sub, h_sub, c)
-                q_l = q_l.at[idx].set(res.codes.astype(jnp.int8))
+                q_l[np.asarray(eids)] = np.asarray(res.codes, np.int8)
                 # scale [e, N, 1] (per-channel) -> kernel layout [e, 1, N]
-                sc_l = sc_l.at[idx].set(jnp.swapaxes(res.scale, -1, -2))
+                sc_l[np.asarray(eids)] = np.asarray(
+                    jnp.swapaxes(res.scale, -1, -2))
                 fq_l = fq_l.at[idx].set(res.w_fq)
             acc.setdefault(f"{name}_q", []).append(q_l)
             acc.setdefault(f"{name}_sc", []).append(sc_l)
@@ -450,40 +449,30 @@ def quantize_model_experts_mixed_gptq(
                 res = gptq_quantize_kn(lp[name][None], hs[name][None],
                                        sh_cfg[lin])
                 acc.setdefault(f"{name}_q", []).append(
-                    res.codes[0].astype(jnp.int8))
+                    np.asarray(res.codes[0], np.int8))
                 acc.setdefault(f"{name}_sc", []).append(
-                    jnp.swapaxes(res.scale[0], -1, -2))
+                    np.asarray(jnp.swapaxes(res.scale[0], -1, -2)))
                 qlp[name] = res.w_fq[0].astype(lp[name].dtype)
             sb[l] = [float(sh_cfg["gate"].a_bits),
                      float(sh_cfg["down"].a_bits)]
 
-        for k in fq_layers:
-            fq_layers[k].append(qlp[k])
-        # propagate through the QUANTIZED layer (llama_sequential)
+        # propagate through the QUANTIZED layer (llama_sequential); qlp is
+        # NOT retained — the fake weights only exist for this propagation
         x, _ = fwd(x, qlp, cos=cos, sin=sin)
 
     new = dict(layers)
     for name in ("expert_gate_up", "expert_down"):
         del new[name]
-        q_acc = jnp.stack(acc[f"{name}_q"])
-        sc_acc = jnp.stack(acc[f"{name}_sc"])
+        sc_acc = jnp.asarray(np.stack(acc[f"{name}_sc"]))
         if pack_w4:
-            from .packing import build_ragged_mixed
+            from .packing import pack_ragged_stack
 
-            cats, blks = [], []
-            for l in range(num_layers):
-                cat, blk = build_ragged_mixed(q_acc[l], pf_all[name][l])
-                cats.append(cat)
-                blks.append(blk)
-            r_max = max(c.shape[0] for c in cats)
-            cats = [jnp.pad(c, ((0, r_max - c.shape[0]), (0, 0)))
-                    for c in cats]
-            new[f"{name}_qcat"] = jnp.stack(cats)
-            new[f"{name}_blk"] = jnp.asarray(blks, jnp.int32)
-            new[f"{name}_pf"] = jnp.asarray(pf_all[name], jnp.int32)
+            (new[f"{name}_qcat"], new[f"{name}_blk"],
+             new[f"{name}_pf"]) = pack_ragged_stack(acc[f"{name}_q"],
+                                                    pf_all[name])
             new[f"{name}_sc"] = sc_acc
         else:
-            new[f"{name}_q"] = q_acc
+            new[f"{name}_q"] = jnp.asarray(np.stack(acc[f"{name}_q"]))
             new[f"{name}_sc"] = sc_acc
             new[f"{name}_zp"] = jnp.zeros_like(sc_acc)
     new["act_bits_gateup"] = jnp.asarray(gb)
@@ -491,8 +480,8 @@ def quantize_model_experts_mixed_gptq(
     if shared_ok and "shared_gate_up_q" in acc:
         for name in ("shared_gate_up", "shared_down"):
             del new[name]
-            new[f"{name}_q"] = jnp.stack(acc[f"{name}_q"])
-            new[f"{name}_sc"] = jnp.stack(acc[f"{name}_sc"])
+            new[f"{name}_q"] = jnp.asarray(np.stack(acc[f"{name}_q"]))
+            new[f"{name}_sc"] = jnp.asarray(np.stack(acc[f"{name}_sc"]))
         new["act_bits_shared"] = jnp.asarray(sb)
 
     out = dict(params)

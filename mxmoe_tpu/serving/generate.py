@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="serve over the first N devices (EP mesh: experts "
                          "sharded, KV cache sharded over slots)")
+    ap.add_argument("--capacity-factor", type=float, default=8.0,
+                    help="EP token-dispatch capacity headroom: assignments "
+                         "beyond cap are DROPPED (outputs then diverge "
+                         "from single-chip); derive from a gate trace via "
+                         "parallel.ep.capacity_factor_from_freq for "
+                         "production")
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--prompt", default="1 2 3 4", help="space-separated token ids")
     ap.add_argument("--prompt-text", default=None, help="text (needs --tokenizer)")
@@ -64,6 +70,14 @@ def main():
         meta_p = _os.path.join(args.artifact, "mxmoe_meta.json")
         meta = _json.load(open(meta_p)) if _os.path.exists(meta_p) else {}
         lp = params["layers"]
+        # depth comes from the ARTIFACT, not the flags: a mismatched
+        # --layers would allocate a wrong-depth KV cache (the clamped
+        # per-layer cache write then silently corrupts KV history)
+        art_layers = int(lp["router"].shape[0])
+        if cfg.num_layers != art_layers:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, num_layers=art_layers)
         if "act_bits_gateup" in lp and (
                 "expert_gate_up_q" in lp or "expert_gate_up_qcat" in lp):
             impl = MoEImpl(kind="ragged", quant="mixed", interpret=interp)
@@ -100,17 +114,22 @@ def main():
         prompt = [int(t) % cfg.vocab_size for t in args.prompt.split()]
 
     mesh = None
+    ep_cfg = None
     if args.mesh:
         import numpy as np
         from jax.sharding import Mesh
 
+        from ..parallel.ep import EPConfig
+
         mesh = Mesh(np.array(jax.devices()[:args.mesh]),
                     axis_names=("expert",))
+        ep_cfg = EPConfig(axis="expert",
+                          capacity_factor=args.capacity_factor)
     eng = Engine(params, cfg, EngineConfig(
         batch_slots=args.slots, max_len=args.max_len,
         prefill_chunk=min(256, args.max_len // 2),
         temperature=args.temperature,
-    ), impl, mesh=mesh)
+    ), impl, mesh=mesh, ep_cfg=ep_cfg)
 
     t0 = time.perf_counter()
     rid = eng.submit(prompt, max_new_tokens=args.max_new)
