@@ -82,6 +82,10 @@ class MultihostEPConfig:
     mixed: bool = False        # per-expert schemes over the 2-level A2A
                                # (moe_ffn_ep_mixed; weights from
                                # quantize_model_experts_mixed)
+    packed: bool = False       # with mixed: per-shard PACKED ragged
+                               # buffers ([H*D, R, N] from
+                               # packing.shard_ragged_mixed with
+                               # ep = total shard count)
     a_bits: int = 8
     return_stats: bool = False
 
@@ -107,7 +111,24 @@ def make_multihost_ep_fn(cfg: MoEConfig, mesh: Mesh,
         axis=axes, capacity_factor=mh.capacity_factor,
         gmm_backend=mh.gmm_backend, return_stats=mh.return_stats,
     )
-    if mh.mixed:
+    if mh.mixed and mh.packed:
+        def inner(x_local, router, gcat, gsc, gblk, gpf,
+                  dcat, dsc, dblk, dpf, bits_g, bits_d):
+            lp = {
+                "router": router,
+                "expert_gate_up_qcat": gcat, "expert_gate_up_sc": gsc,
+                "expert_gate_up_blk": gblk, "expert_gate_up_pf": gpf,
+                "expert_down_qcat": dcat, "expert_down_sc": dsc,
+                "expert_down_blk": dblk, "expert_down_pf": dpf,
+                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
+            }
+            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+
+        in_specs = (P(axes, None), P(None, None),
+                    P(axes, None, None), P(axes, None, None), P(axes), P(axes),
+                    P(axes, None, None), P(axes, None, None), P(axes), P(axes),
+                    P(None), P(None))
+    elif mh.mixed:
         def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
             lp = {
                 "router": router,

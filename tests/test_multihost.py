@@ -156,3 +156,55 @@ def test_host_expert_mesh_ep_mixed_matches_single_device():
                           lp["act_bits_gateup"], lp["act_bits_down"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_host_expert_mesh_ep_mixed_packed_matches_single_device():
+    """PACKED mixed storage over the 2-level (host, expert) mesh: per-shard
+    ragged buffers sharded over the flattened axis pair — halved w4 weight
+    traffic on every shard of a DCN x ICI deployment."""
+    import jax.numpy as jnp
+
+    from mxmoe_tpu.models import configs, model
+    from mxmoe_tpu.models.layers import MoEImpl, moe_ffn_ragged_quant
+    from mxmoe_tpu.parallel.multihost import (MultihostEPConfig,
+                                              make_multihost_ep_fn)
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.packing import shard_ragged_mixed
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(15), dtype=jnp.float32)
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)})})
+    qpp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                               pack_w4=True)
+    qp8 = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lpp = {k: v[0] for k, v in qpp["layers"].items()}
+    lp8 = {k: v[0] for k, v in qp8["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(16), (64, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=True)
+    ref = moe_ffn_ragged_quant(x, lp8, cfg, impl)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("host", "expert"))
+    fn = make_multihost_ep_fn(cfg, mesh, MultihostEPConfig(
+        mixed=True, packed=True, capacity_factor=32.0))
+    args = [x, lpp["router"]]
+    for prefix, kdim in (("expert_gate_up", cfg.hidden_size),
+                         ("expert_down", cfg.moe_intermediate_size)):
+        cat_s, blk_l = shard_ragged_mixed(
+            lpp[f"{prefix}_qcat"], np.asarray(lpp[f"{prefix}_blk"]),
+            np.asarray(lpp[f"{prefix}_pf"]), kdim, 8)   # ep = H*D shards
+        args += [cat_s, lpp[f"{prefix}_sc"],
+                 jnp.asarray(blk_l, jnp.int32),
+                 jnp.asarray(lpp[f"{prefix}_pf"], jnp.int32)]
+    args += [lpp["act_bits_gateup"], lpp["act_bits_down"]]
+    with mesh:
+        got = jax.jit(fn)(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
