@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--nsamples", type=int, default=16)
     ap.add_argument("--calib-nsamples", type=int, default=8)
     ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--real-exec", action="store_true",
+                    help="score ppl through the REAL quantized execution "
+                         "(int8 one-launch kernels, packed w<=4 storage, "
+                         "int8 shared expert) instead of fake-quant hooks; "
+                         "methods rtn/gptq/gptq-had, w<=8 sym per-channel "
+                         "w×a schemes only")
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -73,11 +79,31 @@ def main():
                 args.calib_nsamples, min(args.seqlen, 512),
                 tokenizer=tokenizer, vocab_size=cfg.vocab_size,
             )
-        params = quantize_model_fake(
-            params, cfg, qmodel, method=args.method, calib_tokens=calib,
-        )
+        if args.real_exec:
+            # REAL execution (the accuracy the served model actually has)
+            assert args.method in ("rtn", "gptq", "gptq-had"), (
+                "real-exec supports rtn / gptq / gptq-had")
+            if args.method == "rtn":
+                from ..quant.qparams import quantize_model_experts_mixed
 
-    impl = MoEImpl(kind="ragged")
+                params = quantize_model_experts_mixed(params, cfg, qmodel)
+            else:
+                from ..quant.quantizer import (
+                    quantize_model_experts_mixed_gptq)
+
+                params = quantize_model_experts_mixed_gptq(
+                    params, cfg, qmodel, calib,
+                    hadamard=args.method.endswith("-had"))
+        else:
+            params = quantize_model_fake(
+                params, cfg, qmodel, method=args.method, calib_tokens=calib,
+            )
+
+    if args.real_exec:
+        impl = MoEImpl(kind="ragged", quant="mixed",
+                       interpret=jax.default_backend() == "cpu")
+    else:
+        impl = MoEImpl(kind="ragged")
     results = {}
     if "ppl" in args.tasks:
         toks = np.asarray(get_calibration_tokens(
