@@ -110,3 +110,34 @@ def test_gptq_real_exec_matches_gptq_fake():
     assert "expert_gate_up_qcat" in realp["layers"]
     ppl_packed = eval_ppl_tokens(realp, toks, cfg, impl)
     assert ppl_packed == ppl_real, (ppl_packed, ppl_real)
+
+
+def test_ds2_real_exec_end_to_end():
+    """ds2 (MLA attention, dense first layer, shared experts) through the
+    mixed REAL path: packed-storage forward == fake-quant ppl exactly, and
+    the serving decode (fused MLA attention via the 128-padded cache, int8
+    KV, int8 head) stays within int8-KV tolerance."""
+    cfg = configs.tiny_ds2(num_experts=8, num_layers=3)
+    assert cfg.first_dense_layers == 1
+    params = model.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32)
+    n_moe = params["layers"]["router"].shape[0]
+    schemes = ["w4a4_g-1_sym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(9)}) for l in range(n_moe)})
+    toks = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size))
+
+    fake = quantize_model_fake(params, cfg, qmodel, method="rtn")
+    ppl_fake = eval_ppl_tokens(fake, toks, cfg, MoEImpl(kind="ragged"))
+    real = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                                pack_w4=True)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    ppl_real = eval_ppl_tokens(real, toks, cfg, impl)
+    assert abs(ppl_real - ppl_fake) / ppl_fake < 5e-3, (ppl_real, ppl_fake)
+
+    real_h = qparams.quantize_lm_head(real)
+    ppl_dec = eval_ppl_decode(real_h, toks, cfg, impl, int8_kv=True,
+                              batch=2)
+    assert abs(ppl_dec - ppl_real) / ppl_real < 0.02, (ppl_dec, ppl_real)
