@@ -80,19 +80,33 @@ def main():
                 tokenizer=tokenizer, vocab_size=cfg.vocab_size,
             )
         if args.real_exec:
-            # REAL execution (the accuracy the served model actually has)
-            assert args.method in ("rtn", "gptq", "gptq-had"), (
-                "real-exec supports rtn / gptq / gptq-had")
+            # REAL execution (the accuracy the served model actually has).
+            # a16 weight-only experts would be silently clipped to int8
+            # acts on this path (quantize_rows clips bits>=16) — refuse
+            # loudly, same contract as the mesh Engine.
+            if args.method not in ("rtn", "gptq", "gptq-had"):
+                ap.error("--real-exec supports --method rtn/gptq/gptq-had")
+            for lkey, lc in qmodel.layers.items():
+                for ekey, ec in lc.experts.items():
+                    if int(ekey) >= cfg.num_experts:
+                        continue    # shared expert handled separately
+                    for q in ec.qmap().values():
+                        if q.a_bits > 8:
+                            ap.error(
+                                f"--real-exec requires pure w×a mixes "
+                                f"(act bits <= 8); layer {lkey} expert "
+                                f"{ekey} has {q.scheme_name}")
             if args.method == "rtn":
                 from ..quant.qparams import quantize_model_experts_mixed
 
-                params = quantize_model_experts_mixed(params, cfg, qmodel)
+                params = quantize_model_experts_mixed(params, cfg, qmodel,
+                                                      pack_w4=True)
             else:
                 from ..quant.quantizer import (
                     quantize_model_experts_mixed_gptq)
 
                 params = quantize_model_experts_mixed_gptq(
-                    params, cfg, qmodel, calib,
+                    params, cfg, qmodel, calib, pack_w4=True,
                     hadamard=args.method.endswith("-had"))
         else:
             params = quantize_model_fake(

@@ -111,38 +111,17 @@ def make_multihost_ep_fn(cfg: MoEConfig, mesh: Mesh,
         axis=axes, capacity_factor=mh.capacity_factor,
         gmm_backend=mh.gmm_backend, return_stats=mh.return_stats,
     )
-    if mh.mixed and mh.packed:
-        def inner(x_local, router, gcat, gsc, gblk, gpf,
-                  dcat, dsc, dblk, dpf, bits_g, bits_d):
-            lp = {
-                "router": router,
-                "expert_gate_up_qcat": gcat, "expert_gate_up_sc": gsc,
-                "expert_gate_up_blk": gblk, "expert_gate_up_pf": gpf,
-                "expert_down_qcat": dcat, "expert_down_sc": dsc,
-                "expert_down_blk": dblk, "expert_down_pf": dpf,
-                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
-            }
-            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
+    assert mh.mixed or not mh.packed, (
+        "MultihostEPConfig(packed=True) requires mixed=True (packed is the "
+        "ragged storage layout of the MIXED per-expert scheme path)")
+    if mh.mixed:
+        # the single-axis wrapper already supports axis TUPLES via
+        # ep_cfg.axis — delegate instead of duplicating the operand
+        # contract (the packed 12-operand list must have ONE owner)
+        from .ep import make_ep_moe_mixed_fn
 
-        in_specs = (P(axes, None), P(None, None),
-                    P(axes, None, None), P(axes, None, None), P(axes), P(axes),
-                    P(axes, None, None), P(axes, None, None), P(axes), P(axes),
-                    P(None), P(None))
-    elif mh.mixed:
-        def inner(x_local, router, gq, gsc, dq, dsc, bits_g, bits_d):
-            lp = {
-                "router": router,
-                "expert_gate_up_q": gq, "expert_gate_up_sc": gsc,
-                "expert_down_q": dq, "expert_down_sc": dsc,
-                "act_bits_gateup": bits_g, "act_bits_down": bits_d,
-            }
-            return moe_ffn_ep_mixed(x_local, lp, cfg, ep_cfg)
-
-        in_specs = (P(axes, None), P(None, None),
-                    P(axes, None, None), P(axes, None, None),
-                    P(axes, None, None), P(axes, None, None),
-                    P(None), P(None))
-    elif mh.quantized:
+        return make_ep_moe_mixed_fn(cfg, mesh, ep_cfg, packed=mh.packed)
+    if mh.quantized:
         def inner(x_local, router, gq, gsc, dq, dsc):
             lp = {
                 "router": router,
