@@ -141,8 +141,16 @@ def run_anchor(
     # trained-weights cache: quant experiments iterate on the SAME model
     # key on steps AND seqlen: loading weights trained at a different
     # window length reintroduces the RoPE out-of-distribution ppl bug the
-    # eval-set comment below documents (round-2)
-    ckpt = os.path.join(out_dir, f"anchor_params_s{steps}_l{seqlen}.pkl")
+    # eval-set comment below documents (round-2). The config hash + format
+    # version keep an anchor_config() change (same shapes, different
+    # routing, e.g. top_k) from silently reloading stale weights and
+    # poisoning every recorded ppl row (round-3 advisor finding).
+    import hashlib
+
+    cfg_tag = hashlib.sha256(
+        f"v1:{cfg}".encode()).hexdigest()[:10]
+    ckpt = os.path.join(
+        out_dir, f"anchor_params_s{steps}_l{seqlen}_{cfg_tag}.pkl")
     if os.path.exists(ckpt):
         import pickle
 

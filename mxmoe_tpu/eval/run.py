@@ -49,6 +49,13 @@ def main():
     from ..quant.data import get_calibration_tokens
     from .evaluator import eval_ppl_tokens, eval_tasks
 
+    if args.real_exec and (args.method == "none"
+                           or not (args.qstr or args.qconfig)):
+        # without a quant config the run would silently score the
+        # unquantized bf16 model while labeled as real-execution ppl
+        ap.error("--real-exec requires a quant config (--qstr/--qconfig) "
+                 "and --method rtn/gptq/gptq-had")
+
     cfg = configs.config_for(args.model)
     if args.layers:
         cfg = dataclasses.replace(cfg, num_layers=args.layers)

@@ -25,14 +25,26 @@ def make_sharded_forward(
     cfg: MoEConfig,
     mesh,
     quantized: bool = False,
-    ep_cfg: EPConfig = EPConfig(axis="expert"),
+    ep_cfg: EPConfig | None = None,
+    gate_freq=None,
 ):
     """Returns forward(params, tokens) -> logits, jit-able over the mesh.
 
     quantized=True expects the pytree from
     quant.qparams.quantize_model_experts_uniform/mixed (int8 codes +
     scales) and ships int8 over the all-to-all.
+
+    ``gate_freq``: per-expert access frequencies from a gate trace; when
+    given (and ``ep_cfg`` is not) the EP capacity factor is derived from
+    the measured routing skew (ep.capacity_factor_from_freq) so skewed
+    models don't silently drop assignments at the 2.0-constant default.
     """
+    if ep_cfg is None:
+        from .ep import capacity_factor_from_freq
+
+        cap = (capacity_factor_from_freq(gate_freq, mesh.size, margin=1.5)
+               if gate_freq is not None else 2.0)
+        ep_cfg = EPConfig(axis="expert", capacity_factor=max(cap, 2.0))
     if quantized:
         ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
     else:

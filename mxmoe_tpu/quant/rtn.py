@@ -67,10 +67,11 @@ MSE_NORM = 2.4
 
 
 def _mse_search(tg, upper, lower, eff_sym, clip):
-    """Per-group grid search over clip shrink p ∈ (1-maxshrink, 1]:
-    pick the (scale, zp) minimizing Σ|W - Q(W)|^norm (reference
-    ``find_params`` with mse=True). Vectorized over every group; the grid
-    rides a fori_loop so the whole search stays one fused program."""
+    """Per-group grid search over clip shrink p = 1 - i/grid for
+    i in range(int(maxshrink*grid)) — p ∈ (0.2, 1.0] stepping 1/grid,
+    exactly the reference loop (``gptq.py:96-110``) — picking the
+    (scale, zp) minimizing Σ|W - Q(W)|^norm. Vectorized over every
+    group; the grid rides a fori_loop so the search stays one program."""
     if eff_sym:
         gmax0 = jnp.max(jnp.abs(tg), axis=-1)
         gmin0 = -gmax0
@@ -87,7 +88,7 @@ def _mse_search(tg, upper, lower, eff_sym, clip):
 
     def body(i, carry):
         best_err, best_s, best_z = carry
-        p = 1.0 - i.astype(jnp.float32) * (MSE_MAXSHRINK / MSE_GRID)
+        p = 1.0 - i.astype(jnp.float32) / MSE_GRID
         if eff_sym:
             s = p * gmax0 / upper
             z = jnp.zeros_like(s)
@@ -103,7 +104,8 @@ def _mse_search(tg, upper, lower, eff_sym, clip):
 
     init = (jnp.full(gmax0.shape, jnp.inf, jnp.float32),
             jnp.zeros_like(gmax0), jnp.zeros_like(gmax0))
-    _, scale, zp = jax.lax.fori_loop(0, MSE_GRID, body, init)
+    _, scale, zp = jax.lax.fori_loop(0, int(MSE_MAXSHRINK * MSE_GRID),
+                                     body, init)
     return scale, zp
 
 
@@ -118,7 +120,7 @@ def quantize(
 
     ``clip="mse"`` grid-searches the clip shrink per group minimizing the
     reconstruction error (reference ``Quantizer.find_params`` mse branch,
-    ``gptq.py:96-110``: maxshrink 0.8, 100 points, norm 2.4) — the
+    ``gptq.py:96-110``: maxshrink 0.8, grid 100 → 80 points, norm 2.4) — the
     standard w4 accuracy lever (round-2 verdict missing #2).
 
     Returns integer codes (as float32) with per-group scale/zp such that

@@ -80,24 +80,41 @@ class Engine:
     """Minimal continuous-batching loop over the cached forward."""
 
     def __init__(self, params, cfg: MoEConfig, ecfg: EngineConfig = EngineConfig(),
-                 impl: MoEImpl = MoEImpl(), mesh=None, ep_cfg=None):
+                 impl: MoEImpl = MoEImpl(), mesh=None, ep_cfg=None,
+                 gate_freq=None):
         """``mesh``: serve over a device mesh — params get EP shardings
         (experts split over the mesh axis, dense parts replicated), the KV
         cache is sharded over SLOTS on the same axis, and every cached
         step runs the routed experts through the EP all-to-all
         (parallel.ep.make_ep_moe_block). batch_slots must be a multiple of
         the mesh size. Single-axis hybrid layout per the scaling-book
-        recipe (SURVEY §2.3); round-2 verdict #6."""
+        recipe (SURVEY §2.3); round-2 verdict #6.
+
+        ``gate_freq``: traced per-expert access frequencies (gate trace
+        ``access_freq``, any scale). When given (and ``ep_cfg`` is not),
+        the EP capacity factor is DERIVED from the measured routing skew
+        (capacity_factor_from_freq) instead of guessed — assignments
+        beyond capacity are silently dropped and decode would diverge
+        from single-chip. Without a trace the default is 4.0 (matching
+        generate/dryrun headroom), never the old 2.0 constant."""
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.ep import EPConfig, make_ep_moe_block
+            from ..parallel.ep import (EPConfig, capacity_factor_from_freq,
+                                       make_ep_moe_block)
             from ..parallel.sharded import ep_param_shardings
 
             (axis,) = mesh.axis_names
             assert ecfg.batch_slots % mesh.size == 0, (
                 ecfg.batch_slots, mesh.size)
-            ep_cfg = ep_cfg or EPConfig(axis=axis)
+            if ep_cfg is None:
+                cap = (capacity_factor_from_freq(gate_freq, mesh.size,
+                                                 margin=1.5)
+                       if gate_freq is not None else 4.0)
+                # decode batches are tiny (a few assignments per shard):
+                # keep at least the old headroom so per-step variance
+                # can't drop tokens even under a uniform trace
+                ep_cfg = EPConfig(axis=axis, capacity_factor=max(cap, 2.0))
             lp = params["layers"]
             if "expert_gate_up_qcat" in lp:
                 # packed mixed artifact: reshard the GLOBAL ragged buffers
@@ -150,8 +167,10 @@ class Engine:
             params = jax.device_put(
                 params, ep_param_shardings(params, mesh, quantized))
             self._mesh, self._axis = mesh, axis
+            self.ep_cfg = ep_cfg
         else:
             self._mesh = self._axis = None
+            self.ep_cfg = None
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg

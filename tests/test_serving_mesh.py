@@ -178,3 +178,50 @@ def test_mesh_engine_packed_mixed_decodes_like_single_device():
     ref = run(None)
     got = run(mesh)
     assert got == ref, (got, ref)
+
+
+def test_mesh_engine_derives_capacity_from_gate_trace():
+    """Task: EP capacity from the trace, not a constant (round-3 next #8 +
+    advisor medium). On a skew-routed model the old 2.0 constant DROPS
+    assignments (mesh decode diverges from single-chip); the factor
+    derived from a gate trace via Engine(gate_freq=...) serves with zero
+    drops (mesh decode identical)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from mxmoe_tpu.trace.gate import trace_gate_stats
+
+    cfg, params, impl = _setup(seed=3)
+    # skew the routing toward shard 0's experts (E=8 over 4 shards ->
+    # experts 0-1): magnified router columns dominate top-k most steps
+    router = np.array(params["layers"]["router"], np.float32)  # [L, H, E]
+    router[:, :, 0] *= 8.0
+    router[:, :, 1] = router[:, :, 0] * 0.99   # near-tied pair: top-2 picks
+    # both shard-0 experts together whenever expert 0 wins -> with the
+    # 2.0 constant (cap = 1/shard at decode) one of the two drops
+    layers = dict(params["layers"])
+    layers["router"] = jnp.asarray(router)
+    params = {**params, "layers": layers}
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    ecfg = EngineConfig(batch_slots=4, max_len=64, temperature=0.0)
+    prompts = [[3, 14, 15, 9, 2], [6, 5, 35, 8], [9, 7, 9], [31, 4, 1, 5, 9]]
+
+    # production flow: trace the gate on calibration tokens, derive cap
+    toks = jnp.asarray(np.array([p + [0] * (8 - len(p)) for p in prompts]))
+    trace = trace_gate_stats(params, toks, cfg)
+    freq = trace.access_freq.sum(axis=0)           # [E] aggregated
+
+    def run(mesh_arg, ep_cfg=None, gate_freq=None):
+        eng = Engine(params, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg, gate_freq=gate_freq)
+        rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+        eng.run_to_completion()
+        return eng, [eng.result(r) for r in rids]
+
+    _, ref = run(None)
+    eng_d, derived = run(mesh, gate_freq=freq)
+    assert eng_d.ep_cfg.capacity_factor > 2.0, eng_d.ep_cfg
+    assert derived == ref, (derived, ref)
+
+    _, const = run(mesh, ep_cfg=EPConfig(axis="expert", capacity_factor=2.0))
+    assert const != ref, "2.0 constant did not drop: skew fixture too weak"
