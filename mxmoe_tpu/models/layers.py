@@ -55,17 +55,31 @@ def attention(
     v: jax.Array,       # [B, S, nKV, hd]
     causal: bool = True,
     backend: str = "xla",
+    ring_fn=None,
 ) -> jax.Array:
     """GQA attention; keys/values broadcast across query groups.
 
     backend 'xla': einsum softmax (materializes S×S scores — fine for
     short calibration windows). 'flash': JAX's Pallas TPU flash-attention
     kernel (O(S) memory, long-sequence ppl eval / prefill); requires S a
-    multiple of the kernel block and a TPU backend.
+    multiple of the kernel block and a TPU backend. 'ring': sequence-
+    parallel ring attention over a device mesh (context parallelism for
+    prefill beyond one chip's sequence budget) — ``ring_fn`` is the
+    shard_map-wrapped kernel from
+    ``parallel.ring_attention.make_ring_attention_fn`` (carried on
+    ``MoEImpl.ring_attn``; built by ``parallel.sharded.
+    make_sp_prefill_forward``).
     """
     b, s, n_h, hd = q.shape
     n_kv = k.shape[2]
     groups = n_h // n_kv
+
+    if backend == "ring":
+        assert ring_fn is not None, (
+            "attn_backend='ring' needs MoEImpl.ring_attn (build the "
+            "forward with parallel.sharded.make_sp_prefill_forward)")
+        assert causal, "ring attention is causal-only"
+        return ring_fn(q, k, v)
 
     if backend == "flash" and causal and jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
@@ -139,6 +153,12 @@ class MoEImpl:
                                      # cached decode/forward paths run the
                                      # EP all-to-all inside the step when
                                      # set (serving over a device mesh)
+    ring_attn: object = None         # shard_map ring-attention callable
+                                     # ((q,k,v) -> out) for
+                                     # attn_backend="ring" (sequence-
+                                     # parallel prefill; built by
+                                     # parallel.sharded.
+                                     # make_sp_prefill_forward)
 
     def use_fused_decode(self, s_max: int | None = None) -> bool:
         """auto: the fused update+attention kernel's cost is ~flat in
@@ -555,6 +575,7 @@ def attention_block(
     cos: jax.Array,
     sin: jax.Array,
     attn_backend: str = "xla",
+    ring_fn=None,
 ) -> jax.Array:
     b, s, _ = x.shape
     q = x @ layer_params["wq"]
@@ -569,7 +590,8 @@ def attention_block(
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = attention(q, k, v, causal=True, backend=attn_backend)
+    out = attention(q, k, v, causal=True, backend=attn_backend,
+                    ring_fn=ring_fn)
     return out.reshape(b, s, -1) @ layer_params["wo"]
 
 
@@ -607,6 +629,7 @@ def decoder_layer(
         h_attn = attention_block(
             rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps),
             layer_params, cfg, cos, sin, attn_backend=impl.attn_backend,
+            ring_fn=impl.ring_attn,
         )
     h = x + h_attn
     norm_h = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)

@@ -83,6 +83,42 @@ def make_sharded_forward(
     return forward
 
 
+def make_sp_prefill_forward(cfg: MoEConfig, mesh, axis: str = "seq",
+                            impl=None):
+    """SEQUENCE-parallel prefill forward: logits(params, tokens) with the
+    sequence axis sharded over ``mesh`` and attention running the ring
+    kernel (context parallelism for prompts beyond one chip's S budget —
+    SURVEY §5 long-context; net-new vs the reference, which has no SP/CP).
+
+    Everything position-local (embedding, norms, router, expert FFN, head)
+    is plain GSPMD under the sequence sharding — only attention needs
+    cross-shard communication, and that is the ring's P ppermute hops
+    (O(S/P · S/P) score memory per shard). Params are replicated; compose
+    with EP meshes separately. Requires S % mesh.size == 0.
+    """
+    import dataclasses as _dc
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models import model as model_mod
+    from ..models.layers import MoEImpl
+    from .ring_attention import make_ring_attention_fn
+
+    ring = make_ring_attention_fn(mesh, axis)
+    impl = _dc.replace(impl or MoEImpl(), attn_backend="ring",
+                       ring_attn=ring)
+
+    def forward(params, tokens):
+        assert tokens.shape[1] % mesh.size == 0, (
+            f"sequence {tokens.shape[1]} not divisible by the "
+            f"{mesh.size}-way '{axis}' mesh")
+        h = model_mod.forward_hidden(params, tokens, cfg, impl)
+        return model_mod.head_logits(params, h, cfg)
+
+    tok_sharding = NamedSharding(mesh, P(None, axis))
+    return jax.jit(forward, in_shardings=(None, tok_sharding))
+
+
 def ep_param_shardings(params: dict, mesh, quantized: bool = False):
     """NamedShardings for the hybrid forward: expert arrays sharded on the
     mesh axis (dim E = axis 1 of the stacked [L, E, ...] layout),

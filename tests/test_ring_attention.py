@@ -49,3 +49,27 @@ def test_ring_attention_first_token_finite():
         out = jax.jit(fn)(q, k, v)
     assert bool(jnp.all(jnp.isfinite(out)))
     np.testing.assert_allclose(np.asarray(out), np.ones_like(out), rtol=1e-5)
+
+
+def test_sp_prefill_forward_matches_single_device():
+    """Ring attention REACHABLE from the model (round-3 weak #4): the
+    sequence-parallel prefill forward (MoEImpl(attn_backend='ring') via
+    make_sp_prefill_forward) produces the same logits as the single-device
+    XLA-attention forward at S spanning 4 shards."""
+    from mxmoe_tpu.models import configs, model
+    from mxmoe_tpu.parallel.sharded import make_sp_prefill_forward
+
+    p = 4
+    if len(jax.devices()) < p:
+        pytest.skip("needs 4 devices")
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8 * p), 0,
+                              cfg.vocab_size)
+
+    ref = model.forward_logits(params, toks, cfg)
+    fwd = make_sp_prefill_forward(cfg, Mesh(np.array(jax.devices()[:p]),
+                                            axis_names=("seq",)))
+    got = fwd(params, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
