@@ -877,12 +877,65 @@ def _gmm_mixed_packed_kernel(gids, mtids, blks, kts, pfs, goffs, nlog,
                 _epilogue(acc_ref[...] + part)
 
 
+def _gmm_mixed_packed_flex_kernel(gids, mtids, blks, kts, pfs, goffs, nlog,
+                                  lhs_ref, asc_ref, rhs_ref, bsc_ref, bzp_ref,
+                                  out_ref, acc_ref, *, bm, bn, k2, gsize,
+                                  gdim, aligned=False):
+    """FLEX mixed packed/int8 body: the packed-storage launch extended to
+    grouped scales and asymmetric zero points (per-expert gsize/sym as
+    data, like the pack flags). Group accumulation is strictly ascending
+    and f32 from zeros in every branch, so packed and int8-stored experts
+    with identical codes produce BITWISE-identical outputs (and match
+    gmm_w8a8_grouped / the flex wo+w×a kernel)."""
+    t = pl.program_id(1)
+    gh = k2 // gsize                     # groups per K/2 block
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+
+        def _write(acc):
+            if aligned:
+                out_ref[...] = acc.astype(out_ref.dtype)
+            else:
+                mask = _row_mask(mtids[t], goffs[g], goffs[g + 1], bm, bn)
+                out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype),
+                                         out_ref[...])
+
+        @pl.when(pfs[t] == 1)
+        def _():  # nibble-packed: unpack, then the full group loop
+            p = rhs_ref[...].astype(jnp.int32)                 # [K/2, bn]
+            lo = ((p & 0xF) ^ 8) - 8
+            hi = (((p >> 4) & 0xF) ^ 8) - 8
+            w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+            _write(_grouped_accum(lhs_ref[...], asc_ref, w, bsc_ref[0],
+                                  bzp_ref[0],
+                                  jnp.zeros((bm, bn), jnp.float32),
+                                  gsize=gsize, ngroups=gdim))
+
+        @pl.when(pfs[t] == 0)
+        def _():  # int8: two K-half steps, grouped rescale per half
+            @pl.when(kts[t] == 0)
+            def _():
+                acc_ref[...] = _grouped_accum(
+                    lhs_ref[...], asc_ref, rhs_ref[...], bsc_ref[0],
+                    bzp_ref[0], jnp.zeros((bm, bn), jnp.float32),
+                    gsize=gsize, ngroups=gh)
+
+            @pl.when(kts[t] == 1)
+            def _():
+                _write(_grouped_accum(
+                    lhs_ref[...], asc_ref, rhs_ref[...], bsc_ref[0],
+                    bzp_ref[0], acc_ref[...],
+                    gsize=gsize, ngroups=gh, lhs_col0=k2, sc0=gh))
+
+
 def gmm_mixed_packed(
     lhs_q: jax.Array,        # [M, K] int8 codes
-    lhs_scale: jax.Array,    # [M, 1] f32 per-token scale
+    lhs_scale: jax.Array,    # [M, G] f32 (G=1 per-token; G>1 per-k-group)
     rhs_cat: jax.Array,      # [R, N] int8 ragged: per expert, 1 K/2-row
                              # nibble block (packed) or 2 K/2-row int8 blocks
-    rhs_scale: jax.Array,    # [E, 1, N] f32 per-channel scale
+    rhs_scale: jax.Array,    # [E, G, N] f32
     group_sizes: jax.Array,  # [E] int32
     pflags: jax.Array,       # [E] int32: 1 = expert's weights nibble-packed
     blk_offsets: jax.Array | None = None,  # [E] K/2-unit starts (derived
@@ -894,6 +947,7 @@ def gmm_mixed_packed(
     static_sizes=None,
     static_pflags=None,
     aligned: bool = False,
+    rhs_zp: jax.Array | None = None,   # [E, G, N] recentred zero points
 ) -> jax.Array:
     """ONE-launch mixed grouped matmul with per-expert PACKED storage.
 
@@ -912,6 +966,8 @@ def gmm_mixed_packed(
     e = group_sizes.shape[0] if hasattr(group_sizes, "shape") else len(group_sizes)
     bm = min(bm, m)
     bn = min(bn, n)
+    gdim = rhs_scale.shape[-2]
+    flex = gdim > 1 or rhs_zp is not None
 
     # auto-shrink tiles for huge K (mixtral-scale 14336): the unpack
     # intermediate (k x bn) dominates VMEM — halve bn, then bm, until the
@@ -922,6 +978,7 @@ def gmm_mixed_packed(
         # compiled and served), but a too-tight estimate at mixtral-scale K
         # risks a failed Mosaic compile, which wedges the backend
         return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ * 2 + bm_ * bn_ * 4
+                + 2 * gdim * bn_ * 4 * (2 if flex else 1)
                 + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize)
 
     while bn > 128 and _vmem(bm, bn) > _VMEM_LIMIT:
@@ -946,23 +1003,47 @@ def gmm_mixed_packed(
                 (bm * k, True),                  # lhs int8
                 (k2 * bn, True),                 # rhs block
                 (k * bn * 2, False),             # unpack + transient staging
-                (bm * bn * 4, False),            # int32 scratch
+                (gdim * bn * 4 * (2 if flex else 1), True),
+                (bm * bn * 4, False),            # acc scratch
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
-    kernel = functools.partial(_gmm_mixed_packed_kernel, bm=bm, bn=bn, k2=k2,
-                               aligned=aligned)
+    if flex:
+        # FLEX: grouped scales and/or asym zp — per-expert gsize/sym are
+        # data, same launch (round-3 missing #1). gsize = K / G.
+        assert k % gdim == 0 and k2 % (k // gdim) == 0, (k, gdim)
+        gsize = k // gdim
+        if rhs_zp is None:
+            rhs_zp = jnp.zeros_like(rhs_scale)
+        kernel = functools.partial(_gmm_mixed_packed_flex_kernel, bm=bm,
+                                   bn=bn, k2=k2, gsize=gsize, gdim=gdim,
+                                   aligned=aligned)
+        in_specs = [
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, gdim), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((k2, bn), lambda i, t, *s: (s[2][t], i)),
+            pl.BlockSpec((1, gdim, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, gdim, bn), lambda i, t, *s: (s[0][t], 0, i)),
+        ]
+        operands = [lhs_q, lhs_scale, rhs_cat, rhs_scale, rhs_zp]
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    else:
+        kernel = functools.partial(_gmm_mixed_packed_kernel, bm=bm, bn=bn,
+                                   k2=k2, aligned=aligned)
+        in_specs = [
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((k2, bn), lambda i, t, *s: (s[2][t], i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
+        ]
+        operands = [lhs_q, lhs_scale, rhs_cat, rhs_scale]
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
-                pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
-                pl.BlockSpec((k2, bn), lambda i, t, *s: (s[2][t], i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i)),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -976,12 +1057,42 @@ def gmm_mixed_packed(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.rhs_blks, meta.kts,
       meta.pfs, meta.group_offsets, meta.num_logical.reshape(1),
-      lhs_q, lhs_scale, rhs_cat, rhs_scale)
+      *operands)
 
 
 # ---------------------------------------------------------------------------
 # Grouped-scale w×a GMM (g128-class): per-k-group rescale inside the k loop
 # ---------------------------------------------------------------------------
+
+def _grouped_accum(lhs, asc_ref, rhs, bsc, bzp, acc, *, gsize, ngroups,
+                   lhs_col0=0, sc0=0):
+    """Shared per-k-group rescale loop (Atom-style, reference
+    ``cta_gemm_w4a4g128``): for local groups j = 0..ngroups-1,
+    acc += (a_j · b_j)·s_a[m, sc0+j]·s_b[sc0+j, n]
+           [+ rowsum(a_j)·s_a[m, sc0+j]·zp[sc0+j, n]].
+
+    The zp term is the factored asym-weight correction (recentred signed
+    codes: w = q·s + zp', so out gains Σ_k a_k · zp' = rowsum(a)·zp' per
+    group) — one VPU reduce + FMA riding under the MXU dot. Python-
+    unrolled: static lane-aligned slices, and the unrolled dots pipeline
+    better (group count is small, e.g. K/128 = 16).
+
+    a_j = lhs[:, lhs_col0 + j·g : lhs_col0 + (j+1)·g];
+    b_j = rhs[j·g : (j+1)·g, :]  (rhs is the block holding these groups).
+    """
+    for j in range(ngroups):
+        a = lhs[:, lhs_col0 + j * gsize:lhs_col0 + (j + 1) * gsize]
+        b = rhs[j * gsize:(j + 1) * gsize, :]                  # [g, bn] int8
+        part = jnp.dot(a, b, preferred_element_type=jnp.int32)
+        sa = asc_ref[:, sc0 + j:sc0 + j + 1]                   # [bm, 1]
+        sb = bsc[sc0 + j:sc0 + j + 1, :]                       # [1, bn]
+        acc = acc + part.astype(jnp.float32) * sa * sb
+        if bzp is not None:
+            rsum = jnp.sum(a.astype(jnp.int32), axis=1,
+                           keepdims=True).astype(jnp.float32)  # [bm, 1]
+            acc = acc + (rsum * sa) * bzp[sc0 + j:sc0 + j + 1, :]
+    return acc
+
 
 def _gmm_q8g_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
                     bsc_ref, out_ref, *, bm, bn, gsize, ksc):
@@ -992,18 +1103,25 @@ def _gmm_q8g_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
         g = gids[t]
         m_tile = mtids[t]
         mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        acc = _grouped_accum(lhs_ref[...], asc_ref, rhs_ref[0], bsc_ref[0],
+                             None, jnp.zeros((bm, bn), jnp.float32),
+                             gsize=gsize, ngroups=ksc)
+        out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
-        # Python-unrolled k-group loop: static slices (Mosaic cannot prove
-        # 128-lane alignment for dynamic lane-dim scale indices), and the
-        # unrolled dots pipeline better anyway (ksc is small, e.g. K/128=16).
-        acc = jnp.zeros((bm, bn), jnp.float32)
-        for i in range(ksc):
-            a = lhs_ref[:, i * gsize:(i + 1) * gsize]          # [bm, g] int8
-            b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]       # [g, bn] int8
-            part = jnp.dot(a, b, preferred_element_type=jnp.int32)
-            sa = asc_ref[:, i:i + 1]                            # [bm, 1]
-            sb = bsc_ref[0, i:i + 1, :]                         # [1, bn]
-            acc = acc + part.astype(jnp.float32) * sa * sb
+
+def _gmm_q8g_zp_kernel(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                       bsc_ref, bzp_ref, out_ref, *, bm, bn, gsize, ksc):
+    """Grouped w×a with ASYMMETRIC weights: in-kernel zp rowsum term."""
+    t = pl.program_id(1)
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+        acc = _grouped_accum(lhs_ref[...], asc_ref, rhs_ref[0], bsc_ref[0],
+                             bzp_ref[0], jnp.zeros((bm, bn), jnp.float32),
+                             gsize=gsize, ngroups=ksc)
         out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
 
@@ -1019,15 +1137,39 @@ def _gmm_q8g_kernel_kb(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
     def _body():
         g = gids[t]
         m_tile = mtids[t]
+        acc = _grouped_accum(lhs_ref[...], asc_ref, rhs_ref[0], bsc_ref[0],
+                             None, jnp.zeros((bm, bn), jnp.float32),
+                             gsize=gsize, ngroups=ksc_blk)
 
-        acc = jnp.zeros((bm, bn), jnp.float32)
-        for i in range(ksc_blk):
-            a = lhs_ref[:, i * gsize:(i + 1) * gsize]
-            b = rhs_ref[0, i * gsize:(i + 1) * gsize, :]
-            part = jnp.dot(a, b, preferred_element_type=jnp.int32)
-            sa = asc_ref[:, i:i + 1]
-            sb = bsc_ref[0, i:i + 1, :]
-            acc = acc + part.astype(jnp.float32) * sa * sb
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = acc
+
+        @pl.when(kk > 0)
+        def _():
+            acc_ref[...] = acc_ref[...] + acc
+
+        @pl.when(kk == ksteps - 1)
+        def _():
+            mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+            out_ref[...] = jnp.where(mask, acc_ref[...].astype(out_ref.dtype),
+                                     out_ref[...])
+
+
+def _gmm_q8g_zp_kernel_kb(gids, mtids, goffs, nlog, lhs_ref, asc_ref, rhs_ref,
+                          bsc_ref, bzp_ref, out_ref, acc_ref, *, bm, bn,
+                          gsize, ksc_blk, ksteps):
+    """k-blocked grouped ASYM-weight variant (zp rowsum in the loop)."""
+    t = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(t < nlog[0])
+    def _body():
+        g = gids[t]
+        m_tile = mtids[t]
+        acc = _grouped_accum(lhs_ref[...], asc_ref, rhs_ref[0], bsc_ref[0],
+                             bzp_ref[0], jnp.zeros((bm, bn), jnp.float32),
+                             gsize=gsize, ngroups=ksc_blk)
 
         @pl.when(kk == 0)
         def _():
@@ -1057,14 +1199,22 @@ def gmm_w8a8_grouped(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
+    rhs_zp: jax.Array | None = None,   # [E, K//g, N] recentred zero points
 ) -> jax.Array:
-    """Grouped (g128-class) symmetric w×a int8 matmul: the Atom-style
-    per-group rescale of the reference's ``cta_gemm_w4a4g128``
+    """Grouped (g128-class) w×a int8 matmul: the Atom-style per-group
+    rescale of the reference's ``cta_gemm_w4a4g128``
     (``cta_gemm.cuh:610-772``) — each K-group's int32 partial product is
     rescaled by s_a[m,g]·s_b[g,n] and accumulated in f32; a K-group (128)
     is one full MXU contraction so the loop stays MXU-bound. K larger than
     the VMEM budget is k-blocked (bk) with a persistent f32 accumulator, so
-    mixtral-scale K=14336 works (round-1 gap: full-K tiles only)."""
+    mixtral-scale K=14336 works (round-1 gap: full-K tiles only).
+
+    ``rhs_zp``: ASYMMETRIC weights — the factored per-group zp rowsum
+    correction runs in-kernel (_grouped_accum), so grouped-asym schemes
+    (the reference's ``compose_kernel.py:47-57`` gsize/sym branch domain)
+    are ONE launch too. Per-channel experts may ride this kernel with
+    scales replicated across groups (the flex mixed path).
+    """
     m, k = lhs_q.shape
     e, _, n = rhs_q.shape
     assert k % gsize == 0
@@ -1075,14 +1225,17 @@ def gmm_w8a8_grouped(
     assert k % bk == 0, (k, bk)
     ksteps = k // bk
     ksc_blk = bk // gsize
+    with_zp = rhs_zp is not None
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
     _check_vmem("gmm_w8a8_grouped", (bm * bk, True), (bk * bn, True),
-                (bm * ksc_blk * 4, True), (ksc_blk * bn * 4, True),
+                (bm * ksc_blk * 4, True),
+                (ksc_blk * bn * 4 * (2 if with_zp else 1), True),
                 (bm * bn * 4, False),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     if ksteps == 1:
-        kernel = functools.partial(_gmm_q8g_kernel, bm=bm, bn=bn, gsize=gsize,
+        body = _gmm_q8g_zp_kernel if with_zp else _gmm_q8g_kernel
+        kernel = functools.partial(body, bm=bm, bn=bn, gsize=gsize,
                                    ksc=ksc_blk)
         grid = grid2
         in_specs = [
@@ -1091,11 +1244,15 @@ def gmm_w8a8_grouped(
             pl.BlockSpec((1, bk, bn), lambda i, t, *s: (s[0][t], 0, i)),
             pl.BlockSpec((1, ksc_blk, bn), lambda i, t, *s: (s[0][t], 0, i)),
         ]
+        if with_zp:
+            in_specs.append(
+                pl.BlockSpec((1, ksc_blk, bn), lambda i, t, *s: (s[0][t], 0, i)))
         out_specs = pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i))
         scratch = []
         dims = ("parallel", "arbitrary")
     else:
-        kernel = functools.partial(_gmm_q8g_kernel_kb, bm=bm, bn=bn,
+        body = _gmm_q8g_zp_kernel_kb if with_zp else _gmm_q8g_kernel_kb
+        kernel = functools.partial(body, bm=bm, bn=bn,
                                    gsize=gsize, ksc_blk=ksc_blk, ksteps=ksteps)
         grid = (*grid2, ksteps)
         in_specs = [
@@ -1104,9 +1261,16 @@ def gmm_w8a8_grouped(
             pl.BlockSpec((1, bk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
             pl.BlockSpec((1, ksc_blk, bn), lambda i, t, kk, *s: (s[0][t], kk, i)),
         ]
+        if with_zp:
+            in_specs.append(
+                pl.BlockSpec((1, ksc_blk, bn),
+                             lambda i, t, kk, *s: (s[0][t], kk, i)))
         out_specs = pl.BlockSpec((bm, bn), lambda i, t, kk, *s: (s[1][t], i))
         scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         dims = ("parallel", "arbitrary", "arbitrary")
+    operands = [lhs_q, lhs_scale, rhs_q, rhs_scale]
+    if with_zp:
+        operands.append(rhs_zp)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1127,8 +1291,7 @@ def gmm_w8a8_grouped(
         ),
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
-      meta.num_logical.reshape(1),
-      lhs_q, lhs_scale, rhs_q, rhs_scale)
+      meta.num_logical.reshape(1), *operands)
 
 
 # ---------------------------------------------------------------------------
@@ -1275,12 +1438,49 @@ def _gmm_mixed_kernel(gids, mtids, goffs, nlog, flags, lhs_bf, lhs_q, asc_ref,
                                      out_ref[...])
 
 
+def _gmm_mixed_flex_kernel(gids, mtids, goffs, nlog, flags, lhs_bf, lhs_q,
+                           asc_ref, rhs_ref, bsc_ref, bzp_ref, out_ref, *,
+                           bm, bn, k, gsize, ksc):
+    """FLEX mixed body: weight-only experts get per-group dequant (scale +
+    zp) ahead of the bf16 MXU dot; w×a experts run the grouped-rescale
+    int8 loop with the zp rowsum term. Per-channel experts ride the same
+    launch with scales/zp replicated across groups — the full scheme
+    domain of the reference's fused kernel family in one launch
+    (``hz_fused.cuh:14-445`` instance _89 = w4a16g128 + w8a8;
+    ``compose_kernel.py:47-57`` branches on (a_bits, w_bits, gsize, sym))."""
+    t = pl.program_id(1)
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+        m_tile = mtids[t]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn)
+
+        @pl.when(flags[g] == 1)
+        def _():  # weight-only: per-group dequant, bf16 acts
+            q = rhs_ref[0].astype(jnp.float32)                    # [K, bn]
+            qg = q.reshape(ksc, gsize, bn)
+            w = qg * bsc_ref[0][:, None, :] + bzp_ref[0][:, None, :]
+            w = w.reshape(k, bn).astype(lhs_bf.dtype)
+            res = jnp.dot(lhs_bf[...], w, preferred_element_type=jnp.float32)
+            out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                     out_ref[...])
+
+        @pl.when(flags[g] == 0)
+        def _():  # w×a: grouped int8 rescale + zp rowsum
+            acc = _grouped_accum(lhs_q[...], asc_ref, rhs_ref[0], bsc_ref[0],
+                                 bzp_ref[0], jnp.zeros((bm, bn), jnp.float32),
+                                 gsize=gsize, ngroups=ksc)
+            out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype),
+                                     out_ref[...])
+
+
 def gmm_mixed_wo_wxa(
     lhs: jax.Array,          # [M, K] bf16 activations (weight-only operand)
     lhs_q: jax.Array,        # [M, K] int8 codes (w×a operand)
-    lhs_scale: jax.Array,    # [M, 1] f32
-    rhs_q: jax.Array,        # [E, K, N] int8 codes (per-channel sym)
-    rhs_scale: jax.Array,    # [E, 1, N] f32
+    lhs_scale: jax.Array,    # [M, G] f32 (G=1: per-token; G>1: per-k-group)
+    rhs_q: jax.Array,        # [E, K, N] int8 codes
+    rhs_scale: jax.Array,    # [E, G, N] f32
     scheme_flags,            # [E] int32: 1 = weight-only (a16), 0 = w×a
     group_sizes: jax.Array,
     bm: int = 128,
@@ -1288,34 +1488,62 @@ def gmm_mixed_wo_wxa(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
+    rhs_zp: jax.Array | None = None,   # [E, G, N] recentred zero points
 ) -> jax.Array:
     """ONE launch mixing weight-only and w×a experts (reference Fused mode,
     ``hz_fused.cuh:14-127``). Exists to settle the bucketed-vs-fused
     question with data (round-1 verdict #7): both activation operands are
-    fetched every tile, trading act bandwidth for one launch."""
+    fetched every tile, trading act bandwidth for one launch.
+
+    With G > 1 scales and/or ``rhs_zp``, the FLEX body serves grouped
+    (g128-class) and asymmetric schemes in the same launch — the
+    reference's literal second hand instance (w4a16**g128** + w8a8,
+    ``hz_fused.cuh`` instance _89)."""
     m, k = lhs.shape
-    e, _, n = rhs_q.shape
+    e, gdim, n = rhs_scale.shape
+    assert rhs_q.shape == (e, k, n), (rhs_q.shape, (e, k, n))
     bm = min(bm, m)
     bn = min(bn, n)
+    flex = gdim > 1 or rhs_zp is not None
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
 
     _check_vmem("gmm_mixed_wo_wxa",
                 (bm * k * lhs.dtype.itemsize, True), (bm * k, True),
                 (k * bn, True), (k * bn * 4, False),
+                (gdim * bn * 4 * (2 if flex else 1), True),
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
-    kernel = functools.partial(_gmm_mixed_kernel, bm=bm, bn=bn, k=k)
+    if flex:
+        assert k % gdim == 0, (k, gdim)
+        gsize = k // gdim
+        if rhs_zp is None:
+            rhs_zp = jnp.zeros_like(rhs_scale)
+        kernel = functools.partial(_gmm_mixed_flex_kernel, bm=bm, bn=bn, k=k,
+                                   gsize=gsize, ksc=gdim)
+        in_specs = [
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, gdim), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, gdim, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, gdim, bn), lambda i, t, *s: (s[0][t], 0, i)),
+        ]
+        operands = [lhs, lhs_q, lhs_scale, rhs_q, rhs_scale, rhs_zp]
+    else:
+        kernel = functools.partial(_gmm_mixed_kernel, bm=bm, bn=bn, k=k)
+        in_specs = [
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
+            pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
+        ]
+        operands = [lhs, lhs_q, lhs_scale, rhs_q, rhs_scale]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
-                pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
-                pl.BlockSpec((bm, 1), lambda i, t, *s: (s[1][t], 0)),
-                pl.BlockSpec((1, k, bn), lambda i, t, *s: (s[0][t], 0, i)),
-                pl.BlockSpec((1, 1, bn), lambda i, t, *s: (s[0][t], 0, i)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, t, *s: (s[1][t], i)),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -1330,7 +1558,7 @@ def gmm_mixed_wo_wxa(
         interpret=interpret,
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       meta.num_logical.reshape(1), jnp.asarray(scheme_flags, jnp.int32),
-      lhs, lhs_q, lhs_scale, rhs_q, rhs_scale)
+      *operands)
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,37 @@ def quantize_act_per_row_bits(
     return q.astype(jnp.int8), scale[:, None]
 
 
+def quantize_act_rows_flex(
+    x: jax.Array,            # [M, K]
+    bits_per_row: jax.Array, # [M] f32 (>=16 clipped to 8: operand unused)
+    gflags_per_row: jax.Array,  # [M] 1 = per-(row, k-group) scales at gsize
+    gsize: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row act quant for the FLEX mixed path -> (int8 [M,K], f32 [M,G]).
+
+    Rows with gflag=0 quantize per-token (scale replicated across the G
+    groups — codes identical to quantize_act_per_row_bits); rows with
+    gflag=1 quantize per k-group of ``gsize`` (Atom-style, the activation
+    side of g128-class w×a schemes). One array pair feeds the grouped /
+    flex mixed kernels regardless of each expert's scheme — bitwidth AND
+    group size are data. Bitwise-matches models.layers._act_fq_per_row_flex
+    (the fake-quant mixed eval transform) by construction.
+    """
+    m, k = x.shape
+    assert k % gsize == 0, (k, gsize)
+    g = k // gsize
+    xf = x.astype(jnp.float32).reshape(m, g, gsize)
+    amax_g = jnp.max(jnp.abs(xf), axis=-1)                      # [M, G]
+    amax_row = jnp.max(amax_g, axis=-1, keepdims=True)          # [M, 1]
+    amax = jnp.where(gflags_per_row[:, None] > 0, amax_g,
+                     jnp.broadcast_to(amax_row, (m, g)))
+    upper = jnp.exp2(jnp.minimum(bits_per_row.astype(jnp.float32), 8.0)
+                     - 1.0) - 1.0                               # [M]
+    scale = jnp.maximum(amax, 1e-8) / upper[:, None]            # [M, G]
+    q = jnp.round(xf / scale[..., None]).reshape(m, k)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_model_experts_mixed(
     params: dict, model_cfg, qmodel_cfg, pack_w4: bool = False
 ) -> dict:

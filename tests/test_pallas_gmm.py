@@ -532,3 +532,138 @@ def test_gmm_mixed_packed_mixtral_scale_k_autoshrinks():
                                       jnp.asarray(pf), bn=512,
                                       interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# FLEX mixed path: per-expert (gsize, sym) as data in one launch
+# ---------------------------------------------------------------------------
+
+def _flex_fixture(seed=0, m_sizes=(16, 9, 0, 23), k=256, n=128, gsize=64,
+                  schemes=None):
+    """Per-expert mixed schemes incl. grouped + asym; returns operands for
+    the flex kernels plus a float64 dequant oracle."""
+    from mxmoe_tpu.quant.packing import quantize_weight_kn, dequantize_weight_kn
+    from mxmoe_tpu.quant.qparams import quantize_act_rows_flex
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    if schemes is None:
+        schemes = [
+            QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8),
+            QLinearConfig(w_bits=4, w_gsize=gsize, w_sym=False, a_bits=4,
+                          a_gsize=gsize),
+            QLinearConfig(w_bits=8, w_gsize=gsize, w_sym=True, a_bits=8,
+                          a_gsize=gsize),
+            QLinearConfig(w_bits=4, w_gsize=-1, w_sym=True, a_bits=8),
+        ]
+    e = len(m_sizes)
+    g = k // gsize
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    m = sum(m_sizes)
+    x = jax.random.normal(k1, (m, k), jnp.float32)
+    w = jax.random.normal(k2, (e, k, n), jnp.float32) * 0.1
+
+    wq = np.zeros((e, k, n), np.int8)
+    sc = np.zeros((e, g, n), np.float32)
+    zp = np.zeros((e, g, n), np.float32)
+    w_deq = np.zeros((e, k, n), np.float64)
+    for ei, c in enumerate(schemes):
+        p = quantize_weight_kn(w[ei][None], c)
+        wq[ei] = np.asarray(p.values[0])
+        reps = g if c.w_gsize == -1 else 1
+        sc[ei] = np.repeat(np.asarray(p.scale[0]), reps, axis=0)
+        zp[ei] = np.repeat(np.asarray(p.zp[0]), reps, axis=0)
+        w_deq[ei] = np.asarray(dequantize_weight_kn(p)[0])
+
+    sizes = jnp.asarray(m_sizes, jnp.int32)
+    row_e = np.repeat(np.arange(e), m_sizes)
+    bits = jnp.asarray([float(schemes[i].a_bits) for i in row_e])
+    gflags = jnp.asarray([int(schemes[i].a_gsize != -1) for i in row_e],
+                         jnp.int32)
+    aq, asc = quantize_act_rows_flex(x, bits, gflags, gsize)
+
+    # float64 oracle on the dequantized operands, per expert
+    a_deq = (np.asarray(aq, np.float64).reshape(m, g, gsize)
+             * np.asarray(asc, np.float64)[..., None]).reshape(m, k)
+    ref = np.zeros((m, n), np.float64)
+    off = 0
+    for ei, sz in enumerate(m_sizes):
+        ref[off:off + sz] = a_deq[off:off + sz] @ w_deq[ei]
+        off += sz
+    return dict(x=x, aq=aq, asc=asc, wq=jnp.asarray(wq), sc=jnp.asarray(sc),
+                zp=jnp.asarray(zp), sizes=sizes, ref=ref, gsize=gsize,
+                schemes=schemes, row_e=row_e, bits=bits, gflags=gflags)
+
+
+def test_gmm_grouped_flex_zp_matches_oracle():
+    """One launch over a mix of {per-channel sym, grouped asym, grouped
+    sym, per-channel w4}: gmm_w8a8_grouped with replicated scales + the
+    in-kernel zp rowsum serves the reference fused kernel's full w×a
+    scheme domain (compose_kernel.py:47-57)."""
+    c = _flex_fixture()
+    out = pallas_gmm.gmm_w8a8_grouped(
+        c["aq"], c["asc"], c["wq"], c["sc"], c["sizes"], gsize=c["gsize"],
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+        rhs_zp=c["zp"],
+    )
+    np.testing.assert_allclose(np.asarray(out), c["ref"], rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_gmm_mixed_packed_flex_matches_grouped():
+    """The PACKED flex launch (w<=4 experts nibble-packed in the ragged
+    buffer, grouped scales + zp as data) is bitwise-identical to the
+    int8-stored grouped launch on the same codes."""
+    from mxmoe_tpu.quant.packing import build_ragged_mixed
+
+    c = _flex_fixture()
+    pf = [int(s.w_bits <= 4) for s in c["schemes"]]
+    qcat, blk = build_ragged_mixed(c["wq"], pf)
+    ref = pallas_gmm.gmm_w8a8_grouped(
+        c["aq"], c["asc"], c["wq"], c["sc"], c["sizes"], gsize=c["gsize"],
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+        rhs_zp=c["zp"],
+    )
+    out = pallas_gmm.gmm_mixed_packed(
+        c["aq"], c["asc"], qcat, c["sc"], c["sizes"],
+        jnp.asarray(pf, jnp.int32), jnp.asarray(blk, jnp.int32),
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+        rhs_zp=c["zp"],
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_gmm_mixed_wo_wxa_flex_matches_oracle():
+    """The reference's literal second hand instance — w4a16 g128 (asym
+    weight-only) + w8a8 per-channel — in ONE launch
+    (hz_fused.cuh:14-445 instance _89)."""
+    from mxmoe_tpu.quant.schemes import QLinearConfig
+
+    gsize = 64
+    schemes = [
+        QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8),
+        QLinearConfig(w_bits=4, w_gsize=gsize, w_sym=False, a_bits=16),
+        QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8),
+        QLinearConfig(w_bits=4, w_gsize=gsize, w_sym=False, a_bits=16),
+    ]
+    c = _flex_fixture(schemes=schemes)
+    m, k = c["x"].shape
+    flags = jnp.asarray([int(s.a_bits >= 16) for s in c["schemes"]],
+                        jnp.int32)
+    out = pallas_gmm.gmm_mixed_wo_wxa(
+        c["x"].astype(jnp.float32), c["aq"], c["asc"], c["wq"], c["sc"],
+        flags, c["sizes"], bm=64, bn=128, out_dtype=jnp.float32,
+        interpret=INTERPRET, rhs_zp=c["zp"],
+    )
+    # oracle: a16 experts use the raw activations against dequant weights
+    ref = np.array(c["ref"])
+    off = 0
+    xs = np.asarray(c["x"], np.float64)
+    for ei, sz in enumerate(np.bincount(c["row_e"], minlength=4)):
+        if c["schemes"][ei].a_bits >= 16 and sz:
+            wd = (np.asarray(c["wq"][ei], np.float64).reshape(-1, c["gsize"], ref.shape[1])
+                  * np.asarray(c["sc"][ei], np.float64)[:, None, :]
+                  + np.asarray(c["zp"][ei], np.float64)[:, None, :]).reshape(k, -1)
+            ref[off:off + sz] = xs[off:off + sz] @ wd
+        off += sz
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
