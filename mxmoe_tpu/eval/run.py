@@ -35,10 +35,10 @@ def main():
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--real-exec", action="store_true",
                     help="score ppl through the REAL quantized execution "
-                         "(int8 one-launch kernels, packed w<=4 storage, "
-                         "int8 shared expert) instead of fake-quant hooks; "
-                         "methods rtn/gptq/gptq-had, w<=8 sym per-channel "
-                         "w×a schemes only")
+                         "(one-launch mixed kernels incl. grouped/asym "
+                         "schemes, packed w<=4 storage, int8 shared "
+                         "expert) instead of fake-quant hooks; methods "
+                         "rtn/gptq/gptq-had, w<=8 (a<=8 or a16) schemes")
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -86,34 +86,31 @@ def main():
                 args.calib_nsamples, min(args.seqlen, 512),
                 tokenizer=tokenizer, vocab_size=cfg.vocab_size,
             )
+        has_a16 = False
         if args.real_exec:
             # REAL execution (the accuracy the served model actually has).
-            # a16 weight-only experts would be silently clipped to int8
-            # acts on this path (quantize_rows clips bits>=16) — refuse
-            # loudly, same contract as the mesh Engine.
+            # a16 weight-only experts route through the fused wo+w×a
+            # launch (mixed_weight_only, reference hz_fused.cuh:14-127);
+            # such mixes keep int8-stored codes (no nibble packing).
             if args.method not in ("rtn", "gptq", "gptq-had"):
                 ap.error("--real-exec supports --method rtn/gptq/gptq-had")
-            for lkey, lc in qmodel.layers.items():
-                for ekey, ec in lc.experts.items():
-                    if int(ekey) >= cfg.num_experts:
-                        continue    # shared expert handled separately
-                    for q in ec.qmap().values():
-                        if q.a_bits > 8:
-                            ap.error(
-                                f"--real-exec requires pure w×a mixes "
-                                f"(act bits <= 8); layer {lkey} expert "
-                                f"{ekey} has {q.scheme_name}")
+            has_a16 = any(
+                q.a_bits >= 16
+                for lc in qmodel.layers.values()
+                for ekey, ec in lc.experts.items()
+                if int(ekey) < cfg.num_experts
+                for q in ec.qmap().values())
             if args.method == "rtn":
                 from ..quant.qparams import quantize_model_experts_mixed
 
-                params = quantize_model_experts_mixed(params, cfg, qmodel,
-                                                      pack_w4=True)
+                params = quantize_model_experts_mixed(
+                    params, cfg, qmodel, pack_w4=not has_a16)
             else:
                 from ..quant.quantizer import (
                     quantize_model_experts_mixed_gptq)
 
                 params = quantize_model_experts_mixed_gptq(
-                    params, cfg, qmodel, calib, pack_w4=True,
+                    params, cfg, qmodel, calib, pack_w4=not has_a16,
                     hadamard=args.method.endswith("-had"))
         else:
             params = quantize_model_fake(
@@ -122,6 +119,7 @@ def main():
 
     if args.real_exec:
         impl = MoEImpl(kind="ragged", quant="mixed",
+                       mixed_weight_only=has_a16,
                        interpret=jax.default_backend() == "cpu")
     else:
         impl = MoEImpl(kind="ragged")

@@ -208,6 +208,24 @@ def _act_fq_per_row(x: jax.Array, bits_per_row: jax.Array) -> jax.Array:
     return jnp.where(keep, x.astype(jnp.float32), q).astype(x.dtype)
 
 
+def _act_fq_per_row_flex(x: jax.Array, bits_per_row: jax.Array,
+                         row_gsize: jax.Array, gsize: int) -> jax.Array:
+    """FLEX fake-quant: per-row bitwidth AND per-row grouping (rows of
+    grouped-act experts quantize per k-group of ``gsize``; others
+    per-token). Dequantizes exactly the codes·scales the REAL flex path
+    computes (``qparams.quantize_act_rows_flex``), so flex real-vs-fake
+    ppl comparisons see identical activation transforms. 16-bit rows pass
+    through."""
+    from ..quant.qparams import quantize_act_rows_flex
+
+    q, scale = quantize_act_rows_flex(x, bits_per_row, row_gsize, gsize)
+    m, k = x.shape
+    deq = (q.astype(jnp.float32).reshape(m, k // gsize, gsize)
+           * scale[..., None]).reshape(m, k)
+    keep = (bits_per_row >= 16)[:, None]
+    return jnp.where(keep, x.astype(jnp.float32), deq).astype(x.dtype)
+
+
 def moe_ffn_ragged(
     x2d: jax.Array,
     layer_params: dict,
@@ -225,12 +243,22 @@ def moe_ffn_ragged(
     disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed_act = "act_bits_gateup" in layer_params
+
+    def _fq(acts, bits_key, ag_key):
+        row_bits = jnp.take(layer_params[bits_key], row_expert)
+        ag = layer_params.get(ag_key)      # [E, G] per-expert a_gsize or None
+        if ag is None:
+            return _act_fq_per_row(acts, row_bits)
+        return _act_fq_per_row_flex(
+            acts, row_bits, jnp.take(ag[:, 0], row_expert),
+            acts.shape[-1] // ag.shape[-1])
+
     if mixed_act:
         row_expert = jnp.repeat(
             jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
             total_repeat_length=xs.shape[0],
         )
-        xs = _act_fq_per_row(xs, jnp.take(layer_params["act_bits_gateup"], row_expert))
+        xs = _fq(xs, "act_bits_gateup", "act_gsize_gateup")
     h = gmm_ops.gmm(xs, layer_params["expert_gate_up"], disp.group_sizes,
                     backend=impl.gmm_backend)                       # [T*k, 2N]
     h = silu_mul(h)
@@ -239,7 +267,7 @@ def moe_ffn_ragged(
 
         h = matmul_hadU(h)
     if mixed_act:
-        h = _act_fq_per_row(h, jnp.take(layer_params["act_bits_down"], row_expert))
+        h = _fq(h, "act_bits_down", "act_gsize_down")
     out = gmm_ops.gmm(h, layer_params["expert_down"], disp.group_sizes,
                       backend=impl.gmm_backend)                     # [T*k, H]
     return combine_tokens(out, disp, x2d.shape[0])
@@ -259,7 +287,8 @@ def moe_ffn_ragged_quant(
                       storage lands)
       a_bits >= 16 -> weight-only kernel (bf16 MXU, in-kernel dequant)
     """
-    from ..quant.qparams import quantize_act_rtn, quantize_act_per_row_bits
+    from ..quant.qparams import (quantize_act_rtn, quantize_act_per_row_bits,
+                                 quantize_act_rows_flex)
     from ..ops import pallas_gmm
     from ..ops import act_quant
 
@@ -298,6 +327,44 @@ def moe_ffn_ragged_quant(
     def qgemm(acts, prefix):
         sc = layer_params[f"{prefix}_sc"]
         k = acts.shape[-1]
+        bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
+                    else "act_bits_down")
+        ag_key = ("act_gsize_gateup" if prefix == "expert_gate_up"
+                  else "act_gsize_down")
+        if mixed and ag_key in layer_params:
+            # FLEX mixed: this family's scheme set contains grouped and/or
+            # asymmetric schemes — per-expert (bits, gsize, sym) are ALL
+            # data: act codes+scales [M, G] from the per-row flex quant,
+            # weight scales/zp [E, G, N] (per-channel experts replicated),
+            # one launch (reference fused-kernel scheme domain,
+            # compose_kernel.py:47-57 / hz_fused.cuh instance _89)
+            gdim = sc.shape[-2]
+            gsz_min = k // gdim
+            ag = layer_params[ag_key]                      # [E, G]
+            row_bits = jnp.take(layer_params[bits_key], row_expert)
+            row_ag = jnp.take(ag[:, 0], row_expert)
+            aq, asc = quantize_act_rows_flex(acts, row_bits, row_ag, gsz_min)
+            zp = layer_params.get(f"{prefix}_zp")
+            n_out = sc.shape[-1]
+            bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
+            if f"{prefix}_qcat" in layer_params:
+                return pallas_gmm.gmm_mixed_packed(
+                    aq, asc, layer_params[f"{prefix}_qcat"], sc,
+                    disp.group_sizes, layer_params[f"{prefix}_pf"],
+                    layer_params[f"{prefix}_blk"], bn=bn, rhs_zp=zp,
+                    out_dtype=acts.dtype, interpret=impl.interpret,
+                )
+            wq = layer_params[f"{prefix}_q"]
+            if impl.mixed_weight_only:
+                flags = (layer_params[bits_key] >= 16).astype(jnp.int32)
+                return pallas_gmm.gmm_mixed_wo_wxa(
+                    acts, aq, asc, wq, sc, flags, disp.group_sizes, bn=bn,
+                    rhs_zp=zp, out_dtype=acts.dtype, interpret=impl.interpret,
+                )
+            return pallas_gmm.gmm_w8a8_grouped(
+                aq, asc, wq, sc, disp.group_sizes, gsize=gsz_min, bn=bn,
+                rhs_zp=zp, out_dtype=acts.dtype, interpret=impl.interpret,
+            )
         if f"{prefix}_qcat" in layer_params:
             # mixed schemes with PACKED w<=4 storage: one launch over the
             # ragged weight buffer (w4 experts stream half the bytes);

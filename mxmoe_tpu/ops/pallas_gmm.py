@@ -930,6 +930,77 @@ def _gmm_mixed_packed_flex_kernel(gids, mtids, blks, kts, pfs, goffs, nlog,
                     gsize=gsize, ngroups=gh, lhs_col0=k2, sc0=gh))
 
 
+def _gmm_mixed_packed_flex_straddle_kernel(
+        gids, mtids, blks, kts, pfs, goffs, nlog,
+        lhs_ref, asc_ref, rhs_ref, bsc_ref, bzp_ref, out_ref,
+        acc_ref, sacc_ref, *, bm, bn, k2, gsize, gdim, aligned=False):
+    """FLEX packed body for K/2 NOT a multiple of gsize (e.g. qwen2_moe
+    down: K=1408, g=128 -> K/2=704 straddles a group). The straddling
+    group js = K/2 // g splits across the int8 expert's two weight blocks;
+    its two partial int32 dots sum EXACTLY in the sacc scratch before the
+    single rescale, so the result stays bitwise-identical to the
+    one-block grouped launch. Activations are full-K in VMEM every step,
+    so only the weight rows split."""
+    t = pl.program_id(1)
+    js = k2 // gsize                     # straddling group index
+    r1 = k2 - js * gsize                 # its rows in the first half
+    r2 = gsize - r1                      # its rows in the second half
+
+    @pl.when(t < nlog[0])
+    def _():
+        g = gids[t]
+
+        def _write(acc):
+            if aligned:
+                out_ref[...] = acc.astype(out_ref.dtype)
+            else:
+                mask = _row_mask(mtids[t], goffs[g], goffs[g + 1], bm, bn)
+                out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype),
+                                         out_ref[...])
+
+        @pl.when(pfs[t] == 1)
+        def _():  # nibble-packed: unpack, full group loop (no straddle)
+            p = rhs_ref[...].astype(jnp.int32)
+            lo = ((p & 0xF) ^ 8) - 8
+            hi = (((p >> 4) & 0xF) ^ 8) - 8
+            w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+            _write(_grouped_accum(lhs_ref[...], asc_ref, w, bsc_ref[0],
+                                  bzp_ref[0],
+                                  jnp.zeros((bm, bn), jnp.float32),
+                                  gsize=gsize, ngroups=gdim))
+
+        @pl.when(pfs[t] == 0)
+        def _():
+            lhs = lhs_ref[...]
+            rhs = rhs_ref[...]
+
+            @pl.when(kts[t] == 0)
+            def _():
+                acc_ref[...] = _grouped_accum(
+                    lhs, asc_ref, rhs[:js * gsize], bsc_ref[0], bzp_ref[0],
+                    jnp.zeros((bm, bn), jnp.float32),
+                    gsize=gsize, ngroups=js)
+                sacc_ref[...] = jnp.dot(lhs[:, js * gsize:k2],
+                                        rhs[js * gsize:],
+                                        preferred_element_type=jnp.int32)
+
+            @pl.when(kts[t] == 1)
+            def _():
+                part2 = jnp.dot(lhs[:, k2:k2 + r2], rhs[:r2],
+                                preferred_element_type=jnp.int32)
+                full = (sacc_ref[...] + part2).astype(jnp.float32)
+                sa = asc_ref[:, js:js + 1]
+                acc = acc_ref[...] + full * sa * bsc_ref[0][js:js + 1, :]
+                rsum = jnp.sum(
+                    lhs[:, js * gsize:(js + 1) * gsize].astype(jnp.int32),
+                    axis=1, keepdims=True).astype(jnp.float32)
+                acc = acc + (rsum * sa) * bzp_ref[0][js:js + 1, :]
+                _write(_grouped_accum(
+                    lhs, asc_ref, rhs[r2:], bsc_ref[0], bzp_ref[0], acc,
+                    gsize=gsize, ngroups=gdim - 1 - js,
+                    lhs_col0=(js + 1) * gsize, sc0=js + 1))
+
+
 def gmm_mixed_packed(
     lhs_q: jax.Array,        # [M, K] int8 codes
     lhs_scale: jax.Array,    # [M, G] f32 (G=1 per-token; G>1 per-k-group)
@@ -977,7 +1048,8 @@ def gmm_mixed_packed(
         # VREG staging): the 1x estimate is HW-proven at k<=2048 (bn=1536
         # compiled and served), but a too-tight estimate at mixtral-scale K
         # risks a failed Mosaic compile, which wedges the backend
-        return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ * 2 + bm_ * bn_ * 4
+        return (2 * bm_ * k + 2 * k2 * bn_ + k * bn_ * 2
+                + bm_ * bn_ * 4 * (2 if flex else 1)   # acc (+ straddle)
                 + 2 * gdim * bn_ * 4 * (2 if flex else 1)
                 + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize)
 
@@ -1004,18 +1076,32 @@ def gmm_mixed_packed(
                 (k2 * bn, True),                 # rhs block
                 (k * bn * 2, False),             # unpack + transient staging
                 (gdim * bn * 4 * (2 if flex else 1), True),
-                (bm * bn * 4, False),            # acc scratch
+                (bm * bn * 4 * (2 if flex else 1), False),  # acc (+straddle)
                 (bm * bn * jnp.dtype(out_dtype).itemsize, True))
     if flex:
         # FLEX: grouped scales and/or asym zp — per-expert gsize/sym are
-        # data, same launch (round-3 missing #1). gsize = K / G.
-        assert k % gdim == 0 and k2 % (k // gdim) == 0, (k, gdim)
+        # data, same launch (round-3 missing #1). gsize = K / G. When the
+        # K/2 block boundary straddles a group (qwen2_moe down: 704 % 128)
+        # the straddle variant sums the split group's int32 partials
+        # exactly before rescaling.
+        assert k % gdim == 0, (k, gdim)
         gsize = k // gdim
+        straddle = k2 % gsize != 0
+        if straddle:
+            assert (k2 % 8 == 0 and gsize % 8 == 0), (k2, gsize)
         if rhs_zp is None:
             rhs_zp = jnp.zeros_like(rhs_scale)
-        kernel = functools.partial(_gmm_mixed_packed_flex_kernel, bm=bm,
-                                   bn=bn, k2=k2, gsize=gsize, gdim=gdim,
-                                   aligned=aligned)
+        if straddle:
+            kernel = functools.partial(
+                _gmm_mixed_packed_flex_straddle_kernel, bm=bm, bn=bn, k2=k2,
+                gsize=gsize, gdim=gdim, aligned=aligned)
+            scratch = [pltpu.VMEM((bm, bn), jnp.float32),
+                       pltpu.VMEM((bm, bn), jnp.int32)]
+        else:
+            kernel = functools.partial(_gmm_mixed_packed_flex_kernel, bm=bm,
+                                       bn=bn, k2=k2, gsize=gsize, gdim=gdim,
+                                       aligned=aligned)
+            scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         in_specs = [
             pl.BlockSpec((bm, k), lambda i, t, *s: (s[1][t], 0)),
             pl.BlockSpec((bm, gdim), lambda i, t, *s: (s[1][t], 0)),
@@ -1024,7 +1110,6 @@ def gmm_mixed_packed(
             pl.BlockSpec((1, gdim, bn), lambda i, t, *s: (s[0][t], 0, i)),
         ]
         operands = [lhs_q, lhs_scale, rhs_cat, rhs_scale, rhs_zp]
-        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
     else:
         kernel = functools.partial(_gmm_mixed_packed_kernel, bm=bm, bn=bn,
                                    k2=k2, aligned=aligned)

@@ -406,6 +406,48 @@ def make_ep_moe_quant_a4_fn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig())
     )
 
 
+_MIXED_LP_REPL = ("router", "act_bits_gateup", "act_bits_down",
+                  "act_gsize_gateup", "act_gsize_down")
+
+
+def make_ep_moe_mixed_dyn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
+    """Layout-driven shard_map wrapper for the mixed EP block: the operand
+    list and in_specs derive from the ACTUAL layer params at trace time,
+    so the classic int8-stored, packed-ragged, and FLEX layouts (grouped/
+    asym: ``_zp`` + ``act_gsize_*``) all ride ONE wrapper. Replicated:
+    router + act arrays; sharded on dim 0: every expert_* array ([E, ...]
+    codes/scales/zp/pf, [E] local blk offsets, [ep, R, N] per-shard qcat).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ax = ep_cfg.axis
+
+    def mixed_ep(x2d, lp: dict):
+        keys = [k for k in sorted(lp)
+                if k in _MIXED_LP_REPL or k.startswith("expert_gate_up")
+                or k.startswith("expert_down")]
+        specs = []
+        for k in keys:
+            nd = lp[k].ndim
+            if k in _MIXED_LP_REPL:
+                specs.append(P(*([None] * nd)))
+            else:
+                specs.append(P(ax, *([None] * (nd - 1))))
+
+        def inner(x_local, *ops):
+            return moe_ffn_ep_mixed(x_local, dict(zip(keys, ops)), cfg,
+                                    ep_cfg)
+
+        out_specs = ((P(ax, None), P(ax)) if ep_cfg.return_stats
+                     else P(ax, None))
+        fn = shard_map(inner, mesh=mesh, in_specs=(P(ax, None), *specs),
+                       out_specs=out_specs, check_vma=False)
+        return fn(x2d, *[lp[k] for k in keys])
+
+    return mixed_ep
+
+
 def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
                       ep_cfg: EPConfig = EPConfig()):
     """EP MoE as a drop-in ``moe_block`` replacement for the CACHED paths.
@@ -421,10 +463,10 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     """
     from ..models.layers import shared_expert_ffn
 
-    if quantized == "mixed":
-        ep_fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg)
-    elif quantized == "mixed-packed":
-        ep_fn = make_ep_moe_mixed_fn(cfg, mesh, ep_cfg, packed=True)
+    if quantized in ("mixed", "mixed-packed"):
+        # layout-driven: int8-stored, packed-ragged and FLEX (grouped/
+        # asym) artifacts all serve through the same dynamic wrapper
+        ep_fn = make_ep_moe_mixed_dyn(cfg, mesh, ep_cfg)
     elif quantized:
         ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
     else:
@@ -433,18 +475,8 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     def block(x: jax.Array, lp: dict, cfg_: MoEConfig) -> jax.Array:
         b, s, hdim = x.shape
         x2d = x.reshape(-1, hdim)
-        if quantized == "mixed-packed":
-            y = ep_fn(x2d, lp["router"],
-                      lp["expert_gate_up_qcat"], lp["expert_gate_up_sc"],
-                      lp["expert_gate_up_blk"], lp["expert_gate_up_pf"],
-                      lp["expert_down_qcat"], lp["expert_down_sc"],
-                      lp["expert_down_blk"], lp["expert_down_pf"],
-                      lp["act_bits_gateup"], lp["act_bits_down"])
-        elif quantized == "mixed":
-            y = ep_fn(x2d, lp["router"],
-                      lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
-                      lp["expert_down_q"], lp["expert_down_sc"],
-                      lp["act_bits_gateup"], lp["act_bits_down"])
+        if quantized in ("mixed", "mixed-packed"):
+            y = ep_fn(x2d, lp)
         elif quantized:
             y = ep_fn(x2d, lp["router"],
                       lp["expert_gate_up_q"], lp["expert_gate_up_sc"],
@@ -496,13 +528,29 @@ def moe_ffn_ep_mixed(
                             ep_cfg.capacity_factor)
     flat_exp = b.dest * e_local + b.local_exp                 # global ids
 
-    # per-assignment act quant at the destination expert's gateup bits
+    # FLEX mixes (grouped/asym schemes): act scales become [*, G] vectors
+    # on the wire and the receivers run the grouped/flex launches — same
+    # bitwidths-and-groups-as-data model, composed with the A2A
+    flex = "act_gsize_gateup" in layer_params
+
+    def _src_quant(rows_in, bits_key, ag_key, flat_ids):
+        row_bits = jnp.take(layer_params[bits_key], flat_ids)
+        if not flex:
+            return quantize_rows(rows_in, row_bits, interpret=interpret)
+        from ..quant.qparams import quantize_act_rows_flex
+
+        ag = layer_params[ag_key]                 # [E, G] replicated values
+        return quantize_act_rows_flex(
+            rows_in, row_bits, jnp.take(ag[:, 0], flat_ids),
+            rows_in.shape[-1] // ag.shape[-1])
+
+    # per-assignment act quant at the destination expert's gateup scheme
     rows = x_local[b.token_ids]                               # [T_l*k, H]
-    row_bits = jnp.take(layer_params["act_bits_gateup"], flat_exp)
-    rq, rscale = quantize_rows(rows, row_bits, interpret=interpret)
+    rq, rscale = _src_quant(rows, "act_bits_gateup", "act_gsize_gateup",
+                            flat_exp)
 
     send_x = _fill_send(b, rq, ep)
-    send_s = _fill_send(b, rscale[:, 0], ep)
+    send_s = _fill_send(b, rscale, ep)                        # [*, G] rides
     send_le = _send_local_exp(b, ep, e_local)
 
     recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)
@@ -511,7 +559,7 @@ def moe_ffn_ep_mixed(
 
     srt = _sort_recv(recv_le, e_local)
     rows_s = jnp.take(recv_x.reshape(ep * b.cap, h), srt.order, axis=0)
-    rscale_s = jnp.take(recv_s.reshape(ep * b.cap, 1), srt.order, axis=0)
+    rscale_s = jnp.take(recv_s.reshape(ep * b.cap, -1), srt.order, axis=0)
 
     # ONE int8 launch over this shard's experts (bitwidths live in the
     # codes and scales — models/layers.py qgemm mixed branch, EP edition).
@@ -521,17 +569,23 @@ def moe_ffn_ep_mixed(
     packed = "expert_gate_up_qcat" in layer_params
 
     def _mixed_gmm(acts_q, acts_sc, prefix):
+        zp = layer_params.get(f"{prefix}_zp")
         if packed:
             return pallas_gmm.gmm_mixed_packed(
                 acts_q, acts_sc, layer_params[f"{prefix}_qcat"][0],
                 layer_params[f"{prefix}_sc"], srt.group_sizes,
                 layer_params[f"{prefix}_pf"],
-                layer_params[f"{prefix}_blk"],
+                layer_params[f"{prefix}_blk"], rhs_zp=zp,
                 out_dtype=x_local.dtype, interpret=interpret)
+        sc = layer_params[f"{prefix}_sc"]
+        if flex and (sc.shape[-2] > 1 or zp is not None):
+            return pallas_gmm.gmm_w8a8_grouped(
+                acts_q, acts_sc, layer_params[f"{prefix}_q"], sc,
+                srt.group_sizes, gsize=acts_q.shape[-1] // sc.shape[-2],
+                rhs_zp=zp, out_dtype=x_local.dtype, interpret=interpret)
         return pallas_gmm.gmm_w8a8(
-            acts_q, acts_sc, layer_params[f"{prefix}_q"],
-            layer_params[f"{prefix}_sc"], srt.group_sizes,
-            out_dtype=x_local.dtype, interpret=interpret)
+            acts_q, acts_sc, layer_params[f"{prefix}_q"], sc,
+            srt.group_sizes, out_dtype=x_local.dtype, interpret=interpret)
 
     hh = _mixed_gmm(rows_s, rscale_s, "expert_gate_up")
     hh = silu_mul(hh)
@@ -540,9 +594,9 @@ def moe_ffn_ep_mixed(
     # outputs never travel back (slot_safe gather excludes them)
     le_sorted = jnp.take(recv_le.reshape(-1), srt.order)
     shard0 = jax.lax.axis_index(axis) * e_local
-    gbits = jnp.take(layer_params["act_bits_down"],
-                     jnp.clip(shard0 + le_sorted, 0, cfg.num_experts - 1))
-    hq, hscale = quantize_rows(hh, gbits, interpret=interpret)
+    gids_down = jnp.clip(shard0 + le_sorted, 0, cfg.num_experts - 1)
+    hq, hscale = _src_quant(hh, "act_bits_down", "act_gsize_down",
+                            gids_down)
     out_s = _mixed_gmm(hq, hscale, "expert_down")
     unsort = jnp.argsort(srt.order, stable=True)
     out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, b.cap, h)

@@ -91,15 +91,28 @@ def gptq_quantize(
     blocksize: int = 128,
     percdamp: float = 0.01,
     act_order: bool = False,
+    static_groups: bool = False,
+    _perm_groups: jax.Array | None = None,   # [E, K] original group id of
+                                             # each SWEEP column (act-order)
+    _static_params=None,                     # (scale, zp) [E, N, K//g]
 ) -> GPTQResult:
     """Blocked GPTQ sweep for all experts at once.
 
     act_order: quantize columns in descending diag(H) order (reference
     ``gptq.py`` actorder flag) — per-expert permutations batched via
     take_along_axis; codes/weights are returned in the ORIGINAL order.
+
+    static_groups: per-group (scale, zp) precomputed from the ORIGINAL
+    weights before the error-compensated sweep (reference
+    ``gptq.py:196-206``) — with act_order the scales stay aligned to the
+    ORIGINAL K-groups, so grouped codes remain servable by the grouped/
+    packed kernels (round-3 missing #3: the dynamic-group act-order path
+    expands to per-column scales, exact for fake-quant but storage-
+    incompatible with g128 serving).
     """
     if act_order:
-        return _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp)
+        return _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp,
+                                       static_groups)
     e, n, k = w.shape
     bits, sym, clip = cfg.w_bits, cfg.w_sym, cfg.w_clip
     gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
@@ -117,6 +130,12 @@ def gptq_quantize(
     dead = (diag == 0).astype(jnp.float32)
     h = h + jnp.eye(k)[None] * dead[:, None, :]
     wf = wf * (1.0 - dead[:, None, :])
+
+    use_static = static_groups and cfg.w_gsize != -1
+    if use_static and _static_params is None:
+        # per-group params from the ORIGINAL (dead-zeroed) weights
+        wg0 = wf.reshape(e, n, k // gsize, gsize)
+        _static_params = _find_group_params(wg0, bits, sym, clip)
 
     # damping (gptq.py:201-208)
     damp = percdamp * jnp.mean(diag, axis=-1)
@@ -143,6 +162,8 @@ def gptq_quantize(
         scale_g, zp_g = _find_group_params(wf, bits, sym, clip)   # [E, N]
         scale_all = scale_g[..., None]
         zp_all = zp_g[..., None]
+    elif use_static:
+        scale_all, zp_all = _static_params
 
     def block_step(carry, bi):
         wf, q_all, scale_all, zp_all = carry
@@ -151,7 +172,7 @@ def gptq_quantize(
         ublk = jax.lax.dynamic_slice_in_dim(hinv_u, s, blocksize, axis=1)  # [E,B,K]
         ublk_in = jax.lax.dynamic_slice_in_dim(ublk, s, blocksize, axis=2)  # [E,B,B]
 
-        if cfg.w_gsize != -1:
+        if cfg.w_gsize != -1 and not use_static:
             # grouped: scales from the CURRENT (updated) block, per group
             wg = wblk.reshape(e, n, groups_per_block, gsize)
             sc_b, zp_b = _find_group_params(wg, bits, sym, clip)  # [E,N,G]
@@ -165,6 +186,15 @@ def gptq_quantize(
             wcol = jax.lax.dynamic_slice_in_dim(wblk, ci, 1, axis=2)[..., 0]  # [E,N]
             if cfg.w_gsize == -1:
                 sc, zp = scale_all[..., 0], zp_all[..., 0]
+            elif _perm_groups is not None:
+                # act-order + static groups: this sweep column's ORIGINAL
+                # group differs per expert (per-expert permutations)
+                gidx_e = jax.lax.dynamic_slice(
+                    _perm_groups, (0, s + ci), (e, 1))[:, 0]      # [E]
+                sc = jnp.take_along_axis(
+                    scale_all, gidx_e[:, None, None], axis=2)[..., 0]
+                zp = jnp.take_along_axis(
+                    zp_all, gidx_e[:, None, None], axis=2)[..., 0]
             else:
                 gidx = s // gsize + ci // gsize
                 sc = jax.lax.dynamic_slice_in_dim(scale_all, gidx, 1, axis=2)[..., 0]
@@ -225,7 +255,8 @@ def gptq_quantize_kn(
     )
 
 
-def _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp):
+def _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp,
+                            static_groups=False):
     e, n, k = w.shape
     diag = jnp.diagonal(hessian, axis1=-2, axis2=-1)          # [E, K]
     perm = jnp.argsort(-diag, axis=-1)                        # [E, K] desc
@@ -235,12 +266,31 @@ def _gptq_quantize_actorder(w, hessian, cfg, blocksize, percdamp):
     h_p = jnp.take_along_axis(hessian, perm[:, :, None], axis=1)
     h_p = jnp.take_along_axis(h_p, perm[:, None, :], axis=2)
 
+    gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
+    if static_groups and cfg.w_gsize != -1:
+        # reference static_groups (gptq.py:196-206): per-group quantizers
+        # from the ORIGINAL (dead-zeroed) weights, looked up by each sweep
+        # column's ORIGINAL group — scales stay aligned to original
+        # K-groups, storage-compatible with grouped/packed serving
+        dead = (diag == 0).astype(jnp.float32)
+        wf0 = w.astype(jnp.float32) * (1.0 - dead[:, None, :])
+        wg0 = wf0.reshape(e, n, k // gsize, gsize)
+        sc0, zp0 = _find_group_params(wg0, cfg.w_bits, cfg.w_sym, cfg.w_clip)
+        res = gptq_quantize(
+            w_p, h_p, cfg, blocksize, percdamp, act_order=False,
+            static_groups=True, _perm_groups=perm // gsize,
+            _static_params=(sc0, zp0))
+
+        codes_u = jnp.take_along_axis(res.codes, inv[:, None, :], axis=2)
+        w_fq = (codes_u.reshape(e, n, k // gsize, gsize) * sc0[..., None]
+                + zp0[..., None]).reshape(e, n, k)
+        return GPTQResult(codes=codes_u, scale=sc0, zp=zp0, w_fq=w_fq)
+
     res = gptq_quantize(w_p, h_p, cfg, blocksize, percdamp, act_order=False)
 
     def unperm(x):
         return jnp.take_along_axis(x, inv[:, None, :], axis=2)
 
-    gsize = k if cfg.w_gsize == -1 else cfg.w_gsize
     if cfg.w_gsize == -1:
         scale, zp = res.scale, res.zp
     else:

@@ -50,6 +50,38 @@ def _scheme_buckets(layer_cfg, num_experts: int, linear: str):
     return buckets
 
 
+def act_gsize_arrays(qmodel_cfg, cfg: MoEConfig, num_layers: int) -> dict:
+    """FLEX markers for mixed eval/serving: per-family ``act_gsize_gateup``
+    / ``act_gsize_down`` [L, E, G] arrays (values = per-expert a_gsize or
+    -1, replicated along the last axis so the static group count G rides
+    the array SHAPE through the layer scan). Emitted only for families
+    whose scheme set is flex (grouped or asym — schemes.flex_family_info);
+    shared by the fake (quantizer) and real (qparams) emitters so the two
+    paths apply bitwise-identical activation transforms."""
+    from .schemes import flex_family_info
+
+    out = {}
+    e = cfg.num_experts
+    for lin, key, kdim in (
+            ("gate", "act_gsize_gateup", cfg.hidden_size),
+            ("down", "act_gsize_down", cfg.moe_intermediate_size)):
+        any_flex, g_min, _ = flex_family_info(qmodel_cfg, num_layers, e,
+                                              lin, kdim)
+        if not any_flex:
+            continue
+        gdim = kdim // g_min
+        ag = np.full((num_layers, e, gdim), -1.0, np.float32)
+        for l in range(num_layers):
+            lcfg = qmodel_cfg.layer(l)
+            for ei in range(e):
+                c = lcfg.experts[str(ei)].qmap()[lin]
+                if c.a_gsize != -1 and c.a_bits < 16:
+                    assert c.a_gsize == g_min, (c.a_gsize, g_min)
+                    ag[l, ei, :] = float(c.a_gsize)
+        out[key] = jnp.asarray(ag)
+    return out
+
+
 def _act_bits_arrays(layer_cfg, num_experts: int):
     gb = np.full(num_experts, 16.0, np.float32)
     db = np.full(num_experts, 16.0, np.float32)
@@ -254,6 +286,7 @@ def _quantize_rtn(params: dict, cfg: MoEConfig, qmodel_cfg: QModelConfig) -> dic
             extra[k].append(qlp[k])
     stacked = {k: jnp.stack(v) for k, v in new_layers.items()}
     stacked.update({k: jnp.stack(v) for k, v in extra.items()})
+    stacked.update(act_gsize_arrays(qmodel_cfg, cfg, num_layers))
     out = dict(params)
     out["layers"] = stacked
     return out
@@ -324,6 +357,7 @@ def _quantize_gptq(params, cfg, qmodel_cfg, tokens, backend):
         x, _ = fwd(x, {k: qlp[k] for k in lp}, cos=cos, sin=sin)
     stacked = {k: jnp.stack(v) for k, v in new_layers.items()}
     stacked.update({k: jnp.stack(v) for k, v in extra.items()})
+    stacked.update(act_gsize_arrays(qmodel_cfg, cfg, num_layers))
     out = dict(params)
     out["layers"] = stacked
     if new_dense is not None:
@@ -340,6 +374,7 @@ def quantize_model_experts_mixed_gptq(
     pack_w4: bool = False,
     rotation_key: jax.Array | None = None,
     hadamard: bool = False,
+    act_order: bool = False,
 ) -> dict:
     """REAL-quantize routed (+shared) experts with GPTQ-optimized codes.
 
@@ -353,12 +388,15 @@ def quantize_model_experts_mixed_gptq(
     reference never connects its GPTQ quantizer to its kernels
     (``quant.py:319-359`` fake hooks vs ``test.cu`` bench weights).
 
-    Same scheme constraints as the RTN variant: w<=8, w_sym, w_gsize=-1,
-    a<=8 for every routed expert (and the shared expert, when configured).
-    ``hadamard=True`` rotates the model first (gptq-had); the returned
-    pytree is the ROTATED model with quantized experts — serve it as-is.
-    Dense-first pseudo-layers (ds2) keep fake-quant handling: unsupported
-    here, asserted away.
+    Scheme domain matches the RTN variant (incl. FLEX): w<=8 with a<=8 or
+    a16, grouped and asymmetric schemes included — grouped codes use
+    STATIC GROUPS (per-group params from the original weights,
+    reference ``gptq.py:196-206``) so scales stay aligned to original
+    K-groups and are servable by the grouped/packed kernels even with
+    ``act_order=True``. ``hadamard=True`` rotates the model first
+    (gptq-had); the returned pytree is the ROTATED model with quantized
+    experts — serve it as-is. Dense-first pseudo-layers (ds2) keep
+    fake-quant handling: unsupported here, asserted away.
     """
     from ..ops.dispatch import route_topk, make_dispatch, gather_tokens
     from ..ops import gmm as gmm_ops
@@ -386,13 +424,29 @@ def quantize_model_experts_mixed_gptq(
     gb = np.zeros((num_layers, e), np.float32)
     db = np.zeros((num_layers, e), np.float32)
     pf_all = {"expert_gate_up": [], "expert_down": []}
+    from .schemes import flex_family_info
+
+    flex_info = {
+        "expert_gate_up": flex_family_info(qmodel_cfg, num_layers, e,
+                                           "gate", cfg.hidden_size),
+        "expert_down": flex_family_info(qmodel_cfg, num_layers, e,
+                                        "down", cfg.moe_intermediate_size),
+    }
     # shared-expert real quant is all-or-nothing (mixed fp/int8 layers
-    # would complicate the forward): decide from the FULL config upfront
-    shared_ok = "shared_gate_up" in layers and all(
-        (sc := _shared_cfgs(qmodel_cfg.layer(l), e)) is not None
-        and all(q.w_bits <= 8 and q.w_sym and q.w_gsize == -1
-                and q.a_bits <= 8 for q in (sc["gate"], sc["down"]))
+    # would complicate the forward): decide from the FULL config upfront.
+    # Grouped/asym shared schemes fall back to FAKE-quantized (GPTQ) bf16
+    # shared weights + act bits — same numerics as the fake protocol.
+    shared_all_cfgs = "shared_gate_up" in layers and all(
+        _shared_cfgs(qmodel_cfg.layer(l), e) is not None
         for l in range(num_layers))
+    def _shared_pc_sym(l):
+        sc = _shared_cfgs(qmodel_cfg.layer(l), e)
+        return all(q.w_bits <= 8 and q.w_sym and q.w_gsize == -1
+                   and q.a_bits <= 8 for q in (sc["gate"], sc["down"]))
+
+    shared_ok = shared_all_cfgs and all(
+        _shared_pc_sym(l) for l in range(num_layers))
+    shared_fake = shared_all_cfgs and not shared_ok
     sb = np.zeros((num_layers, 2), np.float32)
 
     for l in range(num_layers):
@@ -404,15 +458,20 @@ def quantize_model_experts_mixed_gptq(
 
         for name, lin in (("expert_gate_up", "gate"), ("expert_down", "down")):
             w = lp[name]                                      # [E, K, N]
+            any_flex, g_min, any_asym = flex_info[name]
+            gdim = w.shape[-2] // g_min if any_flex else 1
             buckets: dict[str, list[int]] = {}
             pf_l = [0] * e
             for ei in range(e):
                 c = lcfg.experts[str(ei)].qmap()[lin]
-                assert (c.w_bits <= 8 and c.w_sym and c.w_gsize == -1
-                        and c.a_bits <= 8), (
-                    f"GPTQ real-quant supports int sym per-channel w×a "
-                    f"schemes, got {c.scheme_name}")
+                assert (c.w_bits <= 8
+                        and (c.a_bits <= 8 or c.a_bits >= 16)), (
+                    f"GPTQ real-quant supports int w<=8 w×a (a<=8) and "
+                    f"weight-only (a>=16) schemes, got {c.scheme_name}")
                 if pack_w4:
+                    assert c.a_bits <= 8, (
+                        "pack_w4 requires pure w×a mixes, got "
+                        f"{c.scheme_name}")
                     pf_l[ei] = int(c.w_bits <= 4)
                 buckets.setdefault(c.scheme_name, []).append(ei)
             pf_all[name].append(pf_l)
@@ -420,21 +479,36 @@ def quantize_model_experts_mixed_gptq(
             # whole-stack device accumulators OOM real-model depths);
             # only the fake weights needed for propagation stay on device
             q_l = np.zeros(w.shape, np.int8)
-            sc_l = np.zeros((e, 1, w.shape[-1]), np.float32)
+            sc_l = np.zeros((e, gdim, w.shape[-1]), np.float32)
+            zp_l = np.zeros_like(sc_l)
             fq_l = jnp.zeros(w.shape, jnp.float32)
             for scheme, eids in buckets.items():
                 c = lcfg.experts[str(eids[0])].qmap()[lin]
                 idx = jnp.asarray(eids, jnp.int32)
                 sub = jnp.take(w, idx, axis=0)
                 h_sub = jnp.take(hs[name], idx, axis=0)
-                res = gptq_quantize_kn(sub, h_sub, c)
-                q_l[np.asarray(eids)] = np.asarray(res.codes, np.int8)
-                # scale [e, N, 1] (per-channel) -> kernel layout [e, 1, N]
-                sc_l[np.asarray(eids)] = np.asarray(
-                    jnp.swapaxes(res.scale, -1, -2))
+                # grouped schemes: STATIC groups — original-K-group-
+                # aligned scales, servable by the grouped/packed kernels
+                res = gptq_quantize_kn(sub, h_sub, c, act_order=act_order,
+                                       static_groups=(c.w_gsize != -1))
+                codes = res.codes                             # [e, K, N]
+                scale_kn = jnp.swapaxes(res.scale, -1, -2)    # [e, K//g, N]
+                zp_kn = jnp.swapaxes(res.zp, -1, -2)
+                from .packing import _to_signed_storage
+
+                codes, scale_kn, zp_kn = _to_signed_storage(
+                    codes, scale_kn, zp_kn, c.w_bits,
+                    c.w_sym or c.w_bits == 1.5)
+                rep = gdim // scale_kn.shape[-2]
+                q_l[np.asarray(eids)] = np.asarray(codes, np.int8)
+                sc_l[np.asarray(eids)] = np.repeat(
+                    np.asarray(scale_kn, np.float32), rep, axis=-2)
+                zp_l[np.asarray(eids)] = np.repeat(
+                    np.asarray(zp_kn, np.float32), rep, axis=-2)
                 fq_l = fq_l.at[idx].set(res.w_fq)
             acc.setdefault(f"{name}_q", []).append(q_l)
             acc.setdefault(f"{name}_sc", []).append(sc_l)
+            acc.setdefault(f"{name}_zp", []).append(zp_l)
             qlp[name] = fq_l.astype(w.dtype)
 
         for ei in range(e):
@@ -455,6 +529,19 @@ def quantize_model_experts_mixed_gptq(
                 qlp[name] = res.w_fq[0].astype(lp[name].dtype)
             sb[l] = [float(sh_cfg["gate"].a_bits),
                      float(sh_cfg["down"].a_bits)]
+        elif shared_fake:
+            sh_cfg = _shared_cfgs(lcfg, e)
+            for name, lin in (("shared_gate_up", "gate"),
+                              ("shared_down", "down")):
+                res = gptq_quantize_kn(
+                    lp[name][None], hs[name][None], sh_cfg[lin],
+                    act_order=act_order,
+                    static_groups=(sh_cfg[lin].w_gsize != -1))
+                fq = res.w_fq[0].astype(lp[name].dtype)
+                acc.setdefault(f"{name}_fake", []).append(np.asarray(fq))
+                qlp[name] = fq
+            sb[l] = [float(sh_cfg["gate"].a_bits),
+                     float(sh_cfg["down"].a_bits)]
 
         # propagate through the QUANTIZED layer (llama_sequential); qlp is
         # NOT retained — the fake weights only exist for this propagation
@@ -464,6 +551,8 @@ def quantize_model_experts_mixed_gptq(
     for name in ("expert_gate_up", "expert_down"):
         del new[name]
         sc_acc = jnp.asarray(np.stack(acc[f"{name}_sc"]))
+        any_flex, _, any_asym = flex_info[name]
+        zp_acc = jnp.asarray(np.stack(acc[f"{name}_zp"]))
         if pack_w4:
             from .packing import pack_ragged_stack
 
@@ -471,17 +560,25 @@ def quantize_model_experts_mixed_gptq(
              new[f"{name}_pf"]) = pack_ragged_stack(acc[f"{name}_q"],
                                                     pf_all[name])
             new[f"{name}_sc"] = sc_acc
+            if any_asym:
+                new[f"{name}_zp"] = zp_acc
         else:
             new[f"{name}_q"] = jnp.asarray(np.stack(acc[f"{name}_q"]))
             new[f"{name}_sc"] = sc_acc
-            new[f"{name}_zp"] = jnp.zeros_like(sc_acc)
+            if any_asym or not any_flex:
+                new[f"{name}_zp"] = zp_acc
     new["act_bits_gateup"] = jnp.asarray(gb)
     new["act_bits_down"] = jnp.asarray(db)
+    new.update(act_gsize_arrays(qmodel_cfg, cfg, num_layers))
     if shared_ok and "shared_gate_up_q" in acc:
         for name in ("shared_gate_up", "shared_down"):
             del new[name]
             new[f"{name}_q"] = jnp.asarray(np.stack(acc[f"{name}_q"]))
             new[f"{name}_sc"] = jnp.asarray(np.stack(acc[f"{name}_sc"]))
+        new["act_bits_shared"] = jnp.asarray(sb)
+    elif shared_fake and "shared_gate_up_fake" in acc:
+        for name in ("shared_gate_up", "shared_down"):
+            new[name] = jnp.asarray(np.stack(acc[f"{name}_fake"]))
         new["act_bits_shared"] = jnp.asarray(sb)
 
     out = dict(params)

@@ -281,3 +281,43 @@ def schemes_in_layer(layer_cfg: QLayerConfig) -> list[str]:
         for cfg in expert.qmap().values():
             out.add(cfg.scheme_name)
     return sorted(out)
+
+
+def flex_family_info(qmodel_cfg, num_layers: int, num_experts: int,
+                     lin: str, kdim: int):
+    """Scheme-set scan for one linear family ('gate' ties gate_up; 'down').
+
+    Returns ``(any_flex, g_min, any_asym)``: a family is FLEX when any
+    routed expert's scheme is grouped (w or a) or weight-asymmetric —
+    the real mixed path then stores scales/zp at the family's finest
+    group size ``g_min`` and the forward takes the grouped/flex kernels
+    (reference fused-kernel scheme domain, ``compose_kernel.py:47-57``).
+    Single source of truth for the real (qparams) and fake (quantizer)
+    emitters so their flex markers can never diverge.
+    """
+    gsizes = set()
+    any_flex = False
+    any_asym = False
+    for l in range(num_layers):
+        lcfg = qmodel_cfg.layer(l)
+        for ei in range(num_experts):
+            c = lcfg.experts[str(ei)].qmap()[lin]
+            if c.w_bits >= 16 and c.a_bits >= 16:
+                continue
+            if c.w_gsize != -1 and c.w_bits < 16:
+                gsizes.add(c.w_gsize)
+            if c.a_gsize != -1 and c.a_bits < 16:
+                gsizes.add(c.a_gsize)
+            if (c.w_gsize != -1 and c.w_bits < 16) or (
+                    not c.w_sym and c.w_bits < 16) or (
+                    c.a_gsize != -1 and c.a_bits < 16):
+                any_flex = True
+            if not c.w_sym and c.w_bits < 16:
+                any_asym = True
+    g_min = min(gsizes) if gsizes else kdim
+    if any_flex:
+        assert all(g == g_min for g in gsizes), (
+            f"{lin}: one grouped size per linear family, got "
+            f"{sorted(gsizes)}")
+        assert kdim % g_min == 0, (kdim, g_min)
+    return any_flex, g_min, any_asym

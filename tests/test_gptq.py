@@ -104,3 +104,74 @@ def test_act_order_improves_or_matches_on_skewed_hessian():
     deq = ao_g.codes * ao_g.scale + ao_g.zp   # per-column params
     np.testing.assert_allclose(np.asarray(deq), np.asarray(ao_g.w_fq),
                                rtol=1e-5, atol=1e-6)
+
+
+def _corr_case(seed=0, e=2, n=16, k=64, m=256):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = jax.random.normal(k1, (m, k), jnp.float32)
+    xs = base + 0.5 * jnp.roll(base, 1, axis=1)        # correlated columns
+    w = jax.random.normal(k2, (e, n, k), jnp.float32)
+    h = jnp.stack([accumulate_hessian(xs) for _ in range(e)])
+    return w, h, xs
+
+
+def test_static_groups_scales_stay_group_aligned():
+    """Reference static_groups (gptq.py:196-206): per-group params from the
+    ORIGINAL weights -> [E, N, K//g] scales exactly dequantizable, with
+    AND without act_order (the dynamic act-order path expands to
+    per-column scales — storage-incompatible with packed g-serving;
+    round-3 missing #3)."""
+    w, h, _ = _corr_case()
+    gsize = 16
+    cfg = QLinearConfig(w_bits=4, w_gsize=gsize, w_sym=False, a_bits=16)
+    for act_order in (False, True):
+        res = gptq_quantize(w, h, cfg, act_order=act_order,
+                            static_groups=True)
+        e, n, k = w.shape
+        assert res.scale.shape == (e, n, k // gsize), (act_order,
+                                                       res.scale.shape)
+        deq = (res.codes.reshape(e, n, k // gsize, gsize)
+               * res.scale[..., None] + res.zp[..., None]).reshape(e, n, k)
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(res.w_fq),
+                                   rtol=1e-6, atol=1e-6)
+        # sanity: error not far from the dynamic-group sweep's
+        err = float(jnp.mean((res.w_fq - w) ** 2))
+        dyn = gptq_quantize(w, h, cfg, act_order=act_order)
+        err_dyn = float(jnp.mean((dyn.w_fq - w) ** 2))
+        assert err < 3.0 * err_dyn + 1e-6, (err, err_dyn)
+
+
+def test_gptq_real_flex_packed_roundtrip():
+    """Task-5 done criterion: grouped gptq-had with act_order REAL-
+    quantizes (static groups), round-trips through packed serving
+    bitwise-identically to int8-stored, and the served codes dequantize
+    to exactly what the returned artifact claims (real-exec faithful)."""
+    from mxmoe_tpu.models import configs, model
+    from mxmoe_tpu.models.layers import MoEImpl
+    from mxmoe_tpu.quant.quantizer import quantize_model_experts_mixed_gptq
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    INTERPRET = jax.default_backend() == "cpu"
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(51), dtype=jnp.float32)
+    schemes = ["w4a4_g16_asym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(i): QExpertConfig(*([parse_scheme(schemes[i % 2])] * 3))
+        for i in range(5)}) for l in range(2)})
+    toks = jax.random.randint(jax.random.PRNGKey(52), (2, 32), 0,
+                              cfg.vocab_size)
+
+    kw = dict(calib_tokens=toks, hadamard=True, act_order=True)
+    qp8 = quantize_model_experts_mixed_gptq(params, cfg, qmodel, **kw)
+    qpp = quantize_model_experts_mixed_gptq(params, cfg, qmodel,
+                                            pack_w4=True, **kw)
+    assert qp8["layers"]["expert_gate_up_sc"].shape[-2] == 64 // 16
+    assert "expert_gate_up_zp" in qp8["layers"]
+    assert "act_gsize_gateup" in qp8["layers"]
+
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    ref = model.forward_logits(qp8, toks, cfg, impl)
+    got = model.forward_logits(qpp, toks, cfg, impl)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -667,3 +667,30 @@ def test_gmm_mixed_wo_wxa_flex_matches_oracle():
             ref[off:off + sz] = xs[off:off + sz] @ wd
         off += sz
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gmm_mixed_packed_flex_straddle_matches_grouped():
+    """K/2 NOT group-aligned (qwen2_moe down: K=1408, g=128 -> 704 % 128
+    != 0): the straddle variant sums the split group's int32 partials
+    exactly — still bitwise-identical to the int8-stored grouped launch."""
+    from mxmoe_tpu.quant.packing import build_ragged_mixed
+
+    # K = 352, g = 32 -> K/2 = 176 = 5.5 groups (same 0.5-group straddle
+    # geometry as qwen2_moe's 1408/128)
+    c = _flex_fixture(k=352, gsize=32, m_sizes=(16, 9, 3, 23))
+    pf = [int(s.w_bits <= 4) for s in c["schemes"]]
+    qcat, blk = build_ragged_mixed(c["wq"], pf)
+    ref = pallas_gmm.gmm_w8a8_grouped(
+        c["aq"], c["asc"], c["wq"], c["sc"], c["sizes"], gsize=c["gsize"],
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+        rhs_zp=c["zp"],
+    )
+    np.testing.assert_allclose(np.asarray(ref), c["ref"], rtol=2e-5,
+                               atol=2e-5)
+    out = pallas_gmm.gmm_mixed_packed(
+        c["aq"], c["asc"], qcat, c["sc"], c["sizes"],
+        jnp.asarray(pf, jnp.int32), jnp.asarray(blk, jnp.int32),
+        bm=64, bn=128, out_dtype=jnp.float32, interpret=INTERPRET,
+        rhs_zp=c["zp"],
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -398,3 +398,119 @@ def test_grouped_asym_wxa_moe_matches_oracle():
     ref = ref_moe + shared_expert_ffn(x, qlp, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# FLEX mixed path: g128-class + asym schemes through the REAL mixed launch
+# ---------------------------------------------------------------------------
+
+def _flex_qmodel(num_layers, e, schemes, shared=True):
+    from mxmoe_tpu.quant.schemes import (
+        QExpertConfig, QLayerConfig, QModelConfig, parse_scheme)
+
+    n_slots = e + (1 if shared else 0)
+    return QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(i): QExpertConfig(*([parse_scheme(schemes[i % len(schemes)])] * 3))
+        for i in range(n_slots)
+    }) for l in range(num_layers)})
+
+
+def test_flex_mixed_real_matches_fake_forward():
+    """Round-3 missing #1 closed: an ILP-style mix containing
+    w4a4_g16_asym + w8a8_g-1_sym REAL-quantizes and serves through the
+    flex one-launch path, and full-model real logits match the fake-quant
+    protocol (identical act transforms by construction; weights dequant
+    exactly)."""
+    from mxmoe_tpu.quant.quantizer import quantize_model_fake
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(41), dtype=jnp.float32)
+    qmodel = _flex_qmodel(2, 4, ["w4a4_g16_asym", "w8a8_g-1_sym"])
+    toks = jax.random.randint(jax.random.PRNGKey(42), (2, 24), 0,
+                              cfg.vocab_size)
+
+    fake = quantize_model_fake(params, cfg, qmodel, method="rtn")
+    impl_fake = MoEImpl(kind="ragged", interpret=INTERPRET)
+    ref = model.forward_logits(fake, toks, cfg, impl_fake)
+
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    assert qp["layers"]["expert_gate_up_sc"].shape[-2] == 64 // 16
+    assert qp["layers"]["expert_down_sc"].shape[-2] == 32 // 16
+    assert "expert_gate_up_zp" in qp["layers"]
+    assert "act_gsize_gateup" in qp["layers"]
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    got = model.forward_logits(qp, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_flex_mixed_packed_bitwise_and_budget():
+    """pack_w4 composes with the flex domain: grouped/asym w<=4 experts
+    nibble-pack into the ragged buffer, serve bitwise-identically to the
+    int8-stored flex launch, and the storage budget stays avg-bits real."""
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(43), dtype=jnp.float32)
+    qmodel = _flex_qmodel(2, 4, ["w4a4_g16_asym", "w8a8_g-1_sym"])
+    qp8 = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    qpp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                               pack_w4=True)
+    for name in ("expert_gate_up", "expert_down"):
+        w = params["layers"][name]
+        assert qpp["layers"][f"{name}_qcat"].nbytes * 16 == w.size * 2 * 6
+    x = jax.random.normal(jax.random.PRNGKey(44), (1, 48, cfg.hidden_size),
+                          jnp.float32)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    lp8 = {k: v[0] for k, v in qp8["layers"].items()}
+    lpp = {k: v[0] for k, v in qpp["layers"].items()}
+    ref = moe_block(x, lp8, cfg, impl)[0]
+    got = moe_block(x, lpp, cfg, impl)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_flex_wo_wxa_reference_instance_89():
+    """The reference's literal second hand-written fused instance —
+    w4a16g128 (grouped asym weight-only) + w8a8 per-channel — serves
+    REAL in one launch (hz_fused.cuh:14-445 instance _89) and matches the
+    fake protocol."""
+    from mxmoe_tpu.quant.quantizer import quantize_model_fake
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(45), dtype=jnp.float32)
+    qmodel = _flex_qmodel(1, 4, ["w4a16_g16_asym", "w8a8_g-1_sym"])
+    toks = jax.random.randint(jax.random.PRNGKey(46), (1, 32), 0,
+                              cfg.vocab_size)
+
+    fake = quantize_model_fake(params, cfg, qmodel, method="rtn")
+    ref = model.forward_logits(fake, toks, cfg,
+                               MoEImpl(kind="ragged", interpret=INTERPRET))
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    impl = MoEImpl(kind="ragged", quant="mixed", mixed_weight_only=True,
+                   interpret=INTERPRET)
+    got = model.forward_logits(qp, toks, cfg, impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_flex_mixed_serving_decode_packed_matches_int8():
+    """Flex mixes serve through DECODE: the slot Engine greedy-decodes the
+    same tokens from the packed flex artifact as from the int8-stored one
+    (bitwise-equal kernels -> identical sampling)."""
+    from mxmoe_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(47), dtype=jnp.float32)
+    qmodel = _flex_qmodel(2, 4, ["w4a4_g16_asym", "w8a8_g-1_sym"])
+    qp8 = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    qpp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                               pack_w4=True)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    ecfg = EngineConfig(batch_slots=2, max_len=48, temperature=0.0)
+    prompts = [[3, 14, 15, 9], [31, 4, 1]]
+
+    def run(p):
+        eng = Engine(p, cfg, ecfg, impl)
+        rids = [eng.submit(pr, max_new_tokens=6) for pr in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    assert run(qpp) == run(qp8)

@@ -225,3 +225,42 @@ def test_mesh_engine_derives_capacity_from_gate_trace():
 
     _, const = run(mesh, ep_cfg=EPConfig(axis="expert", capacity_factor=2.0))
     assert const != ref, "2.0 constant did not drop: skew fixture too weak"
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_mesh_engine_flex_mixed_decodes_like_single_device(packed):
+    """FLEX mixes (grouped + asym schemes) over the mesh: the layout-
+    driven EP wrapper ships [*, G] act scales over the all-to-all and
+    runs the grouped/flex launches per shard — greedy decode identical
+    to single-chip (round-3 missing #1, the serving loop closed)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from mxmoe_tpu.quant import qparams
+    from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
+                                         QModelConfig, parse_scheme)
+
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    schemes = ["w4a4_g16_asym", "w8a8_g-1_sym"]
+    qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
+        str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+        for e in range(8)
+    }) for l in range(2)})
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                              pack_w4=packed)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
+    ep_cfg = EPConfig(axis="expert", capacity_factor=float(cfg.num_experts))
+    ecfg = EngineConfig(batch_slots=4, max_len=48, temperature=0.0)
+    prompts = [[3, 14, 15], [6, 5, 35, 8], [9, 7], [31, 4, 1, 5]]
+
+    def run(mesh_arg):
+        eng = Engine(qp, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg if mesh_arg is not None else None)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    ref = run(None)
+    got = run(mesh)
+    assert got == ref, (got, ref)
