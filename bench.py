@@ -523,13 +523,24 @@ def main():
         qstep, qstate, qconsts = _w8a8_step_factory(qoperands)
         ro = bench_fn_chained(qstep, qstate, consts=qconsts)
         metric = "qwen2_moe_l10_bs8192_moe_ffn_w8a8_pallas"
+    # Sanity bound: the v5e MXU int8 peak is ~394 TOPS; any slope sample
+    # implying more is the tunnel's documented glitch mode (PERF.md
+    # "timing protocol": 565-"TFLOPS" readings), not a measurement.
+    # Reject those, report the surviving 5-median BAND alongside the
+    # median (round-3 verdict weak #3 / task 6).
+    n_raw = len(ro.samples_ms)
+    ro = ro.sane(total_flops, peak_tflops=394.0)
     ours_tflops = ro.tflops(total_flops)
+    band = sorted(total_flops / (s * 1e-3) / 1e12 for s in ro.samples_ms)
 
     print(json.dumps({
         "metric": metric,
         "value": round(ours_tflops, 3),
         "unit": "TFLOPS",
         "vs_baseline": round(ours_tflops / base_tflops, 4),
+        "band": [round(band[0], 1), round(band[-1], 1)],
+        "samples_kept": ro.repeats,
+        "samples_rejected": n_raw - ro.repeats,
     }))
 
 

@@ -38,9 +38,30 @@ class BenchResult:
     best_ms: float        # min over repeats
     std_ms: float
     repeats: int
+    samples_ms: tuple = ()   # raw per-repeat slopes (ms), for band/sanity
+                             # filtering (reference trimmed-mean protocol,
+                             # test_utils.h:97-191)
 
     def tflops(self, flops: int | float) -> float:
         return flops / (self.median_ms * 1e-3) / 1e12
+
+    def sane(self, flops: int | float, peak_tflops: float) -> "BenchResult":
+        """Drop slope samples implying >peak throughput (the tunnel's
+        documented glitch mode: impossibly-fast short slopes, PERF.md
+        'timing protocol') and re-aggregate. If every sample is
+        implausible, keep the slowest one rather than report fiction."""
+        floor_ms = flops / (peak_tflops * 1e12) * 1e3
+        kept = [s for s in self.samples_ms if s >= floor_ms]
+        if not kept:
+            kept = [max(self.samples_ms)] if self.samples_ms else [self.median_ms]
+        arr = np.array(kept)
+        return BenchResult(
+            median_ms=float(np.median(arr)),
+            best_ms=float(arr.min()),
+            std_ms=float(arr.std()),
+            repeats=len(kept),
+            samples_ms=tuple(float(s) for s in kept),
+        )
 
 
 def bench_fn(
@@ -95,6 +116,7 @@ def bench_fn(
         best_ms=float(arr.min()),
         std_ms=float(arr.std()),
         repeats=len(arr),
+        samples_ms=tuple(float(s) for s in arr),
     )
 
 
@@ -245,4 +267,5 @@ def bench_step_chained(
         best_ms=float(arr.min()),
         std_ms=float(arr.std()),
         repeats=len(arr),
+        samples_ms=tuple(float(s) for s in arr),
     )

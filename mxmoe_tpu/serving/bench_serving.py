@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--quant", default="w8a8_g-1_sym")
     ap.add_argument("--int8-head", action="store_true")
     ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--no-shared-quant", action="store_true",
+                    help="leave the shared expert bf16 in mixed configs "
+                    "(the pre-round-4 behavior; 2x shared decode traffic)")
     ap.add_argument("--decode-attn", default="auto",
                     choices=["auto", "fused", "xla"],
                     help="cached attention at decode: fused Pallas kernel "
@@ -56,16 +59,22 @@ def main():
         # alternating w4a4/w8a8 per-expert mix (the ILP decides WHICH
         # experts in production; serving cost depends only on the split);
         # mixed-packed stores w4 experts nibble-packed (half the weight
-        # bytes at decode — gmm_mixed_packed one-launch)
+        # bytes at decode — gmm_mixed_packed one-launch). The SHARED
+        # expert (config index E, reference convention) gets w8a8 like a
+        # production ILP solve would assign — bf16 shared weights cost 2x
+        # the decode traffic (tools/tpu_decode_decomp.py); disable with
+        # --no-shared-quant for the old A/B arm.
         from ..quant.qparams import quantize_model_experts_mixed
         from ..quant.schemes import (QExpertConfig, QLayerConfig,
                                      QModelConfig, parse_scheme)
 
         schemes = [parse_scheme("w4a4_g-1_sym"), parse_scheme("w8a8_g-1_sym")]
-        qmc = QModelConfig(layers={str(l): QLayerConfig(experts={
-            str(e): QExpertConfig(*([schemes[e % 2]] * 3))
-            for e in range(cfg.num_experts)
-        }) for l in range(cfg.num_layers)})
+        experts = {str(e): QExpertConfig(*([schemes[e % 2]] * 3))
+                   for e in range(cfg.num_experts)}
+        if not args.no_shared_quant:
+            experts[str(cfg.num_experts)] = QExpertConfig(*([schemes[1]] * 3))
+        qmc = QModelConfig(layers={str(l): QLayerConfig(experts=dict(experts))
+                                   for l in range(cfg.num_layers)})
         params = quantize_model_experts_mixed(
             params, cfg, qmc, pack_w4=args.quant == "mixed-packed")
         impl = MoEImpl(kind="ragged", quant="mixed",

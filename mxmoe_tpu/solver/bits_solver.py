@@ -168,6 +168,13 @@ def solve_layer(
             )
             return [base, LinearConstraint(a_t, -np.inf, tau)]
 
+        # assignment-independent launch ramp (OneLaunchPerfModel fitted at
+        # decode M): constant per layer, so it never changes the argmin of
+        # the MILP — but it DOES shift log T in the r-weighted pick and the
+        # reported time, which matters in the decode regime where the ramp
+        # is a visible fraction of the step
+        t_const = float(getattr(perf, "layer_const_ms", 0.0))
+
         def build(x):
             sel = x.reshape(e_tot, 3, s_tot)
             assign = {
@@ -175,7 +182,7 @@ def solve_layer(
                     for b in range(3)}
                 for e in range(e_tot)
             }
-            return assign, float(loss_v @ x), float(time_v @ x)
+            return assign, float(loss_v @ x), float(time_v @ x) + t_const
 
         if r >= 1.0:
             x = _solve_milp(loss_v, [base], n)

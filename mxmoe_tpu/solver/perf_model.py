@@ -272,6 +272,7 @@ class OneLaunchPerfModel(PerfModel):
         hbm_gbps_eff: float = 700.0,
         quant_gbps_eff: float = 650.0,
         packed_w4: bool = True,
+        launch_ms: float = 0.0,
     ):
         self.k = k
         self.int8 = int8_tflops_eff * 1e12
@@ -279,7 +280,18 @@ class OneLaunchPerfModel(PerfModel):
         self.bw = hbm_gbps_eff * 1e9
         self.qbw = quant_gbps_eff * 1e9
         self.packed_w4 = packed_w4
+        # per-launch ramp constant, fitted at decode M where it is visible
+        # (tools/tpu_onelaunch_fit.py validate_decode; the reference keys
+        # cost tables by wave count for the same reason,
+        # bits_solver.py:533-537). Assignment-independent: two GMM launches
+        # per MoE layer -> layer_const_ms, added to the solve's reported T
+        # so the r-weighted loss/runtime tradeoff sees honest decode times.
+        self.launch_ms = launch_ms
         self.table = {}
+
+    @property
+    def layer_const_ms(self) -> float:
+        return 2.0 * self.launch_ms   # gate_up + down launches
 
     @classmethod
     def from_fit_json(cls, path: str, k: int, packed_w4: bool = True):
@@ -292,6 +304,7 @@ class OneLaunchPerfModel(PerfModel):
             hbm_gbps_eff=float(fit.get("hbm_gbps_eff", 700.0)),
             quant_gbps_eff=float(fit.get("quant_gbps_eff", 650.0)),
             packed_w4=packed_w4,
+            launch_ms=float(fit.get("launch_ms", 0.0)),
         )
 
     def _parse(self, scheme: str):

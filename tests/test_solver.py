@@ -301,3 +301,63 @@ def test_onelaunch_model_a16_rides_bf16_rate():
     # decode: packed w4a16 streams half of w8a16's weight bytes
     assert perf.problem_ms("w4a16_g128_asym", 8, 4096) < \
         perf.problem_ms("w8a16_g-1_sym", 8, 4096)
+
+
+def test_onelaunch_allocation_shifts_with_batch_regime():
+    """Round-3 task 3: solving the SAME losses at decode batch vs prefill
+    batch must produce different allocations — at prefill the one-launch
+    int8 compute is bitwidth-independent (the solver picks by loss), while
+    at decode M the packed w4 traffic discount dominates the runtime term
+    and flips experts to w4 (reference keys cost tables by batch/wave,
+    bits_solver.py:518-542)."""
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    e = 6
+    losses = {
+        "w4a4_g-1_sym": np.full((e, 3), 1.15),
+        "w8a8_g-1_sym": np.full((e, 3), 1.0),
+    }
+
+    def problem(rows):
+        return LayerProblem(
+            losses=losses, ms=np.full(e, rows), ns=np.full(e, 2816),
+            k=2048, sizes=np.ones(e))
+
+    perf = OneLaunchPerfModel(k=2048, packed_w4=True)
+    schemes = list(losses.keys())
+    kw = dict(wbits_target=8.0, r=0.5, perf=perf)
+
+    res_prefill = solve_layer(problem(8192), schemes, **kw)
+    res_decode = solve_layer(problem(8), schemes, **kw)
+
+    def n_w4(res):
+        return sum(qm[b] == "w4a4_g-1_sym"
+                   for qm in res.assignment.values() for b in LINEAR_NAMES)
+
+    # prefill: compute-bound, runtime indifferent to bits -> loss argmin (w8)
+    assert n_w4(res_prefill) == 0, res_prefill.assignment
+    # decode: weight-traffic-bound, w4 halves the bytes -> runtime flips it
+    assert n_w4(res_decode) > 0, res_decode.assignment
+
+
+def test_onelaunch_launch_constant_in_reported_time():
+    """The fitted per-launch ramp constant is assignment-independent but
+    must appear in the solve's reported runtime (it shifts the r-weighted
+    log-T pick in the decode regime where it is a visible fraction)."""
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    e = 3
+    losses = {
+        "w4a4_g-1_sym": np.full((e, 3), 1.2),
+        "w8a8_g-1_sym": np.full((e, 3), 1.0),
+    }
+    p = LayerProblem(losses=losses, ms=np.full(e, 8), ns=np.full(e, 2816),
+                     k=2048, sizes=np.ones(e))
+    schemes = list(losses.keys())
+    base = OneLaunchPerfModel(k=2048, launch_ms=0.0)
+    plus = OneLaunchPerfModel(k=2048, launch_ms=0.05)
+    assert plus.layer_const_ms == pytest.approx(0.1)
+    r0 = solve_layer(p, schemes, wbits_target=8.0, r=1.0, perf=base)
+    r1 = solve_layer(p, schemes, wbits_target=8.0, r=1.0, perf=plus)
+    assert r1.assignment == r0.assignment
+    assert r1.time_ms == pytest.approx(r0.time_ms + 0.1)

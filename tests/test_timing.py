@@ -67,6 +67,36 @@ def test_bench_step_chained_scales_with_work():
     assert r8.median_ms > r1.median_ms
 
 
+def test_bench_result_sane_rejects_superroofline_samples():
+    """Samples implying >peak throughput are the tunnel's glitch mode and
+    must not survive into the reported band (round-3 verdict task 6)."""
+    from mxmoe_tpu.bench.timing import BenchResult
+
+    flops = 1e12           # 1 TFLOP of work
+    # 10 ms -> 100 TFLOPS (fine at peak 200); 1 ms -> 1000 TFLOPS (glitch)
+    r = BenchResult(median_ms=5.0, best_ms=1.0, std_ms=0.0, repeats=3,
+                    samples_ms=(10.0, 1.0, 11.0))
+    s = r.sane(flops, peak_tflops=200.0)
+    assert s.repeats == 2
+    assert s.samples_ms == (10.0, 11.0)
+    assert s.median_ms == 10.5
+    # all-glitch: keep the slowest sample rather than report fiction
+    r2 = BenchResult(median_ms=1.0, best_ms=0.5, std_ms=0.0, repeats=2,
+                     samples_ms=(0.5, 1.0))
+    s2 = r2.sane(flops, peak_tflops=200.0)
+    assert s2.samples_ms == (1.0,)
+
+
+def test_bench_result_samples_recorded():
+    def step(state):
+        return {"x": jnp.tanh(state["x"])}
+
+    r = bench_step_chained(step, {"x": jnp.ones((64,), jnp.float32)},
+                           n1=2, n2=4, repeats=2)
+    assert len(r.samples_ms) == r.repeats
+    assert np.median(r.samples_ms) == r.median_ms
+
+
 def test_anchor_streaming_train_smoke():
     """A few streaming steps on a micro config: loss finite and the
     trained params eval to finite ppl at the trained window length."""

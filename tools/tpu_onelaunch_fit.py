@@ -191,6 +191,78 @@ def validate(rates):
     return rows_ok
 
 
+def validate_decode(rates):
+    """Round-3 task 3: validate the model IN THE DECODE REGIME, where the
+    packed-traffic discount it exists to express actually matters.
+
+    Sweeps rows/expert in {32, 128} x w4 fraction in {0, 0.5, 1.0} on the
+    serving PACKED storage (gmm_mixed_packed over the ragged buffer, like
+    the engine's mixed-packed path), predicts each config with
+    OneLaunchPerfModel(packed_w4=True), and fits the per-launch constant
+    as the least-squares intercept of measured-vs-predicted — the launch
+    ramp the additive per-problem model cannot see at tiny M (reference
+    keys its cost tables by wave count, bits_solver.py:533-537).
+    Returns (launch_ms, rows list); target: |err| <= 10% with the constant.
+    """
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    e, kk, nn = 60, 2048, 1408
+    results = []
+    for rows in (32, 128):
+        for frac, tag in [(0.0, "w8"), (0.5, "half"), (1.0, "w4")]:
+            kw1, kw2 = jax.random.split(jax.random.PRNGKey(rows + int(frac * 10)))
+            pf = np.arange(e) < frac * e
+            wq = np.array(jax.random.randint(kw1, (e, kk, nn), -127, 128,
+                                             jnp.int8))
+            wq[pf] = np.clip(wq[pf], -7, 7)
+            wq = jnp.asarray(wq)
+            wsc = jax.random.uniform(kw2, (e, 1, nn), jnp.float32, 0.01, 0.02)
+            m = e * rows
+            lhs = jax.random.normal(kw1, (m, kk), jnp.bfloat16)
+            bits = jnp.asarray(np.repeat(np.where(pf, 4.0, 8.0), rows),
+                               jnp.float32)
+            gs = tuple([rows] * e)
+            rhs_cat, blk = build_ragged_mixed(wq, pf.astype(np.int32))
+            consts = [{"lhs": lhs, "wsc": wsc, "bits": bits, "cat": rhs_cat}]
+
+            def packed_step(state, cc):
+                aq, asc = quantize_rows(cc[0]["lhs"], cc[0]["bits"],
+                                        gain=1 + 1e-3 * state["s"][0])
+                o = pallas_gmm.gmm_mixed_packed(
+                    aq, asc, cc[0]["cat"], cc[0]["wsc"],
+                    jnp.asarray(gs, jnp.int32),
+                    jnp.asarray(pf.astype(np.int32)), bm=rows, bn=nn,
+                    static_sizes=gs, static_pflags=[int(x) for x in pf],
+                    aligned=True)
+                return bench._chain_feedback([[o]])
+
+            meas = _measure(packed_step, {"s": jnp.zeros((1,), jnp.float32)},
+                            consts, repeats=7)
+            model = OneLaunchPerfModel(
+                k=kk, packed_w4=True,
+                int8_tflops_eff=rates["int8_tflops_eff"],
+                bf16_tflops_eff=rates["bf16_tflops_eff"],
+                hbm_gbps_eff=rates["hbm_gbps_eff"],
+                quant_gbps_eff=rates["quant_gbps_eff"])
+            pred = sum(model.problem_ms(
+                "w4a4_g-1_sym" if w4 else "w8a8_g-1_sym", rows, nn)
+                for w4 in pf)
+            results.append({"rows": rows, "frac": frac, "meas": meas,
+                            "pred": pred})
+            print(f"decode-val rows={rows:4d} {tag:4s}: measured "
+                  f"{meas:7.3f} ms  additive-pred {pred:7.3f} ms  "
+                  f"err {(pred - meas) / meas * 100:+.1f}%", flush=True)
+
+    # per-launch constant: least-squares intercept (>= 0)
+    resid = [r["meas"] - r["pred"] for r in results]
+    launch_ms = max(0.0, float(np.median(resid)))
+    worst = max(abs(r["pred"] + launch_ms - r["meas"]) / r["meas"]
+                for r in results)
+    print(f"decode-val: launch constant {launch_ms:.4f} ms; worst err "
+          f"with constant {worst * 100:.1f}%", flush=True)
+    return launch_ms, results, worst
+
+
 def decode_packed_ab():
     """Decode-regime: packed mixed launch vs int8-stored one-launch."""
     e, kk, nn, rows = 60, 2048, 1408, 32
@@ -246,8 +318,17 @@ def main():
             json.dump({k: round(v, 2) for k, v in rates.items()}, f, indent=2)
         print(f"rates -> {out}", flush=True)
     ok = validate(rates) if "--skip-validate" not in sys.argv else None
+    dec_ok = None
+    if "--skip-decode-val" not in sys.argv:
+        launch_ms, _, worst = validate_decode(rates)
+        rates["launch_ms"] = round(launch_ms, 4)
+        dec_ok = worst <= 0.10
+        with open(out, "w") as f:
+            json.dump({k: round(v, 4) for k, v in rates.items()}, f, indent=2)
+        print(f"rates+launch_ms -> {out}", flush=True)
     t8, tp = decode_packed_ab()
-    print(json.dumps({"validated": ok, "decode_int8_ms": round(t8, 3),
+    print(json.dumps({"validated": ok, "decode_validated": dec_ok,
+                      "decode_int8_ms": round(t8, 3),
                       "decode_packed_ms": round(tp, 3)}), flush=True)
 
 
