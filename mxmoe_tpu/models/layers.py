@@ -273,6 +273,41 @@ def moe_ffn_ragged(
     return combine_tokens(out, disp, x2d.shape[0])
 
 
+_EXPERT_STACK_KEYS = tuple(
+    p + s for p in ("expert_gate_up", "expert_down")
+    for s in ("_qcat", "_q", "_q_packed", "_sc", "_zp"))
+
+
+def split_expert_stack(layers: dict) -> tuple[dict, dict]:
+    """Partition stacked layer params into scan-xs (small, per-layer) and
+    the expert-weight STACK: flattened ``[L*E, ...]`` (``[L*R, N]`` for the
+    ragged packed buffer) views passed as loop CONSTANTS and indexed
+    in-kernel via globalized metadata (``ops.pallas_gmm._globalize_meta``).
+
+    Why: XLA cannot fuse a scan iteration's dynamic-slice into a Pallas
+    custom-call operand, so carrying expert weights as scan-xs materializes
+    a full copy of every layer's quantized weights EVERY decode step —
+    measured +0.52 ms per launch on a 173 MB operand while the kernel
+    itself runs at the weight-traffic bound (tools/tpu_scan_slice_ab.py).
+    The reshape here is layout-free; only tiny metadata varies per layer.
+    """
+    xs, stack = {}, {}
+    for k, v in layers.items():
+        if k in _EXPERT_STACK_KEYS:
+            stack[k] = v.reshape((-1,) + v.shape[2:])
+        else:
+            xs[k] = v
+    if stack:
+        # one-launch wo+w×a needs per-group a16 flags at GLOBAL group ids
+        for bits_key, fk in (("act_bits_gateup", "flags16_gateup"),
+                             ("act_bits_down", "flags16_down")):
+            if bits_key in layers:
+                stack[fk] = (layers[bits_key] >= 16).astype(
+                    jnp.int32).reshape(-1)
+        stack["_num_layers"] = next(iter(layers.values())).shape[0]
+    return xs, stack
+
+
 def moe_ffn_ragged_quant(
     x2d: jax.Array,
     layer_params: dict,
@@ -286,6 +321,11 @@ def moe_ffn_ragged_quant(
                       w4 codes ride the same int8 path until int4-native
                       storage lands)
       a_bits >= 16 -> weight-only kernel (bf16 MXU, in-kernel dequant)
+
+    When ``layer_params`` carries ``_expert_stack``/``_layer_index`` (set
+    by the forwards' layer scans, see :func:`split_expert_stack`), weight
+    operands come from the flattened all-layer stack and the kernels get
+    ``group_base``/``num_total_groups`` instead of per-layer slices.
     """
     from ..quant.qparams import (quantize_act_rtn, quantize_act_per_row_bits,
                                  quantize_act_rows_flex)
@@ -293,6 +333,22 @@ def moe_ffn_ragged_quant(
     from ..ops import act_quant
 
     qcfg = impl.quant
+    stack = layer_params.get("_expert_stack") or {}
+    if stack:
+        n_layers = stack["_num_layers"]
+        n_groups_total = n_layers * cfg.num_experts
+        g_base = (jnp.asarray(layer_params["_layer_index"], jnp.int32)
+                  * cfg.num_experts)
+        gkw = {"group_base": g_base, "num_total_groups": n_groups_total}
+    else:
+        gkw = {}
+
+    def _w(key):
+        """Weight-side param: the flattened all-layer stack when present."""
+        return stack[key] if key in stack else layer_params.get(key)
+
+    def _has(key):
+        return key in stack or key in layer_params
 
     def _aquant_rows(acts, row_bits):
         """Per-row-bits act quant; single-pass Pallas kernel when enabled
@@ -315,9 +371,9 @@ def moe_ffn_ragged_quant(
     disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed = "act_bits_gateup" in layer_params and (
-        "expert_gate_up_q" in layer_params
-        or "expert_gate_up_q_packed" in layer_params
-        or "expert_gate_up_qcat" in layer_params)
+        _has("expert_gate_up_q")
+        or _has("expert_gate_up_q_packed")
+        or _has("expert_gate_up_qcat"))
     if mixed:
         row_expert = jnp.repeat(
             jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
@@ -325,12 +381,28 @@ def moe_ffn_ragged_quant(
         )
 
     def qgemm(acts, prefix):
-        sc = layer_params[f"{prefix}_sc"]
+        sc = _w(f"{prefix}_sc")
         k = acts.shape[-1]
         bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
                     else "act_bits_down")
         ag_key = ("act_gsize_gateup" if prefix == "expert_gate_up"
                   else "act_gsize_down")
+        def _blk_global(qcat_rows):
+            """Ragged-buffer block starts, layer-global when stacked."""
+            blk = layer_params[f"{prefix}_blk"]
+            if stack:
+                units = qcat_rows // n_layers // (k // 2)
+                blk = blk + (jnp.asarray(layer_params["_layer_index"],
+                                         jnp.int32) * units)
+            return blk
+
+        def _flags16():
+            fk = ("flags16_gateup" if prefix == "expert_gate_up"
+                  else "flags16_down")
+            if fk in stack:
+                return stack[fk]          # [L*E] at global group ids
+            return (layer_params[bits_key] >= 16).astype(jnp.int32)
+
         if mixed and ag_key in layer_params:
             # FLEX mixed: this family's scheme set contains grouped and/or
             # asymmetric schemes — per-expert (bits, gsize, sym) are ALL
@@ -344,70 +416,70 @@ def moe_ffn_ragged_quant(
             row_bits = jnp.take(layer_params[bits_key], row_expert)
             row_ag = jnp.take(ag[:, 0], row_expert)
             aq, asc = quantize_act_rows_flex(acts, row_bits, row_ag, gsz_min)
-            zp = layer_params.get(f"{prefix}_zp")
+            zp = _w(f"{prefix}_zp")
             n_out = sc.shape[-1]
             bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
-            if f"{prefix}_qcat" in layer_params:
+            if _has(f"{prefix}_qcat"):
+                qcat = _w(f"{prefix}_qcat")
                 return pallas_gmm.gmm_mixed_packed(
-                    aq, asc, layer_params[f"{prefix}_qcat"], sc,
+                    aq, asc, qcat, sc,
                     disp.group_sizes, layer_params[f"{prefix}_pf"],
-                    layer_params[f"{prefix}_blk"], bn=bn, rhs_zp=zp,
-                    out_dtype=acts.dtype, interpret=impl.interpret,
+                    _blk_global(qcat.shape[0]), bn=bn, rhs_zp=zp,
+                    out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
-            wq = layer_params[f"{prefix}_q"]
+            wq = _w(f"{prefix}_q")
             if impl.mixed_weight_only:
-                flags = (layer_params[bits_key] >= 16).astype(jnp.int32)
                 return pallas_gmm.gmm_mixed_wo_wxa(
-                    acts, aq, asc, wq, sc, flags, disp.group_sizes, bn=bn,
-                    rhs_zp=zp, out_dtype=acts.dtype, interpret=impl.interpret,
+                    acts, aq, asc, wq, sc, _flags16(), disp.group_sizes,
+                    bn=bn, rhs_zp=zp, out_dtype=acts.dtype,
+                    interpret=impl.interpret, **gkw,
                 )
             return pallas_gmm.gmm_w8a8_grouped(
                 aq, asc, wq, sc, disp.group_sizes, gsize=gsz_min, bn=bn,
                 rhs_zp=zp, out_dtype=acts.dtype, interpret=impl.interpret,
+                **gkw,
             )
-        if f"{prefix}_qcat" in layer_params:
+        if _has(f"{prefix}_qcat"):
             # mixed schemes with PACKED w<=4 storage: one launch over the
             # ragged weight buffer (w4 experts stream half the bytes);
             # bitwise-identical to the int8-stored one-launch path
             # (quantize_model_experts_mixed(pack_w4=True))
-            bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
-                        else "act_bits_down")
             row_bits = jnp.take(layer_params[bits_key], row_expert)
             aq, asc = _aquant_rows(acts, row_bits)
             n_out = sc.shape[-1]
             bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
+            qcat = _w(f"{prefix}_qcat")
             return pallas_gmm.gmm_mixed_packed(
-                aq, asc, layer_params[f"{prefix}_qcat"], sc,
+                aq, asc, qcat, sc,
                 disp.group_sizes, layer_params[f"{prefix}_pf"],
-                layer_params[f"{prefix}_blk"], bn=bn,
-                out_dtype=acts.dtype, interpret=impl.interpret,
+                _blk_global(qcat.shape[0]), bn=bn,
+                out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
-        if f"{prefix}_q_packed" in layer_params:
+        if _has(f"{prefix}_q_packed"):
             # nibble-packed w4 weights (convert --pack-int4): half the HBM
-            wqp = layer_params[f"{prefix}_q_packed"]
+            wqp = _w(f"{prefix}_q_packed")
             n_out = wqp.shape[-1]
             bn = min(n_out, max(512, ((3 * 1024 * 1024) // max(k, 1)) // 128 * 128))
             if not mixed and qcfg.a_bits >= 16:
                 # w4a16: bf16 acts against packed weights (in-kernel dequant)
-                zp_p = layer_params.get(f"{prefix}_zp",
-                                        jnp.zeros_like(sc))
+                zp_p = _w(f"{prefix}_zp")
+                if zp_p is None:
+                    zp_p = jnp.zeros_like(sc)
                 return pallas_gmm.gmm_weight_only_packed(
                     acts, wqp, sc, zp_p, disp.group_sizes,
                     gsize=qcfg.w_gsize, bn=bn,
-                    out_dtype=acts.dtype, interpret=impl.interpret,
+                    out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
             aq, asc = _aquant_uniform(acts) if not mixed else (None, None)
             if mixed:
-                bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
-                            else "act_bits_down")
                 row_bits = jnp.take(layer_params[bits_key], row_expert)
                 aq, asc = _aquant_rows(acts, row_bits)
             return pallas_gmm.gmm_w4a8_packed(
                 aq, asc, wqp, sc, disp.group_sizes, bn=bn,
-                out_dtype=acts.dtype, interpret=impl.interpret,
+                out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
-        wq = layer_params[f"{prefix}_q"]
-        zp = layer_params[f"{prefix}_zp"]
+        wq = _w(f"{prefix}_q")
+        zp = _w(f"{prefix}_zp")
         n_out = wq.shape[-1]
         # wide n-tiles cut lhs refetch and (for tiny decode M) make each
         # expert's weights stream exactly once; cap the K x bn VMEM block
@@ -416,7 +488,6 @@ def moe_ffn_ragged_quant(
         if mixed:
             # per-expert mixed schemes in one int8 launch: bitwidths are
             # data (per-expert scales, per-row act clip ranges)
-            bits_key = "act_bits_gateup" if prefix == "expert_gate_up" else "act_bits_down"
             row_bits = jnp.take(layer_params[bits_key], row_expert)
             aq, asc = _aquant_rows(acts, row_bits)
             if impl.mixed_weight_only:
@@ -425,14 +496,14 @@ def moe_ffn_ragged_quant(
                 # (bf16 dot on dequantized weights) while w×a experts run
                 # the int8 MXU — one launch beats bucketed at every M
                 # (bench/fused_ab.py; reference hz_fused.cuh:14-127)
-                flags = (layer_params[bits_key] >= 16).astype(jnp.int32)
                 return pallas_gmm.gmm_mixed_wo_wxa(
-                    acts, aq, asc, wq, sc, flags, disp.group_sizes, bn=bn,
-                    out_dtype=acts.dtype, interpret=impl.interpret,
+                    acts, aq, asc, wq, sc, _flags16(), disp.group_sizes,
+                    bn=bn, out_dtype=acts.dtype, interpret=impl.interpret,
+                    **gkw,
                 )
             return pallas_gmm.gmm_w8a8(
                 aq, asc, wq, sc, disp.group_sizes, bn=bn,
-                out_dtype=acts.dtype, interpret=impl.interpret,
+                out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
         if qcfg.a_bits < 16:
@@ -445,7 +516,7 @@ def moe_ffn_ragged_quant(
                 aq, asc = quantize_act_grouped(acts, int(qcfg.a_bits), gsz)
                 main = pallas_gmm.gmm_w8a8_grouped(
                     aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bn=bn,
-                    out_dtype=acts.dtype, interpret=impl.interpret,
+                    out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
                 if qcfg.w_sym:
                     return main
@@ -458,23 +529,27 @@ def moe_ffn_ragged_quant(
                 m_rows = aq.shape[0]
                 rows = (aq.astype(jnp.float32)
                         .reshape(m_rows, k // gsz, gsz).sum(-1) * asc)
+                zp_l = zp
+                if stack:   # zp rides the stack: take this layer's slice
+                    zp_l = jax.lax.dynamic_slice_in_dim(
+                        zp, g_base, cfg.num_experts, axis=0)
                 corr = jax.lax.ragged_dot(
-                    rows, layer_params[f"{prefix}_zp"].astype(jnp.float32),
+                    rows, zp_l.astype(jnp.float32),
                     disp.group_sizes, preferred_element_type=jnp.float32)
                 return (main.astype(jnp.float32) + corr).astype(acts.dtype)
             aq, asc = _aquant_uniform(acts)
             if not qcfg.w_sym:
                 return pallas_gmm.gmm_w8a8_asym(
                     aq, asc, wq, sc, zp, disp.group_sizes, bn=bn,
-                    out_dtype=acts.dtype, interpret=impl.interpret,
+                    out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
             return pallas_gmm.gmm_w8a8(
                 aq, asc, wq, sc, disp.group_sizes, bn=bn,
-                out_dtype=acts.dtype, interpret=impl.interpret,
+                out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         return pallas_gmm.gmm_weight_only(
             acts, wq, sc, zp, disp.group_sizes, gsize=gsz, bn=bn,
-            out_dtype=acts.dtype, interpret=impl.interpret,
+            out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
         )
 
     h = qgemm(xs, "expert_gate_up")                                  # [T*k, 2N]
@@ -532,12 +607,13 @@ def moe_block(
 ) -> jax.Array:
     b, s, h = x.shape
     x2d = x.reshape(-1, h)
+    qkeys = ("expert_gate_up_q", "expert_gate_up_q_packed",
+             "expert_gate_up_qcat")
+    estack = layer_params.get("_expert_stack") or {}
     if impl.kind == "dense":
         y = moe_ffn_dense(x2d, layer_params, cfg)
-    elif impl.quant is not None and (
-            "expert_gate_up_q" in layer_params
-            or "expert_gate_up_q_packed" in layer_params
-            or "expert_gate_up_qcat" in layer_params):
+    elif impl.quant is not None and any(
+            k in layer_params or k in estack for k in qkeys):
         y = moe_ffn_ragged_quant(x2d, layer_params, cfg, impl)
     else:
         y = moe_ffn_ragged(x2d, layer_params, cfg, impl)

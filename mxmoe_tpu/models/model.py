@@ -139,11 +139,24 @@ def forward_hidden(
 
         x, _ = jax.lax.scan(dense_body, x, params["dense_layers"])
 
-    def body(carry, layer_params):
-        out = decoder_layer(carry, layer_params, cfg, cos, sin, impl)
-        return out, None
+    # quantized expert weights ride as a scan CONSTANT stack, not scan-xs:
+    # XLA cannot fuse the per-iteration slice into a Pallas custom-call
+    # operand and would copy every layer's weights each chunk
+    # (layers.split_expert_stack)
+    from .layers import split_expert_stack
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    xs_layers, estack = ((params["layers"], {}) if impl.quant is None
+                         else split_expert_stack(params["layers"]))
+
+    def body(carry, layer_params):
+        h, l = carry
+        if estack:
+            layer_params = dict(layer_params, _expert_stack=estack,
+                                _layer_index=l)
+        out = decoder_layer(h, layer_params, cfg, cos, sin, impl)
+        return (out, l + 1), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), xs_layers)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 

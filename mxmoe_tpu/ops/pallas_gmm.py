@@ -115,6 +115,31 @@ def make_group_metadata(group_sizes: jax.Array, m: int, bm: int) -> GroupMetadat
     return GroupMetadata(group_ids, m_tile_ids, group_offsets, num_logical)
 
 
+def _globalize_meta(meta, group_base, num_total_groups: int):
+    """Layer-stacked weights: shift this layer's group ids by ``group_base``
+    (= layer * E) and scatter its row-offset table into a
+    [num_total_groups + 1] table, so the UNCHANGED kernel indexes a
+    [num_total_groups, ...] weight stack directly.
+
+    Why: the decode layer scan carried expert weights as scan-xs, and XLA
+    cannot fuse the per-iteration dynamic-slice into a Pallas custom-call
+    operand — it materialized a full copy of every layer's expert weights
+    every decode step (measured: the 2-GMM layer cost 2.1 ms vs its
+    0.55 ms weight-traffic bound, tools/tpu_decode_decomp.py /
+    tools/tpu_scan_slice_ab.py). With globalized metadata the stacked
+    weights stay a loop constant and only tiny metadata varies per layer.
+    Works for GroupMetadata and MixedGroupMetadata (rhs_blks are made
+    layer-global by the caller via the blk_offsets argument).
+    """
+    goffs = jax.lax.dynamic_update_slice(
+        jnp.zeros((num_total_groups + 1,), jnp.int32),
+        meta.group_offsets.astype(jnp.int32),
+        (jnp.asarray(group_base, jnp.int32),))
+    return meta._replace(
+        group_ids=meta.group_ids + jnp.asarray(group_base, jnp.int32),
+        group_offsets=goffs)
+
+
 def _row_mask(m_tile: jax.Array, group_start: jax.Array, group_end: jax.Array,
               bm: int, bn: int) -> jax.Array:
     row = m_tile * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
@@ -361,6 +386,8 @@ def gmm_w8a8(
     interpret: bool = False,
     static_sizes=None,
     aligned: bool = False,
+    group_base=None,
+    num_total_groups: int | None = None,
 ) -> jax.Array:
     """Symmetric per-token × per-channel int8 grouped matmul.
 
@@ -368,6 +395,11 @@ def gmm_w8a8(
     (``mm_tile.cuh:469-496``) as one VPU multiply on the f32 accumulator.
     ``aligned=True`` (group sizes all bm multiples, e.g. the aligned
     dispatch layout) drops the per-tile row mask — see _gmm_q8_kernel_1.
+
+    Layer-stacked weights (``group_base``/``num_total_groups``): rhs_q /
+    rhs_scale hold ALL layers' experts ([L*E, K, N]); group_sizes stays
+    this layer's [E] and ``group_base = layer * E`` offsets the metadata
+    (see :func:`_globalize_meta` for why the layer scan must not slice).
     """
     m, k = lhs_q.shape
     e, _, n = rhs_q.shape
@@ -385,6 +417,9 @@ def gmm_w8a8(
             "cannot be validated for traced group sizes)"
         assert all(s % bm == 0 for s in static_sizes), (bm, static_sizes)
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
     grid = (*grid2, ksteps)
 
     _check_vmem("gmm_w8a8", (bm * bk, True), (bk * bn, True),
@@ -479,6 +514,8 @@ def gmm_weight_only(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
+    group_base=None,
+    num_total_groups: int | None = None,
 ) -> jax.Array:
     """Weight-only quantized grouped matmul (w4a16/w8a16, sym or asym).
 
@@ -493,6 +530,9 @@ def gmm_weight_only(
     bn = min(bn, n)
     gsize = k if gsize == -1 else gsize
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:   # layer-stacked rhs/scales (_globalize_meta)
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
     ksc = k // gsize
 
     _check_vmem("gmm_weight_only", (bm * k * lhs.dtype.itemsize, True),
@@ -568,6 +608,8 @@ def gmm_w4a8_packed(
     interpret: bool = False,
     static_sizes=None,
     aligned: bool = False,
+    group_base=None,
+    num_total_groups: int | None = None,
 ) -> jax.Array:
     """4-bit-packed-weight grouped matmul: HALF the weight HBM traffic of
     the int8 path (the w4 bandwidth win the reference gets from mma.s4
@@ -590,6 +632,9 @@ def gmm_w4a8_packed(
             "cannot be validated for traced group sizes)"
         assert all(s % bm == 0 for s in static_sizes), (bm, static_sizes)
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:   # layer-stacked rhs/scales (_globalize_meta)
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
 
     # the nibble unpack fuses into the dot (observed: bm256/bn2816 fits);
     # count the unpacked operand once at int8 width
@@ -670,6 +715,8 @@ def gmm_weight_only_packed(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
+    group_base=None,
+    num_total_groups: int | None = None,
 ) -> jax.Array:
     """w4a16 grouped matmul on nibble-PACKED weights: half the weight HBM
     traffic of the int8-stored weight-only path — exactly where weight
@@ -687,6 +734,9 @@ def gmm_weight_only_packed(
     gsize = k if gsize == -1 else gsize
     assert k % gsize == 0
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:   # layer-stacked rhs/scales (_globalize_meta)
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
     ksc = k // gsize
 
     _check_vmem("gmm_weight_only_packed",
@@ -1019,6 +1069,8 @@ def gmm_mixed_packed(
     static_pflags=None,
     aligned: bool = False,
     rhs_zp: jax.Array | None = None,   # [E, G, N] recentred zero points
+    group_base=None,                   # layer-stacked: layer * E (traced ok)
+    num_total_groups: int | None = None,  # layer-stacked: L * E
 ) -> jax.Array:
     """ONE-launch mixed grouped matmul with per-expert PACKED storage.
 
@@ -1070,6 +1122,12 @@ def gmm_mixed_packed(
             blk_offsets = jnp.cumsum(2 - pfl) - (2 - pfl)
         meta = make_mixed_metadata(group_sizes, pflags, blk_offsets, m, bm)
         grid = (_cdiv(n, bn), meta.group_ids.shape[0])
+    if group_base is not None:
+        # layer-stacked ragged buffer: rhs_cat holds ALL layers
+        # ([L*R, N]; blk_offsets passed layer-global by the caller),
+        # rhs_scale/zp hold [L*E, G, N]; see _globalize_meta
+        assert num_total_groups is not None
+        meta = _globalize_meta(meta, group_base, num_total_groups)
 
     _check_vmem("gmm_mixed_packed",
                 (bm * k, True),                  # lhs int8
@@ -1285,6 +1343,8 @@ def gmm_w8a8_grouped(
     interpret: bool = False,
     static_sizes=None,
     rhs_zp: jax.Array | None = None,   # [E, K//g, N] recentred zero points
+    group_base=None,                   # layer-stacked: layer * E (traced ok)
+    num_total_groups: int | None = None,  # layer-stacked: L * E
 ) -> jax.Array:
     """Grouped (g128-class) w×a int8 matmul: the Atom-style per-group
     rescale of the reference's ``cta_gemm_w4a4g128``
@@ -1312,6 +1372,9 @@ def gmm_w8a8_grouped(
     ksc_blk = bk // gsize
     with_zp = rhs_zp is not None
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:   # layer-stacked rhs/scales (_globalize_meta)
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
 
     _check_vmem("gmm_w8a8_grouped", (bm * bk, True), (bk * bn, True),
                 (bm * ksc_blk * 4, True),
@@ -1434,6 +1497,8 @@ def gmm_w8a8_asym(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     static_sizes=None,
+    group_base=None,
+    num_total_groups: int | None = None,
 ) -> jax.Array:
     """Per-channel ASYMMETRIC-weight int8 grouped matmul (wXaY_asym)."""
     m, k = lhs_q.shape
@@ -1444,6 +1509,9 @@ def gmm_w8a8_asym(
     assert k % bk == 0
     ksteps = k // bk
     meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:   # layer-stacked rhs/scales (_globalize_meta)
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
     grid = (*grid2, ksteps)
 
     _check_vmem("gmm_w8a8_asym", (bm * bk, True), (bk * bn, True),
@@ -1574,6 +1642,8 @@ def gmm_mixed_wo_wxa(
     interpret: bool = False,
     static_sizes=None,
     rhs_zp: jax.Array | None = None,   # [E, G, N] recentred zero points
+    group_base=None,                   # layer-stacked: layer * E (traced ok)
+    num_total_groups: int | None = None,  # layer-stacked: L * E
 ) -> jax.Array:
     """ONE launch mixing weight-only and w×a experts (reference Fused mode,
     ``hz_fused.cuh:14-127``). Exists to settle the bucketed-vs-fused
@@ -1591,6 +1661,13 @@ def gmm_mixed_wo_wxa(
     bn = min(bn, n)
     flex = gdim > 1 or rhs_zp is not None
     meta, grid = _metadata_and_grid(group_sizes, static_sizes, m, bm, n, bn)
+    if group_base is not None:
+        # layer-stacked rhs/scales/zp AND scheme_flags ([L*E], the kernel
+        # branches on flags[global gid]) — see _globalize_meta
+        assert num_total_groups == e, (num_total_groups, e)
+        assert scheme_flags.shape[0] == num_total_groups, \
+            (scheme_flags.shape, num_total_groups)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
 
     _check_vmem("gmm_mixed_wo_wxa",
                 (bm * k * lhs.dtype.itemsize, True), (bm * k, True),

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from functools import partial
 
 from ..models.configs import MoEConfig
-from ..models.layers import MoEImpl, moe_block, rms_norm
+from ..models.layers import (MoEImpl, moe_block, rms_norm,
+                             split_expert_stack)
 from .decode_attention import (decode_attention_update_stacked,
                                supports_manual_decode)
 from .kv_cache import (KVCache, QuantKVCache, attention_with_cache,
@@ -214,6 +215,18 @@ def _attention_block_cached_quant_mla(x, lp, cfg, cos, sin, caches, layer,
     return out.reshape(b, s, n_h * d_v) @ lp["wo"], (ckq, cks, cvq, cvs)
 
 
+
+def _layer_xs_and_stack(params: dict, impl: MoEImpl):
+    """Scan-xs layer params + the expert-weight stack (see
+    models.layers.split_expert_stack: scan-slicing quantized expert
+    weights copies them every step; the stack rides as a loop constant
+    with globalized kernel metadata). EP serving keeps the old layout
+    (the shard_map EP block owns its per-device weight slices)."""
+    if impl.ep_moe is not None or impl.quant is None:
+        return params["layers"], {}
+    return split_expert_stack(params["layers"])
+
+
 def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     """forward_cached over a QuantKVCache (GQA and MLA)."""
     b, s_new = tokens.shape
@@ -238,6 +251,9 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     # caches ride the scan CARRY as full stacked arrays (in-place scatter
     # per layer); the old xs/ys protocol re-materialized every padded
     # layer slice per step — see scatter_layer_cache
+    xs_layers, estack = _layer_xs_and_stack(params, impl)
+    d = cfg.first_dense_layers
+
     def make_body(dense_mlp: bool):
         def body(carry, lp):
             x, caches, l = carry
@@ -252,6 +268,8 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
 
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
+                if estack:
+                    lp = dict(lp, _expert_stack=estack, _layer_index=l - d)
                 moe = (impl.ep_moe if impl.ep_moe is not None
                        else lambda a, b, c: moe_block(a, b, c, impl))
                 out = h + moe(norm_h, lp, cfg)
@@ -260,11 +278,10 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
 
     carry = (x, (cache.k_q, cache.k_sc, cache.v_q, cache.v_sc),
              jnp.int32(0))
-    d = cfg.first_dense_layers
     if d > 0 and "dense_layers" in params:
         carry, _ = jax.lax.scan(make_body(True), carry,
                                 params["dense_layers"])
-    carry, _ = jax.lax.scan(make_body(False), carry, params["layers"])
+    carry, _ = jax.lax.scan(make_body(False), carry, xs_layers)
     x, (nkq, nks, nvq, nvs), _ = carry
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     from ..models.model import head_logits
@@ -310,6 +327,9 @@ def forward_cached(
 
     # caches in the scan CARRY (see _forward_cached_quant / the scatter
     # protocol note in kv_cache.scatter_layer_cache)
+    xs_layers, estack = _layer_xs_and_stack(params, impl)
+    d = cfg.first_dense_layers
+
     def make_body(dense_mlp: bool):
         def body(carry, lp):
             x, ck, cv, l = carry
@@ -324,6 +344,8 @@ def forward_cached(
 
                 out = h + dense_mlp_block(norm_h, lp, cfg)
             else:
+                if estack:
+                    lp = dict(lp, _expert_stack=estack, _layer_index=l - d)
                 moe = (impl.ep_moe if impl.ep_moe is not None
                        else lambda a, b, c: moe_block(a, b, c, impl))
                 out = h + moe(norm_h, lp, cfg)
@@ -331,11 +353,10 @@ def forward_cached(
         return body
 
     carry = (x, cache.k, cache.v, jnp.int32(0))
-    d = cfg.first_dense_layers
     if d > 0 and "dense_layers" in params:
         carry, _ = jax.lax.scan(make_body(True), carry,
                                 params["dense_layers"])
-    carry, _ = jax.lax.scan(make_body(False), carry, params["layers"])
+    carry, _ = jax.lax.scan(make_body(False), carry, xs_layers)
     x, new_k, new_v, _ = carry
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     from ..models.model import head_logits

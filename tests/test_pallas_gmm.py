@@ -694,3 +694,59 @@ def test_gmm_mixed_packed_flex_straddle_matches_grouped():
         rhs_zp=c["zp"],
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_layer_stacked_group_base_matches_per_layer():
+    """gmm_w8a8 over a [L*E, K, N] stack with group_base = l*E must equal
+    the per-layer-slice launch bitwise, for every layer (the decode scan
+    passes stacked weights as loop constants — layers.split_expert_stack —
+    because slicing them copies: tools/tpu_scan_slice_ab.py)."""
+    L, E, K, N, M = 3, 4, 128, 256, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    wq = jax.random.randint(k1, (L * E, K, N), -127, 128, jnp.int8)
+    wsc = jax.random.uniform(k2, (L * E, 1, N), jnp.float32, 0.01, 0.02)
+    aq = jax.random.randint(k3, (M, K), -127, 128, jnp.int8)
+    asc = jax.random.uniform(k1, (M, 1), jnp.float32, 0.01, 0.02)
+    gs = jnp.asarray([13, 0, 32, M - 45], jnp.int32)
+    for l in range(L):
+        ref = pallas_gmm.gmm_w8a8(
+            aq, asc, wq[l * E:(l + 1) * E], wsc[l * E:(l + 1) * E], gs,
+            bm=32, bn=128, interpret=True)
+        got = pallas_gmm.gmm_w8a8(
+            aq, asc, wq, wsc, gs, bm=32, bn=128, interpret=True,
+            group_base=jnp.int32(l * E), num_total_groups=L * E)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_layer_stacked_mixed_packed_matches_per_layer():
+    """gmm_mixed_packed over the layer-global ragged buffer (stacked cat,
+    layer-global blk offsets, stacked scales) == the per-layer launch."""
+    from mxmoe_tpu.quant.packing import build_ragged_mixed
+
+    L, E, K, N, M = 2, 4, 64, 128, 32
+    rng = np.random.default_rng(5)
+    pf = np.asarray([1, 0, 1, 0], np.int32)
+    cats, blks, scs = [], [], []
+    for l in range(L):
+        codes = rng.integers(-7, 8, (E, K, N)).astype(np.int8)
+        cat, blk = build_ragged_mixed(jnp.asarray(codes), pf)
+        cats.append(np.asarray(cat))
+        blks.append(blk)
+        scs.append(rng.uniform(0.01, 0.02, (E, 1, N)).astype(np.float32))
+    cat_all = jnp.asarray(np.concatenate(cats, axis=0))
+    sc_all = jnp.asarray(np.concatenate(scs, axis=0))
+    units = cats[0].shape[0] // (K // 2)
+    aq = jnp.asarray(rng.integers(-7, 8, (M, K)), jnp.int8)
+    asc = jnp.asarray(rng.uniform(0.01, 0.02, (M, 1)), jnp.float32)
+    gs = jnp.asarray([5, 11, 0, M - 16], jnp.int32)
+    pfd = jnp.asarray(pf)
+    for l in range(L):
+        ref = pallas_gmm.gmm_mixed_packed(
+            aq, asc, jnp.asarray(cats[l]), jnp.asarray(scs[l]), gs, pfd,
+            jnp.asarray(blks[l], jnp.int32), bm=16, bn=128, interpret=True)
+        got = pallas_gmm.gmm_mixed_packed(
+            aq, asc, cat_all, sc_all, gs, pfd,
+            jnp.asarray(blks[l], jnp.int32) + l * units, bm=16, bn=128,
+            interpret=True, group_base=jnp.int32(l * E),
+            num_total_groups=L * E)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -101,6 +101,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--parts", default="")
     ap.add_argument("--interpret", action="store_true", help="CPU smoke (Pallas interpret, tiny chains)")
+    ap.add_argument("--shared-quant", action="store_true",
+                    help="quantize the shared expert w8a8 (production ILP "
+                    "solves cover index E; default off = the measured "
+                    "pre-round-4 engine)")
     args = ap.parse_args()
 
     cfg, params, impl, cache, fwd = build(args)
@@ -229,36 +233,48 @@ def main():
         return min(n_out, max(512, ((3 * 1024 * 1024) // max(k_in, 1))
                               // 128 * 128))
 
-    gmm_keys = ("expert_gate_up_qcat", "expert_gate_up_sc",
-                "expert_gate_up_pf", "expert_gate_up_blk",
-                "expert_down_qcat", "expert_down_sc",
-                "expert_down_pf", "expert_down_blk")
+    # mirror the REAL path (layers.split_expert_stack): big weight arrays
+    # ride flattened as loop constants + globalized metadata; only the tiny
+    # blk/pf metadata is per-layer
+    from mxmoe_tpu.models.layers import split_expert_stack
+
+    xs_small, estack = split_expert_stack(params["layers"])
+    gmm_small = ("expert_gate_up_pf", "expert_gate_up_blk",
+                 "expert_down_pf", "expert_down_blk")
 
     def gmm_step(state, cc):
-        def body(carry, lp):
+        st = cc["stack"]
+        n_layers = args.layers
+        e_tot = cfg.num_experts
+
+        def one(aq, asc, prefix, l, k_in, n_out):
+            qcat = st[f"{prefix}_qcat"]
+            units = qcat.shape[0] // n_layers // (k_in // 2)
+            return pallas_gmm.gmm_mixed_packed(
+                aq, asc, qcat, st[f"{prefix}_sc"], cc["gs"],
+                cc["lp"][f"{prefix}_pf"][l],
+                cc["lp"][f"{prefix}_blk"][l] + l * units,
+                bn=bn_for(k_in, n_out), out_dtype=jnp.bfloat16,
+                interpret=interp, group_base=l * e_tot,
+                num_total_groups=n_layers * e_tot)
+
+        def body(carry, l):
             aq, aqd = carry
-            hh = pallas_gmm.gmm_mixed_packed(
-                aq, cc["asc"], lp["expert_gate_up_qcat"],
-                lp["expert_gate_up_sc"], cc["gs"], lp["expert_gate_up_pf"],
-                lp["expert_gate_up_blk"], bn=bn_for(h_dim, 2 * n_mid),
-                out_dtype=jnp.bfloat16, interpret=interp)
+            hh = one(aq, cc["asc"], "expert_gate_up", l, h_dim, 2 * n_mid)
             hh = silu_mul(hh)
-            out = pallas_gmm.gmm_mixed_packed(
-                aqd, cc["ascd"], lp["expert_down_qcat"],
-                lp["expert_down_sc"], cc["gs"], lp["expert_down_pf"],
-                lp["expert_down_blk"], bn=bn_for(n_mid, h_dim),
-                out_dtype=jnp.bfloat16, interpret=interp)
+            out = one(aqd, cc["ascd"], "expert_down", l, n_mid, h_dim)
             aq = aq ^ (out[:, : aq.shape[1]] > 0).astype(jnp.int8)
             aqd = aqd ^ (hh[:, : aqd.shape[1]] > 0).astype(jnp.int8)
             return (aq, aqd), None
 
         carry, _ = jax.lax.scan(body, (state["aq"], state["aqd"]),
-                                cc["lp"])
+                                jnp.arange(args.layers))
         return {"aq": carry[0], "aqd": carry[1]}
 
     run("gmm", gmm_step, {"aq": aq0, "aqd": aq0d},
-        {"lp": layer_slice(params, gmm_keys), "asc": asc0, "ascd": asc0d,
-         "gs": disp0.group_sizes})
+        {"lp": {k: params["layers"][k] for k in gmm_small},
+         "stack": {k: v for k, v in estack.items() if k != "_num_layers"},
+         "asc": asc0, "ascd": asc0d, "gs": disp0.group_sizes})
 
     # ---- quantized shared expert over L layers ----
     # NB: the serving mixed qconfig covers ROUTED experts only, so the
