@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="serve over the first N devices (EP mesh: experts "
                          "sharded, KV cache sharded over slots)")
+    ap.add_argument("--gate-trace", default=None,
+                    help="moe-gate.json: derive the EP capacity factor from "
+                    "the traced routing skew (capacity_factor_from_freq) "
+                    "instead of the --capacity-factor constant")
     ap.add_argument("--capacity-factor", type=float, default=8.0,
                     help="EP token-dispatch capacity headroom: assignments "
                          "beyond cap are DROPPED (outputs then diverge "
@@ -123,8 +127,21 @@ def main():
 
         mesh = Mesh(np.array(jax.devices()[:args.mesh]),
                     axis_names=("expert",))
-        ep_cfg = EPConfig(axis="expert",
-                          capacity_factor=args.capacity_factor)
+        cap = args.capacity_factor
+        if args.gate_trace:
+            import json as _json
+
+            from ..parallel.ep import capacity_factor_from_freq
+
+            with open(args.gate_trace) as f:
+                tr = _json.load(f)
+            caps = [capacity_factor_from_freq(
+                        tr[k]["access_freq"], args.mesh)
+                    for k in tr if k.startswith("layer-")]
+            cap = max(max(caps), 2.0)
+            print(f"capacity factor <- gate trace: {cap:.2f} "
+                  f"(worst layer over {len(caps)})")
+        ep_cfg = EPConfig(axis="expert", capacity_factor=cap)
     eng = Engine(params, cfg, EngineConfig(
         batch_slots=args.slots, max_len=args.max_len,
         prefill_chunk=min(256, args.max_len // 2),

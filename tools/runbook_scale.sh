@@ -1,0 +1,68 @@
+#!/bin/bash
+# Full-pipeline runbook at REAL topology (round-3 task 4): random-init
+# 24-layer qwen2_moe (60+4 experts) and 27-layer ds2, CPU backend
+# (tools/cpurun.py -> never touches the single-tenant TPU), 8-device
+# virtual mesh for the serve stage. Logs per-stage wall time + peak RSS
+# to out/runbook_scale/times.tsv for REPRO.md.
+#
+#   bash tools/runbook_scale.sh [qwen2_moe|ds2|all]
+set -u
+cd "$(dirname "$0")/.."
+OUT=out/runbook_scale
+mkdir -p $OUT
+TSV=$OUT/times.tsv
+[ -f $TSV ] || echo -e "model\tstage\twall_s\tmax_rss_gb\texit" > $TSV
+
+stage () {  # stage <model> <name> <cmd...>
+    local model=$1 name=$2; shift 2
+    if grep -qP "^$model\t$name\t.*\t0$" $TSV 2>/dev/null; then
+        echo "== skip $model/$name (done)"; return 0
+    fi
+    echo "== $model/$name: $*"
+    local t0=$SECONDS
+    /usr/bin/time -o $OUT/.rss -f "%M" "$@" \
+        > $OUT/${model}-${name}.log 2>&1
+    local rc=$? wall=$((SECONDS - t0))
+    local rss=$(awk '{printf "%.1f", $1/1048576}' $OUT/.rss 2>/dev/null)
+    echo -e "$model\t$name\t$wall\t$rss\t$rc" >> $TSV
+    echo "== $model/$name: ${wall}s rss=${rss}GB exit=$rc"
+    return $rc
+}
+
+run_model () {
+    local M=$1 L=$2
+    local G=$OUT/$M/gate/moe-gate.json
+    mkdir -p $OUT/$M/gate $OUT/$M/calib $OUT/$M/qconfigs
+
+    stage $M trace python tools/cpurun.py -n 1 mxmoe_tpu.trace.gate \
+        --model $M --nsamples 8 --seqlen 1024 --out $G || return 1
+
+    stage $M calibrate python tools/cpurun.py -n 1 mxmoe_tpu.quant.calibrate \
+        --model $M --method gptq-had --qcfg w4a4_g-1_sym w8a8_g-1_sym \
+        --nsamples 4 --seqlen 512 --save_dir $OUT/$M/calib || return 1
+
+    local QC=$OUT/$M/qconfigs/$M-w5-r0.5.json
+    stage $M solve python tools/cpurun.py -n 1 mxmoe_tpu.solver.bits_solver \
+        --trace $G \
+        --loss w4a4_g-1_sym=$OUT/$M/calib/$M-MOE-layer_out_norm-gptq-had-w4a4_g-1_sym.json \
+               w8a8_g-1_sym=$OUT/$M/calib/$M-MOE-layer_out_norm-gptq-had-w8a8_g-1_sym.json \
+        --batch 8192 --wbits 5.0 --r 0.5 --runtime_model onelaunch \
+        --out $QC || return 1
+
+    stage $M convert python tools/cpurun.py -n 1 mxmoe_tpu.models.convert \
+        --model $M --out $OUT/$M/ckpt-w5-packed --qconfig $QC --pack-int4 \
+        || return 1
+
+    stage $M serve python tools/cpurun.py -n 8 mxmoe_tpu.serving.generate \
+        --model $M --artifact $OUT/$M/ckpt-w5-packed --mesh 8 \
+        --gate-trace $G --prompt "1 2 3 4" --max-new 16 --slots 8 \
+        --max-len 256 || return 1
+}
+
+case "${1:-all}" in
+    qwen2_moe) run_model qwen2_moe 24 ;;
+    ds2)       run_model ds2 27 ;;
+    all)       run_model qwen2_moe 24 && run_model ds2 27 ;;
+esac
+echo "== runbook done; times:"
+cat $TSV
