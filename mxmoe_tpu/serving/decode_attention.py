@@ -263,7 +263,7 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
                                vnew_ref, _kq_in, _ks_in, _vq_in, _vs_in,
                                out_ref, kq_hbm, ks_hbm, vq_hbm, vs_hbm,
                                kbuf, ksbuf, vbuf, vsbuf, kw, ksw, vw, vsw,
-                               sems, wsems, *, scale, block_s, quant):
+                               sems, wsems, *, scale, block_s, quant, hblk):
     sw = ksw.shape[-1]            # scale-RMW width: min(128, s_max)
     # all cache access goes through the ALIASED OUTPUT refs: on TPU they
     # are the same buffer as the inputs; in interpret mode the outputs
@@ -277,9 +277,16 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
     ONE custom call with zero cache traffic beyond the blocks it actually
     reads: an XLA-side scatter whose output feeds an opaque custom call
     loses its in-place update and copies the whole cache every layer
-    (measured: tools/tpu_decode_proto.py kernel_carry vs kernel_const)."""
+    (measured: tools/tpu_decode_proto.py kernel_carry vs kernel_const).
+
+    ``hblk`` KV heads are processed per grid step (static python loops
+    issue the per-head DMAs; the dots stay per-head 2D): the original
+    one-head-per-step grid was B x n_kv = 512 steps at 32 slots, and its
+    per-step dispatch overhead — not DMA bytes — made the kernel 1.1
+    ms/layer vs the XLA path's 0.45 (tools/tpu_decode_decomp.py round 4).
+    """
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    h0 = pl.program_id(1) * hblk
     l = layer[0]
     s_max = kq_hbm.shape[-2]
     # reads clamp so a FULL slot (raw length == s_max) can't DMA past the
@@ -292,7 +299,7 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
     cdt = kbuf.dtype
 
     def quantize(ref):
-        x = ref[...].reshape(1, ref.shape[-1]).astype(jnp.float32)
+        x = ref[...].reshape(hblk, ref.shape[-1]).astype(jnp.float32)
         amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         sc = jnp.maximum(amax, 1e-8) / 127.0
         return jnp.round(x / sc).astype(jnp.int8), sc
@@ -310,113 +317,120 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
 
     @pl.when((valid[b] != 0) & (raw_len < s_max))
     def _():
-        rmw = [
-            (pltpu.make_async_copy(
-                kq_hbm.at[l, b, h, pl.ds(base, 8), :], kw, wsems.at[0]),
-             pltpu.make_async_copy(
-                kw, kq_hbm.at[l, b, h, pl.ds(base, 8), :], wsems.at[4])),
-            (pltpu.make_async_copy(
-                vq_hbm.at[l, b, h, pl.ds(base, 8), :], vw, wsems.at[1]),
-             pltpu.make_async_copy(
-                vw, vq_hbm.at[l, b, h, pl.ds(base, 8), :], wsems.at[5])),
-        ]
-        if quant:
+        rmw = []
+        for hh in range(hblk):
             rmw += [
                 (pltpu.make_async_copy(
-                    ks_hbm.at[l, b, h, :, pl.ds(sbase, sw)], ksw,
-                    wsems.at[2]),
+                    kq_hbm.at[l, b, h0 + hh, pl.ds(base, 8), :], kw.at[hh],
+                    wsems.at[0, hh]),
                  pltpu.make_async_copy(
-                    ksw, ks_hbm.at[l, b, h, :, pl.ds(sbase, sw)],
-                    wsems.at[6])),
+                    kw.at[hh], kq_hbm.at[l, b, h0 + hh, pl.ds(base, 8), :],
+                    wsems.at[4, hh])),
                 (pltpu.make_async_copy(
-                    vs_hbm.at[l, b, h, :, pl.ds(sbase, sw)], vsw,
-                    wsems.at[3]),
+                    vq_hbm.at[l, b, h0 + hh, pl.ds(base, 8), :], vw.at[hh],
+                    wsems.at[1, hh]),
                  pltpu.make_async_copy(
-                    vsw, vs_hbm.at[l, b, h, :, pl.ds(sbase, sw)],
-                    wsems.at[7])),
+                    vw.at[hh], vq_hbm.at[l, b, h0 + hh, pl.ds(base, 8), :],
+                    wsems.at[5, hh])),
             ]
+            if quant:
+                rmw += [
+                    (pltpu.make_async_copy(
+                        ks_hbm.at[l, b, h0 + hh, :, pl.ds(sbase, sw)],
+                        ksw.at[hh], wsems.at[2, hh]),
+                     pltpu.make_async_copy(
+                        ksw.at[hh],
+                        ks_hbm.at[l, b, h0 + hh, :, pl.ds(sbase, sw)],
+                        wsems.at[6, hh])),
+                    (pltpu.make_async_copy(
+                        vs_hbm.at[l, b, h0 + hh, :, pl.ds(sbase, sw)],
+                        vsw.at[hh], wsems.at[3, hh]),
+                     pltpu.make_async_copy(
+                        vsw.at[hh],
+                        vs_hbm.at[l, b, h0 + hh, :, pl.ds(sbase, sw)],
+                        wsems.at[7, hh])),
+                ]
         for r, _ in rmw:
             r.start()
         if quant:
             knew, ksc = quantize(knew_ref)
             vnew, vsc = quantize(vnew_ref)
         else:
-            knew = knew_ref[...].reshape(1, kw.shape[-1]).astype(cdt)
-            vnew = vnew_ref[...].reshape(1, vw.shape[-1]).astype(cdt)
+            knew = knew_ref[...].reshape(hblk, kw.shape[-1]).astype(cdt)
+            vnew = vnew_ref[...].reshape(hblk, vw.shape[-1]).astype(cdt)
         for r, _ in rmw:
             r.wait()
         kw[...] = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, kw.shape, 0) == row,
-            knew, kw[...])
+            jax.lax.broadcasted_iota(jnp.int32, kw.shape, 1) == row,
+            knew[:, None, :], kw[...])
         vw[...] = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) == row,
-            vnew, vw[...])
+            jax.lax.broadcasted_iota(jnp.int32, vw.shape, 1) == row,
+            vnew[:, None, :], vw[...])
         if quant:
-            csel = jax.lax.broadcasted_iota(jnp.int32, ksw.shape, 1) == scol
-            ksw[...] = jnp.where(csel, ksc, ksw[...])
-            vsw[...] = jnp.where(csel, vsc, vsw[...])
+            csel = jax.lax.broadcasted_iota(jnp.int32, ksw.shape, 2) == scol
+            ksw[...] = jnp.where(csel, ksc[:, :, None], ksw[...])
+            vsw[...] = jnp.where(csel, vsc[:, :, None], vsw[...])
         for _, w in rmw:
             w.start()
         # writes must land before the read loop streams their block
         for _, w in rmw:
             w.wait()
 
+    def _copies(i, slot):
+        cps = []
+        for hh in range(hblk):
+            cps.append(pltpu.make_async_copy(
+                kq_hbm.at[l, b, h0 + hh, pl.ds(i * block_s, block_s), :],
+                kbuf.at[slot, hh], sems.at[0, slot, hh]))
+            cps.append(pltpu.make_async_copy(
+                vq_hbm.at[l, b, h0 + hh, pl.ds(i * block_s, block_s), :],
+                vbuf.at[slot, hh], sems.at[1, slot, hh]))
+            if quant:
+                cps.append(pltpu.make_async_copy(
+                    ks_hbm.at[l, b, h0 + hh, :, pl.ds(i * block_s, block_s)],
+                    ksbuf.at[slot, hh], sems.at[2, slot, hh]))
+                cps.append(pltpu.make_async_copy(
+                    vs_hbm.at[l, b, h0 + hh, :, pl.ds(i * block_s, block_s)],
+                    vsbuf.at[slot, hh], sems.at[3, slot, hh]))
+        return cps
+
     def start(i, slot):
-        pltpu.make_async_copy(
-            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
-            kbuf.at[slot], sems.at[0, slot]).start()
-        pltpu.make_async_copy(
-            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
-            vbuf.at[slot], sems.at[1, slot]).start()
-        if quant:
-            pltpu.make_async_copy(
-                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
-                ksbuf.at[slot], sems.at[2, slot]).start()
-            pltpu.make_async_copy(
-                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
-                vsbuf.at[slot], sems.at[3, slot]).start()
+        for c in _copies(i, slot):
+            c.start()
 
     def wait(i, slot):
-        pltpu.make_async_copy(
-            kq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
-            kbuf.at[slot], sems.at[0, slot]).wait()
-        pltpu.make_async_copy(
-            vq_hbm.at[l, b, h, pl.ds(i * block_s, block_s), :],
-            vbuf.at[slot], sems.at[1, slot]).wait()
-        if quant:
-            pltpu.make_async_copy(
-                ks_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
-                ksbuf.at[slot], sems.at[2, slot]).wait()
-            pltpu.make_async_copy(
-                vs_hbm.at[l, b, h, :, pl.ds(i * block_s, block_s)],
-                vsbuf.at[slot], sems.at[3, slot]).wait()
+        for c in _copies(i, slot):
+            c.wait()
 
     start(0, 0)
-    q = q_ref[...].reshape(g, q_ref.shape[-1]).astype(jnp.float32)
+    q = q_ref[...].reshape(hblk, g, q_ref.shape[-1]).astype(jnp.float32)
 
     def compute(i, slot, carry):
-        m_prev, l_prev, acc = carry
-        k = kbuf[slot].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        m_prev, l_prev, acc = carry          # [hblk, g, 1] x2, [hblk, g, dv]
+        k = kbuf[slot].astype(jnp.float32)   # [hblk, block_s, dk]
+        s = jnp.stack([
+            jax.lax.dot_general(q[hh], k[hh], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for hh in range(hblk)])          # [hblk, g, block_s]
         if quant:
-            s = s * ksbuf[slot]
+            s = s * ksbuf[slot]              # [hblk, 1, block_s] broadcast
         s = s * scale
-        pos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos <= length, s, -jnp.inf)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p_raw = jnp.exp(s - m_new)
         if quant:
             p = jnp.where(pos <= length, p_raw * vsbuf[slot], 0.0)
         else:
             p = p_raw
-        l_new = l_prev * alpha + jnp.sum(p_raw, axis=1, keepdims=True)
-        v = vbuf[slot].astype(jnp.float32)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        l_new = l_prev * alpha + jnp.sum(p_raw, axis=2, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32)   # [hblk, block_s, dv]
+        pv = jnp.stack([
+            jax.lax.dot_general(p[hh], v[hh], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for hh in range(hblk)])          # [hblk, g, dv]
+        acc = acc * alpha + pv
         return m_new, l_new, acc
 
     def body(i, carry):
@@ -437,12 +451,35 @@ def _decode_attn_update_kernel(layer, lengths, valid, q_ref, knew_ref,
         return jax.lax.cond(slot == 0, even, odd, carry)
 
     dv = vbuf.shape[-1]
-    init = (jnp.full((g, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32),
-            jnp.zeros((g, dv), jnp.float32))
+    init = (jnp.full((hblk, g, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((hblk, g, 1), jnp.float32),
+            jnp.zeros((hblk, g, dv), jnp.float32))
     m_f, l_f, acc = jax.lax.fori_loop(0, nblk, body, init)
     out = acc / jnp.maximum(l_f, 1e-30)
     out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+def _pick_hblk(n_kv: int, block_s: int, dk: int, dv: int, itemsize: int,
+               quant: bool, groups: int, sw: int,
+               budget: int = 6 * 1024 * 1024) -> int:
+    """Heads per grid step: the largest n_kv divisor whose double-buffered
+    K/V blocks (+ scale rows + compute registers) fit a conservative VMEM
+    budget. One-head steps made the grid B x n_kv = 512 dispatches at 32
+    slots and per-step overhead (not bytes) dominated the kernel
+    (tools/tpu_decode_decomp.py round 4: 1.1 ms/layer vs the XLA path's
+    0.45 at B=32)."""
+    hblk = 1
+    for cand in range(1, n_kv + 1):
+        if n_kv % cand:
+            continue
+        vm = (2 * cand * block_s * (dk + dv) * itemsize      # K/V buffers
+              + (4 * cand * block_s * 4 if quant else 0)     # scale buffers
+              + cand * 8 * (dk + dv) * itemsize              # RMW rows
+              + 2 * cand * sw * 4                            # RMW scales
+              + 3 * cand * groups * (block_s + dv) * 4)      # compute regs
+        if vm <= budget:
+            hblk = cand
+    return hblk
 
 
 def decode_attention_update_stacked(
@@ -487,12 +524,15 @@ def decode_attention_update_stacked(
     else:
         ks_u = jnp.zeros((1, 1, 1, 1, block_s), jnp.float32)
         vs_u = ks_u
+    sw = min(128, s_max)
+    hblk = _pick_hblk(n_kv, block_s, dk, dv, jnp.dtype(cdt).itemsize,
+                      quant, groups, sw)
     kernel = functools.partial(
         _decode_attn_update_kernel, scale=scale, block_s=block_s,
-        quant=quant)
+        quant=quant, hblk=hblk)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    # unit axis before the vector dim: block (1, 1, 1, dk) satisfies the
-    # TPU (8, 128) tiling rule (second-to-last == full dim)
+    # unit axis before the vector dim: block (1, hblk, 1, dk) satisfies
+    # the TPU (8, 128) tiling rule (second-to-last == full dim)
     k_new = k_new.reshape(b, n_kv, 1, dk)
     v_new = v_new.reshape(b, n_kv, 1, dv)
     bh_idx = lambda b, h, layer, lengths, valid: (b, h, 0, 0)
@@ -503,30 +543,30 @@ def decode_attention_update_stacked(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, n_kv),
+            grid=(b, n_kv // hblk),
             in_specs=[
-                pl.BlockSpec((1, 1, groups, dk),
+                pl.BlockSpec((1, hblk, groups, dk),
                              lambda b, h, layer, lengths, valid: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, 1, dk), bh_idx),
-                pl.BlockSpec((1, 1, 1, dv), bh_idx),
+                pl.BlockSpec((1, hblk, 1, dk), bh_idx),
+                pl.BlockSpec((1, hblk, 1, dv), bh_idx),
                 any_spec, any_spec, any_spec, any_spec,
             ],
             out_specs=(
-                pl.BlockSpec((1, 1, groups, dv),
+                pl.BlockSpec((1, hblk, groups, dv),
                              lambda b, h, layer, lengths, valid: (b, h, 0, 0)),
                 any_spec, any_spec, any_spec, any_spec,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, block_s, dk), cdt),
-                pltpu.VMEM((2, 1, block_s), jnp.float32),
-                pltpu.VMEM((2, block_s, dv), cdt),
-                pltpu.VMEM((2, 1, block_s), jnp.float32),
-                pltpu.VMEM((8, dk), cdt),
-                pltpu.VMEM((1, min(128, s_max)), jnp.float32),
-                pltpu.VMEM((8, dv), cdt),
-                pltpu.VMEM((1, min(128, s_max)), jnp.float32),
-                pltpu.SemaphoreType.DMA((4, 2)),
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.VMEM((2, hblk, block_s, dk), cdt),
+                pltpu.VMEM((2, hblk, 1, block_s), jnp.float32),
+                pltpu.VMEM((2, hblk, block_s, dv), cdt),
+                pltpu.VMEM((2, hblk, 1, block_s), jnp.float32),
+                pltpu.VMEM((hblk, 8, dk), cdt),
+                pltpu.VMEM((hblk, 1, sw), jnp.float32),
+                pltpu.VMEM((hblk, 8, dv), cdt),
+                pltpu.VMEM((hblk, 1, sw), jnp.float32),
+                pltpu.SemaphoreType.DMA((4, 2, hblk)),
+                pltpu.SemaphoreType.DMA((8, hblk)),
             ],
         ),
         out_shape=(

@@ -158,3 +158,57 @@ def test_mla_fused_gate_now_open():
     assert supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
     cache = init_kv_cache(cfg, 2, 16)
     assert cache.k.shape[-1] == 256 and cache.v.shape[-1] == 128
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_update_stacked_multihead_block_matches_oracle(quant):
+    """hblk > 1 (several KV heads per grid step): the fused update +
+    attention must match scatter + XLA oracle exactly as the one-head
+    grid did. n_kv=8 with small dims picks hblk=8 (one grid step per
+    slot) via _pick_hblk."""
+    from mxmoe_tpu.serving.decode_attention import (
+        _pick_hblk, decode_attention_update_stacked)
+    from mxmoe_tpu.serving.kv_cache import (scatter_layer_cache,
+                                            scatter_layer_cache_quant)
+
+    nl, b, n_h, n_kv, hd, s_max, block_s = 2, 3, 8, 8, 128, 256, 64
+    assert _pick_hblk(n_kv, block_s, hd, hd, 1 if quant else 2,
+                      quant, n_h // n_kv, min(128, s_max)) == 8
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    q = jax.random.normal(k1, (b, 1, n_h, hd), jnp.float32)
+    ck = jax.random.normal(k2, (nl, b, n_kv, s_max, hd), jnp.float32)
+    cv = jax.random.normal(k3, (nl, b, n_kv, s_max, hd), jnp.float32)
+    k_new = jax.random.normal(k4, (b, 1, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(k5, (b, 1, n_kv, hd), jnp.float32)
+    lengths = jnp.asarray([0, 5, s_max - 2], jnp.int32)
+    layer = jnp.int32(1)
+
+    if quant:
+        ckq, cks = _quant_vec(ck)
+        cvq, cvs = _quant_vec(cv)
+        rkq, rks, rvq, rvs = scatter_layer_cache_quant(
+            ckq, cks, cvq, cvs, layer, k_new, v_new, lengths)
+        ref = attention_with_quant_cache(
+            q, rkq[1], rks[1], rvq[1], rvs[1], lengths, 1)
+        got, (gkq, gks, gvq, gvs) = decode_attention_update_stacked(
+            q[:, 0], k_new[:, 0], v_new[:, 0], ckq, cks, cvq, cvs,
+            lengths, layer, block_s=block_s, interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(gkq), np.asarray(rkq))
+        np.testing.assert_array_equal(np.asarray(gvq), np.asarray(rvq))
+        np.testing.assert_allclose(np.asarray(gks), np.asarray(rks),
+                                   rtol=1e-6)
+        tol = 3e-4
+    else:
+        rck, rcv = scatter_layer_cache(ck, cv, layer, k_new, v_new, lengths)
+        ref = attention_with_cache(q, rck[1], rcv[1], lengths, 1)
+        got, (gck, gcv) = decode_attention_update_stacked(
+            q[:, 0], k_new[:, 0], v_new[:, 0], ck.astype(jnp.bfloat16),
+            None, cv.astype(jnp.bfloat16), None, lengths, layer,
+            block_s=block_s, interpret=INTERPRET)
+        # bf16 cache vs the f32 oracle cache: pure storage rounding
+        np.testing.assert_allclose(
+            np.asarray(gck).astype(np.float32), np.asarray(rck), atol=4e-2)
+        tol = 2e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
+                               rtol=tol, atol=tol)

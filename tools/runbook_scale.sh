@@ -20,10 +20,10 @@ stage () {  # stage <model> <name> <cmd...>
     fi
     echo "== $model/$name: $*"
     local t0=$SECONDS
-    /usr/bin/time -o $OUT/.rss -f "%M" "$@" \
+    python tools/timed_run.py $OUT/.rss "$@" \
         > $OUT/${model}-${name}.log 2>&1
     local rc=$? wall=$((SECONDS - t0))
-    local rss=$(awk '{printf "%.1f", $1/1048576}' $OUT/.rss 2>/dev/null)
+    local rss=$(cat $OUT/.rss 2>/dev/null)
     echo -e "$model\t$name\t$wall\t$rss\t$rc" >> $TSV
     echo "== $model/$name: ${wall}s rss=${rss}GB exit=$rc"
     return $rc
@@ -32,13 +32,21 @@ stage () {  # stage <model> <name> <cmd...>
 run_model () {
     local M=$1 L=$2
     local G=$OUT/$M/gate/moe-gate.json
+    local CK=$OUT/$M/ckpt-hf
     mkdir -p $OUT/$M/gate $OUT/$M/calib $OUT/$M/qconfigs
 
+    # synthetic HF checkpoint, one shard per layer: memory-bounded AND
+    # exercises the lazy shard loader at real topology (materializing the
+    # 24L pytree via init_params OOMed the host at 118 GB)
+    stage $M mkckpt python tools/make_synth_ckpt.py --model $M --out $CK \
+        || return 1
+
     stage $M trace python tools/cpurun.py -n 1 mxmoe_tpu.trace.gate \
-        --model $M --nsamples 8 --seqlen 1024 --out $G || return 1
+        --model $M --ckpt $CK --nsamples 8 --seqlen 1024 --out $G || return 1
 
     stage $M calibrate python tools/cpurun.py -n 1 mxmoe_tpu.quant.calibrate \
-        --model $M --method gptq-had --qcfg w4a4_g-1_sym w8a8_g-1_sym \
+        --model $M --ckpt $CK --method gptq-had \
+        --qcfg w4a4_g-1_sym w8a8_g-1_sym \
         --nsamples 4 --seqlen 512 --save_dir $OUT/$M/calib || return 1
 
     local QC=$OUT/$M/qconfigs/$M-w5-r0.5.json
@@ -50,8 +58,8 @@ run_model () {
         --out $QC || return 1
 
     stage $M convert python tools/cpurun.py -n 1 mxmoe_tpu.models.convert \
-        --model $M --out $OUT/$M/ckpt-w5-packed --qconfig $QC --pack-int4 \
-        || return 1
+        --model $M --ckpt $CK --out $OUT/$M/ckpt-w5-packed \
+        --qconfig $QC --pack-int4 || return 1
 
     stage $M serve python tools/cpurun.py -n 8 mxmoe_tpu.serving.generate \
         --model $M --artifact $OUT/$M/ckpt-w5-packed --mesh 8 \

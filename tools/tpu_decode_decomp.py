@@ -162,13 +162,18 @@ def main():
     cos, sin = dec._rope_tables(cfg, positions)
     attn_keys = ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "input_norm")
 
+    # same fused/xla decision as the real forward (auto picks xla below
+    # S_max 2048; forcing fused here once mis-attributed 4.4 ms to attn
+    # while the full step used the 1.8 ms xla path)
+    use_fused = impl.use_fused_decode(args.max_len)
+
     def attn_step(state, cc):
         def body(carry, lp):
             x, caches, l = carry
             hh, caches = dec._attention_block_cached_quant(
                 rms_norm(x, lp["input_norm"], cfg.rms_norm_eps),
                 lp, cfg, cc["cos"], cc["sin"], caches, l, cc["lengths"],
-                fused=True, interpret=interp, valid=cc["lengths"] > 0)
+                fused=use_fused, interpret=interp, valid=cc["lengths"] > 0)
             return (x + hh, caches, l + 1), None
 
         carry = (state["x"], (state["ckq"], state["cks"], state["cvq"],
