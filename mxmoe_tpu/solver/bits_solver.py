@@ -57,6 +57,11 @@ class SolveResult:
     loss: float
     time_ms: float
     tile_cfg: dict[str, str]                # scheme -> chosen tile repr
+    # solution POOL: the r-objective-ranked (assignment, loss, time) list
+    # the epsilon-constraint sweep enumerated (deduped) — the reference
+    # keeps a Gurobi top-K pool for post-hoc picking
+    # (bits_solver.py:387 PoolSolutions); ours falls out of the sweep
+    pool: list = dataclasses.field(default_factory=list)
 
 
 def _n_out(problem: LayerProblem, e: int, b: int) -> int:
@@ -184,6 +189,17 @@ def solve_layer(
             }
             return assign, float(loss_v @ x), float(time_v @ x) + t_const
 
+        pool = []
+
+        def pooled(x):
+            assign, l_val, t_val = build(x)
+            obj = (r * math.log(max(l_val, 1e-30))
+                   + (1 - r) * math.log(max(t_val, 1e-30)))
+            entry = (obj, assign, l_val, t_val)
+            if all(e[1] != assign for e in pool):
+                pool.append(entry)
+            return entry
+
         if r >= 1.0:
             x = _solve_milp(loss_v, [base], n)
         elif r <= 0.0:
@@ -201,22 +217,24 @@ def solve_layer(
                 x = _solve_milp(loss_v, with_time_cap(tau * 1.0000001), n)
                 if x is None:
                     continue
-                _, l_val, t_val = build(x)
-                obj = r * math.log(max(l_val, 1e-30)) + (1 - r) * math.log(max(t_val, 1e-30))
+                obj = pooled(x)[0]
                 if obj < best_obj:
                     best, best_obj = x, obj
             x = best
         if x is None:
             raise RuntimeError("layer MILP infeasible (budget too tight?)")
-        return build(x)
+        assign, l_val, t_val = pooled(x)[1:]
+        pool.sort(key=lambda e: e[0])
+        return assign, l_val, t_val, [e[1:] for e in pool]
 
     # seed: every scheme costed under its all-problems bucket tile
     tiles = {s: perf.bucket_tile(s, all_probs) for s in schemes}
     assign = l_val = t_val = None
+    pool = []
     for _ in range(max(1, max_tile_iters)):
         tcosts = {s: tc for s, (_, tc) in tiles.items()}
         _, time_v, _, _ = _cost_vectors(problem, schemes, perf, tcosts)
-        assign, l_val, t_val = solve_for_times(time_v)
+        assign, l_val, t_val, pool = solve_for_times(time_v)
         new_tiles = {}
         for s in schemes:
             probs = bucket_probs(assign, s)
@@ -232,7 +250,8 @@ def solve_layer(
     tile_cfg = {
         s: tiles[s][0] for s in schemes if bucket_probs(assign, s)
     }
-    return SolveResult(assignment=assign, loss=l_val, time_ms=t_val, tile_cfg=tile_cfg)
+    return SolveResult(assignment=assign, loss=l_val, time_ms=t_val,
+                       tile_cfg=tile_cfg, pool=pool)
 
 
 def build_layer_problems(
@@ -303,8 +322,14 @@ def solve_model(
     wbits_target: float,
     r: float = 1.0,
     perf: PerfModel | None = None,
+    pool_out: dict | None = None,   # filled with per-layer solution pools
 ) -> tuple[QModelConfig, dict[str, dict[str, str]]]:
-    """Layer-level solve over all layers -> (QModelConfig, per-layer tiles)."""
+    """Layer-level solve over all layers -> (QModelConfig, per-layer tiles).
+
+    ``pool_out`` (optional dict) receives the objective-ranked solution
+    pool per layer — the reference keeps a Gurobi top-K PoolSolutions for
+    post-hoc picking (``bits_solver.py:387``); here the epsilon-constraint
+    sweep's Pareto candidates are the pool."""
     problems = build_layer_problems(losses, gate_trace, batch, num_layers)
     schemes = list(losses.keys())
     layers = {}
@@ -323,6 +348,11 @@ def solve_model(
         layers[key] = QLayerConfig(experts=experts)
         lt[key] = (res.loss, res.time_ms)
         tiles[key] = res.tile_cfg
+        if pool_out is not None:
+            pool_out[key] = [
+                {"assignment": {str(e): dict(qm) for e, qm in a.items()},
+                 "loss": l, "time_ms": t}
+                for a, l, t in res.pool]
     return QModelConfig(layers=layers, lt=lt), tiles
 
 
@@ -433,6 +463,10 @@ def _main():
     ap.add_argument("--no_packed_w4", action="store_true",
                     help="onelaunch model: assume int8-stored w<=4 codes "
                          "(no packed weight-traffic discount)")
+    ap.add_argument("--pool", type=int, default=4,
+                    help="also export the top-K solution pool per layer "
+                    "(<out>_pool.json; reference Gurobi PoolSolutions, "
+                    "bits_solver.py:387). 0 disables")
     ap.add_argument("--solve_mode", choices=["layer", "model"], default="layer")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -517,9 +551,17 @@ def _main():
         perf = load_perf_table(args.perf_table)
 
     if args.solve_mode == "layer":
+        pools = {} if args.pool > 0 else None
         qcfg, tiles = solve_model(
-            losses, trace, args.batch, args.layers, args.wbits, args.r, perf
+            losses, trace, args.batch, args.layers, args.wbits, args.r, perf,
+            pool_out=pools,
         )
+        if pools:
+            pool_path = args.out.replace(".json", "") + "_pool.json"
+            with open(pool_path, "w") as f:
+                json.dump({k: v[: args.pool] for k, v in pools.items()}, f,
+                          indent=1)
+            print(f"solution pool (top {args.pool}/layer) -> {pool_path}")
     else:
         qcfg, tiles = solve_model_level(
             losses, trace, args.batch, args.layers, args.wbits

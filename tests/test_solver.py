@@ -361,3 +361,29 @@ def test_onelaunch_launch_constant_in_reported_time():
     r1 = solve_layer(p, schemes, wbits_target=8.0, r=1.0, perf=plus)
     assert r1.assignment == r0.assignment
     assert r1.time_ms == pytest.approx(r0.time_ms + 0.1)
+
+
+def test_solve_layer_solution_pool():
+    """The epsilon-constraint sweep's Pareto candidates come back as an
+    objective-ranked, deduped solution pool (reference PoolSolutions,
+    bits_solver.py:387) with the chosen solution first. Needs a regime
+    with a real loss/time frontier: decode-scale M under the packed
+    one-launch model, loose budget."""
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    p = _toy_problem()
+    p = LayerProblem(losses=p.losses, ms=np.full(6, 16), ns=p.ns, k=p.k,
+                     sizes=p.sizes)
+    res = solve_layer(p, SCHEMES, wbits_target=8.0, r=0.5,
+                      perf=OneLaunchPerfModel(k=p.k, packed_w4=True))
+    assert len(res.pool) >= 2
+    a0, l0, t0 = res.pool[0]
+    assert a0 == res.assignment and l0 == res.loss and t0 == res.time_ms
+    # deduped: no assignment appears twice
+    seen = [a for a, _, _ in res.pool]
+    assert all(seen.count(a) == 1 for a in seen)
+    # ranked by the r-objective
+    import math
+
+    objs = [0.5 * math.log(l) + 0.5 * math.log(t) for _, l, t in res.pool]
+    assert objs == sorted(objs)
