@@ -382,6 +382,12 @@ def moe_ffn_ragged_quant(
 
     def qgemm(acts, prefix):
         sc = _w(f"{prefix}_sc")
+        # decode-scale M: with bm=128+ every boundary tile recomputes its
+        # full row block once per straddling expert (~all 60 at 2 rows
+        # each) — 4x the MXU work of bm=32, which stays hidden under the
+        # weight DMA (the 686 GB/s decode micro used 32-row tiles). Large
+        # M keeps big tiles for MXU efficiency.
+        bm = 32 if acts.shape[0] <= 256 else 256
         k = acts.shape[-1]
         bits_key = ("act_bits_gateup" if prefix == "expert_gate_up"
                     else "act_bits_down")
@@ -424,18 +430,18 @@ def moe_ffn_ragged_quant(
                 return pallas_gmm.gmm_mixed_packed(
                     aq, asc, qcat, sc,
                     disp.group_sizes, layer_params[f"{prefix}_pf"],
-                    _blk_global(qcat.shape[0]), bn=bn, rhs_zp=zp,
+                    _blk_global(qcat.shape[0]), bm=bm, bn=bn, rhs_zp=zp,
                     out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
             wq = _w(f"{prefix}_q")
             if impl.mixed_weight_only:
                 return pallas_gmm.gmm_mixed_wo_wxa(
                     acts, aq, asc, wq, sc, _flags16(), disp.group_sizes,
-                    bn=bn, rhs_zp=zp, out_dtype=acts.dtype,
+                    bm=bm, bn=bn, rhs_zp=zp, out_dtype=acts.dtype,
                     interpret=impl.interpret, **gkw,
                 )
             return pallas_gmm.gmm_w8a8_grouped(
-                aq, asc, wq, sc, disp.group_sizes, gsize=gsz_min, bn=bn,
+                aq, asc, wq, sc, disp.group_sizes, gsize=gsz_min, bm=bm, bn=bn,
                 rhs_zp=zp, out_dtype=acts.dtype, interpret=impl.interpret,
                 **gkw,
             )
@@ -452,7 +458,7 @@ def moe_ffn_ragged_quant(
             return pallas_gmm.gmm_mixed_packed(
                 aq, asc, qcat, sc,
                 disp.group_sizes, layer_params[f"{prefix}_pf"],
-                _blk_global(qcat.shape[0]), bn=bn,
+                _blk_global(qcat.shape[0]), bm=bm, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         if _has(f"{prefix}_q_packed"):
@@ -467,7 +473,7 @@ def moe_ffn_ragged_quant(
                     zp_p = jnp.zeros_like(sc)
                 return pallas_gmm.gmm_weight_only_packed(
                     acts, wqp, sc, zp_p, disp.group_sizes,
-                    gsize=qcfg.w_gsize, bn=bn,
+                    gsize=qcfg.w_gsize, bm=bm, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
             aq, asc = _aquant_uniform(acts) if not mixed else (None, None)
@@ -475,7 +481,7 @@ def moe_ffn_ragged_quant(
                 row_bits = jnp.take(layer_params[bits_key], row_expert)
                 aq, asc = _aquant_rows(acts, row_bits)
             return pallas_gmm.gmm_w4a8_packed(
-                aq, asc, wqp, sc, disp.group_sizes, bn=bn,
+                aq, asc, wqp, sc, disp.group_sizes, bm=bm, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         wq = _w(f"{prefix}_q")
@@ -498,11 +504,11 @@ def moe_ffn_ragged_quant(
                 # (bench/fused_ab.py; reference hz_fused.cuh:14-127)
                 return pallas_gmm.gmm_mixed_wo_wxa(
                     acts, aq, asc, wq, sc, _flags16(), disp.group_sizes,
-                    bn=bn, out_dtype=acts.dtype, interpret=impl.interpret,
+                    bm=bm, bn=bn, out_dtype=acts.dtype, interpret=impl.interpret,
                     **gkw,
                 )
             return pallas_gmm.gmm_w8a8(
-                aq, asc, wq, sc, disp.group_sizes, bn=bn,
+                aq, asc, wq, sc, disp.group_sizes, bm=bm, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         gsz = k if qcfg.w_gsize == -1 else qcfg.w_gsize
@@ -515,7 +521,7 @@ def moe_ffn_ragged_quant(
 
                 aq, asc = quantize_act_grouped(acts, int(qcfg.a_bits), gsz)
                 main = pallas_gmm.gmm_w8a8_grouped(
-                    aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bn=bn,
+                    aq, asc, wq, sc, disp.group_sizes, gsize=gsz, bm=bm, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
                 if qcfg.w_sym:
@@ -540,15 +546,15 @@ def moe_ffn_ragged_quant(
             aq, asc = _aquant_uniform(acts)
             if not qcfg.w_sym:
                 return pallas_gmm.gmm_w8a8_asym(
-                    aq, asc, wq, sc, zp, disp.group_sizes, bn=bn,
+                    aq, asc, wq, sc, zp, disp.group_sizes, bm=bm, bn=bn,
                     out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
                 )
             return pallas_gmm.gmm_w8a8(
-                aq, asc, wq, sc, disp.group_sizes, bn=bn,
+                aq, asc, wq, sc, disp.group_sizes, bm=bm, bn=bn,
                 out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
             )
         return pallas_gmm.gmm_weight_only(
-            acts, wq, sc, zp, disp.group_sizes, gsize=gsz, bn=bn,
+            acts, wq, sc, zp, disp.group_sizes, gsize=gsz, bm=bm, bn=bn,
             out_dtype=acts.dtype, interpret=impl.interpret, **gkw,
         )
 

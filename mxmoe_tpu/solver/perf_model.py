@@ -273,6 +273,7 @@ class OneLaunchPerfModel(PerfModel):
         quant_gbps_eff: float = 650.0,
         packed_w4: bool = True,
         launch_ms: float = 0.0,
+        unpack_gops: float = 0.0,   # 0 = no unpack term
     ):
         self.k = k
         self.int8 = int8_tflops_eff * 1e12
@@ -280,6 +281,12 @@ class OneLaunchPerfModel(PerfModel):
         self.bw = hbm_gbps_eff * 1e9
         self.qbw = quant_gbps_eff * 1e9
         self.packed_w4 = packed_w4
+        # in-kernel VPU nibble unpack of packed w<=4 weights: at decode M
+        # (one m-tile) it rides the critical path ADDITIVELY — the decode
+        # validation sweep shows a w4-fraction-dependent miss (-30% at
+        # all-w4/32 rows) that no flat launch constant can express; rate
+        # fitted by tools/tpu_onelaunch_fit.py validate_decode
+        self.unpack = unpack_gops * 1e9
         # per-launch ramp constant, fitted at decode M where it is visible
         # (tools/tpu_onelaunch_fit.py validate_decode; the reference keys
         # cost tables by wave count for the same reason,
@@ -305,6 +312,7 @@ class OneLaunchPerfModel(PerfModel):
             quant_gbps_eff=float(fit.get("quant_gbps_eff", 650.0)),
             packed_w4=packed_w4,
             launch_ms=float(fit.get("launch_ms", 0.0)),
+            unpack_gops=float(fit.get("unpack_gops", 0.0)),
         )
 
     def _parse(self, scheme: str):
@@ -325,11 +333,14 @@ class OneLaunchPerfModel(PerfModel):
         flops = 2.0 * m * n * k
         if ab <= 8 and wb <= 8:
             # one-launch int8 w×a: storage is the only per-scheme lever
-            w_bytes = n * k * (0.5 if (wb <= 4 and self.packed_w4) else 1.0)
+            packed = wb <= 4 and self.packed_w4
+            w_bytes = n * k * (0.5 if packed else 1.0)
             # single-pass act quant: read bf16 once, write int8 codes
             quant = m * k * 3.0 / self.qbw
             gmm = max(flops / self.int8,
                       (w_bytes + m * k + 2.0 * m * n) / self.bw)
+            if packed and self.unpack > 0:
+                gmm += n * k / self.unpack   # VPU unpack, additive at tiny M
             return (quant + gmm) * 1e3
         if ab >= 16 and wb < 16:
             # fused wo+w×a launch: bf16 dot on in-kernel-dequantized weights

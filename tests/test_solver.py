@@ -387,3 +387,20 @@ def test_solve_layer_solution_pool():
 
     objs = [0.5 * math.log(l) + 0.5 * math.log(t) for _, l, t in res.pool]
     assert objs == sorted(objs)
+
+
+def test_onelaunch_unpack_term():
+    """Packed w<=4 problems carry the fitted VPU nibble-unpack cost —
+    additive at decode M where it rides the critical path (decode
+    validation: a w4-fraction-dependent miss no launch constant fixes)."""
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    base = OneLaunchPerfModel(k=2048, packed_w4=True, unpack_gops=0.0)
+    withu = OneLaunchPerfModel(k=2048, packed_w4=True, unpack_gops=2000.0)
+    m, n = 8, 1408
+    d = withu.problem_ms("w4a4_g-1_sym", m, n) - base.problem_ms(
+        "w4a4_g-1_sym", m, n)
+    assert d == pytest.approx(n * 2048 / 2e12 * 1e3, rel=1e-6)
+    # w8 problems are untouched
+    assert withu.problem_ms("w8a8_g-1_sym", m, n) == \
+        base.problem_ms("w8a8_g-1_sym", m, n)
