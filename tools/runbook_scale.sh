@@ -42,12 +42,12 @@ run_model () {
         || return 1
 
     stage $M trace python tools/cpurun.py -n 1 mxmoe_tpu.trace.gate \
-        --model $M --ckpt $CK --nsamples 8 --seqlen 1024 --out $G || return 1
+        --model $M --ckpt $CK --nsamples 2 --seqlen 512 --out $G || return 1
 
     stage $M calibrate python tools/cpurun.py -n 1 mxmoe_tpu.quant.calibrate \
         --model $M --ckpt $CK --method gptq-had \
         --qcfg w4a4_g-1_sym w8a8_g-1_sym \
-        --nsamples 4 --seqlen 512 --save_dir $OUT/$M/calib || return 1
+        --nsamples 2 --seqlen 256 --save_dir $OUT/$M/calib || return 1
 
     local QC=$OUT/$M/qconfigs/$M-w5-r0.5.json
     stage $M solve python tools/cpurun.py -n 1 mxmoe_tpu.solver.bits_solver \

@@ -236,8 +236,13 @@ def validate_decode(rates):
                     aligned=True)
                 return bench._chain_feedback([[o]])
 
-            meas = _measure(packed_step, {"s": jnp.zeros((1,), jnp.float32)},
-                            consts, repeats=7)
+            # sub-ms step through the tunnel: LONG differentials
+            # (target_s) + median over 3 independent chained measurements
+            # (single-run medians still swung +-20% across invocations)
+            meas = float(np.median([bench_step_chained(
+                packed_step, {"s": jnp.zeros((1,), jnp.float32)},
+                consts=consts, repeats=3, target_s=0.25).median_ms
+                for _ in range(3)]))
             model = OneLaunchPerfModel(
                 k=kk, packed_w4=True,
                 int8_tflops_eff=rates["int8_tflops_eff"],
@@ -253,22 +258,53 @@ def validate_decode(rates):
                   f"{meas:7.3f} ms  additive-pred {pred:7.3f} ms  "
                   f"err {(pred - meas) / meas * 100:+.1f}%", flush=True)
 
-    # fit (launch constant, unpack rate): the residual pattern is
+    # Self-consistent fit: (1) re-derive the decode HBM rate from THIS
+    # sweep's w8 rows (a separately-measured rate carries sub-ms
+    # run-to-run bias straight into every row's error); (2) least-squares
+    # the unpack rate on the packed rows' residuals — the miss is
     # w4-fraction-DEPENDENT (nibble unpack rides the VPU critical path at
-    # tiny m-tiles), so a flat constant alone cannot close it. Least
-    # squares on resid = launch + n_packed*k*n/unpack, both clamped >= 0.
-    A = np.array([[1.0, r["frac"] * e * kk * nn] for r in results])
-    y = np.array([r["meas"] - r["pred"] for r in results])
-    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
-    launch_ms = max(0.0, float(coef[0]))
-    unpack_gops = (1e-9 / coef[1]) if coef[1] > 1e-12 else 0.0
-    rate = coef[1] if coef[1] > 1e-12 else 0.0
+    # tiny m-tiles), which no flat launch constant can express.
+    from mxmoe_tpu.solver.perf_model import OneLaunchPerfModel
+
+    def mk_model(hbm):
+        return OneLaunchPerfModel(
+            k=kk, packed_w4=True,
+            int8_tflops_eff=rates["int8_tflops_eff"],
+            bf16_tflops_eff=rates["bf16_tflops_eff"],
+            hbm_gbps_eff=hbm, quant_gbps_eff=rates["quant_gbps_eff"])
+
+    bws = []
+    for r in results:
+        if r["frac"] == 0.0:
+            m = e * r["rows"]
+            quant_s = m * kk * 3.0 / (rates["quant_gbps_eff"] * 1e9)
+            byts = e * kk * nn + m * kk + 2.0 * m * nn
+            bws.append(byts / (r["meas"] * 1e-3 - quant_s) / 1e9)
+    hbm_dec = float(np.mean(bws))
+    rates["hbm_gbps_eff"] = round(hbm_dec, 1)
+    model = mk_model(hbm_dec)
+    for r in results:
+        r["pred"] = sum(model.problem_ms(
+            "w4a4_g-1_sym" if i < r["frac"] * e else "w8a8_g-1_sym",
+            r["rows"], nn) for i in range(e))
+    # unpack rate: ms residual per packed element (frac * e * k * n)
+    xs = np.array([r["frac"] * e * kk * nn for r in results])
+    ys = np.array([r["meas"] - r["pred"] for r in results])
+    denom = float((xs * xs).sum())
+    coef = max(float((xs * ys).sum() / denom), 0.0) if denom else 0.0
+    unpack_gops = (1e-6 / coef) if coef > 1e-15 else 0.0
+    launch_ms = 0.0
 
     def corrected(r):
-        return r["pred"] + launch_ms + rate * r["frac"] * e * kk * nn
+        return r["pred"] + coef * r["frac"] * e * kk * nn
 
     worst = max(abs(corrected(r) - r["meas"]) / r["meas"] for r in results)
-    print(f"decode-val: launch {launch_ms:.4f} ms, unpack "
+    for r in results:
+        print(f"decode-fit rows={r['rows']:4d} frac={r['frac']:.1f}: "
+              f"measured {r['meas']:7.3f}  fitted {corrected(r):7.3f}  "
+              f"err {(corrected(r) - r['meas']) / r['meas'] * 100:+.1f}%",
+              flush=True)
+    print(f"decode-val: hbm {hbm_dec:.0f} GB/s, unpack "
           f"{unpack_gops:.0f} Gelem/s; worst err with fit "
           f"{worst * 100:.1f}%", flush=True)
     return launch_ms, unpack_gops, results, worst
@@ -339,6 +375,7 @@ def main():
             json.dump({k: round(v, 4) for k, v in rates.items()}, f, indent=2)
         print(f"rates+launch_ms -> {out}", flush=True)
     t8, tp = decode_packed_ab()
+    dec_ok = None if dec_ok is None else bool(dec_ok)
     print(json.dumps({"validated": ok, "decode_validated": dec_ok,
                       "decode_int8_ms": round(t8, 3),
                       "decode_packed_ms": round(tp, 3)}), flush=True)
