@@ -108,9 +108,18 @@ def params_from_state_dict(
 
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
-        "layers": {k: jnp.asarray(_stack(v), dtype) for k, v in layers.items()},
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    # convert biggest keys first and FREE each staging list as it goes:
+    # keeping every np staging list alive while the jnp copies accumulate
+    # peaked ~95 GB on the 24-layer runbook (trace stage hit 116 GB);
+    # this bounds the crossover at ~(staged + converted) instead
+    out_layers: dict = {}
+    for k in sorted(layers, key=lambda k: -sum(a.nbytes
+                                               for a in layers[k])):
+        out_layers[k] = jnp.asarray(_stack(layers[k]), dtype)
+        layers[k] = None
+    params["layers"] = out_layers
     if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = params["embed"].T
     else:
