@@ -233,6 +233,7 @@ def calibrate_model(
     method: str = "rtn",
     backend: str = "ragged_dot",
     resume: bool = False,
+    stage_host: bool | None = None,
 ) -> dict[str, dict]:
     """Layer-streamed calibration over all layers × schemes.
 
@@ -240,17 +241,39 @@ def calibrate_model(
     incrementally writes one JSON per scheme after each layer — the
     reference's crash-resumable per-layer checkpointing
     (``quant.py:603-607``).
+
+    ``stage_host`` (default: auto — on whenever the default backend is an
+    accelerator): keep the full parameter pytree on the HOST and move ONE
+    layer to the device per iteration — the reference's per-layer
+    ``layer.to(cuda)`` staging (``quant.py:551-552``). A 24-layer model at
+    real widths is ~29 GB bf16; the chip has ~8 GB, and CPU execution of
+    the L x E x 3 re-forward hot loop is ~40 min/layer.
     """
+    if stage_host is None:
+        stage_host = jax.default_backend() != "cpu"
     if method.endswith("-had"):
         # rotate once up front (reference: ModelRotator at quantizer init,
         # quant.py:262-279) — the calibration then measures rotated blocks
         from .rotation import rotate_model_hadamard
 
-        params = rotate_model_hadamard(params, cfg)
+        if stage_host:
+            # the rotation touches EVERY weight: run it on the host CPU
+            # backend, then hold the rotated pytree as numpy for staging
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = rotate_model_hadamard(params, cfg)
+        else:
+            params = rotate_model_hadamard(params, cfg)
         base_method = method[:-4]
     else:
         base_method = method
     assert base_method in ("rtn", "gptq")
+    if stage_host:
+        host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        params = dict(params)
+        params["layers"] = host(params["layers"])
+        if "dense_layers" in params:
+            params["dense_layers"] = host(params["dense_layers"])
+        params["embed"] = jnp.asarray(np.asarray(params["embed"]))
 
     b, s = tokens.shape
     positions = jnp.arange(s)
@@ -303,9 +326,16 @@ def calibrate_model(
     if base_method == "gptq":
         gptq_fq = partial(_gptq_layer_fq_weights, cfg=cfg, backend=backend)
 
+    import time as _time
+
     num_layers = params["layers"]["router"].shape[0]
+    t0 = _time.time()
     for l in range(num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+        if stage_host:
+            # ONE host->device transfer per layer (reference layer.to(cuda),
+            # quant.py:551); every jitted call below then reuses it
+            lp = jax.device_put(lp)
         x_next, x2d = fwd(x, lp, cos=cos, sin=sin)
         if resume and all(str(l) in losses[name] for name in schemes):
             x = x_next  # already calibrated (crash-resume); propagate only
@@ -321,6 +351,8 @@ def calibrate_model(
                 with open(paths[name], "w") as f:
                     json.dump(losses[name], f)
         x = x_next
+        print(f"[calibrate +{_time.time() - t0:.0f}s] layer {l + 1}/"
+              f"{num_layers} done", flush=True)
 
     return losses
 
@@ -419,12 +451,22 @@ def _main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
-    if args.ckpt:
-        from ..models.hf_loader import params_from_safetensors
+    import contextlib
 
-        params = params_from_safetensors(args.ckpt, cfg)
-    else:
-        params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # accelerator backend: LOAD on the host CPU backend and let
+    # calibrate_model stage one layer to the device at a time (the full
+    # 24-layer pytree is ~29 GB bf16 vs ~8 GB of device HBM)
+    stage = jax.default_backend() != "cpu"
+    devctx = (jax.default_device(jax.devices("cpu")[0]) if stage
+              else contextlib.nullcontext())
+    with devctx:
+        if args.ckpt:
+            from ..models.hf_loader import params_from_safetensors
+
+            params = params_from_safetensors(args.ckpt, cfg)
+        else:
+            params = model_mod.init_params(cfg, jax.random.PRNGKey(0),
+                                           dtype=jnp.float32)
 
     from .data import get_calibration_tokens
 
@@ -439,6 +481,7 @@ def _main():
     calibrate_model(
         params, tokens, cfg, schemes,
         save_dir=args.save_dir, model_id=args.model, method=args.method,
+        resume=True, stage_host=stage,
     )
 
 

@@ -156,3 +156,28 @@ def test_model_out_norm_metric_and_resume(tmp_path):
     b = calibrate_model(params, tokens, cfg, schemes, save_dir=str(tmp_path),
                         model_id="t", method="rtn", resume=True)
     assert a == b
+
+
+def test_calibrate_stage_host_matches_unstaged():
+    """Host-staged calibration (params held as numpy, one layer moved per
+    iteration — the reference's layer.to(cuda), quant.py:551) produces the
+    same losses as the all-on-device path."""
+    from mxmoe_tpu.models import configs, model as model_mod
+    from mxmoe_tpu.quant.calibrate import calibrate_model
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model_mod.init_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0,
+                                cfg.vocab_size)
+    schemes = {"w8a8_g-1_sym": parse_scheme("w8a8_g-1_sym")}
+    a = calibrate_model(params, tokens, cfg, schemes, method="gptq-had",
+                        stage_host=False)
+    b = calibrate_model(params, tokens, cfg, schemes, method="gptq-had",
+                        stage_host=True)
+    for lkey in a["w8a8_g-1_sym"]:
+        for e in a["w8a8_g-1_sym"][lkey]:
+            np.testing.assert_allclose(
+                a["w8a8_g-1_sym"][lkey][e], b["w8a8_g-1_sym"][lkey][e],
+                rtol=1e-5)
