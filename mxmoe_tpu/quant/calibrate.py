@@ -279,6 +279,11 @@ def calibrate_model(
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
+    if stage_host:
+        # the embedding table ([V, H] ~620 MB at qwen2_moe widths) is only
+        # needed for this one gather; drop it from device HBM (the buffer
+        # outlives the reference until the enqueued gather completes)
+        params["embed"] = None
 
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
     errf = {
@@ -324,7 +329,14 @@ def calibrate_model(
 
     gptq_fq = None
     if base_method == "gptq":
-        gptq_fq = partial(_gptq_layer_fq_weights, cfg=cfg, backend=backend)
+        # out_dtype: fake-quant weights held at the MODEL dtype (the
+        # reference keeps them in the model's fp16, quant.py:385-466);
+        # f32 copies of three [E,K,N] linears were ~2 GB of the 8 GB
+        # chip during staged calibration
+        gptq_fq = partial(
+            _gptq_layer_fq_weights, cfg=cfg, backend=backend,
+            out_dtype=params["layers"]["expert_gate_up"].dtype,
+        )
 
     import time as _time
 
@@ -343,6 +355,7 @@ def calibrate_model(
         for name, qc in schemes.items():
             fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
             err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw), dtype=np.float64)
+            del fqw
             err = np.sqrt(err2)
             losses[name][str(l)] = {
                 str(e): [float(v) for v in err[e]] for e in range(err.shape[0])
@@ -377,11 +390,20 @@ def _gptq_dense_fq_weights(x2d, dlp, qcfg: QLinearConfig) -> dict:
 
 
 def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
-                           backend: str = "ragged_dot") -> dict:
+                           backend: str = "ragged_dot",
+                           expert_chunk: int = 16,
+                           out_dtype=None) -> dict:
     """GPTQ-quantize every expert linear of one layer for one scheme.
 
     Hessians come from the FP layer pass over the calibration rows
     (reference llama_sequential add_batch semantics, gptq.py:165-176).
+
+    HBM discipline (8 GB chip, staged calibration): the batched GPTQ runs
+    ``expert_chunk`` experts at a time — the Cholesky chain holds ~3
+    [E', K, K] f32 buffers, which at E=60, K=2048 would be ~3 GB in one
+    shot — and every fake-quant result is cast to ``out_dtype`` (the
+    model dtype, matching the reference's fp16 fake-quant weights,
+    quant.py:385-466) per CHUNK so at most one chunk exists in f32.
     """
     from .gptq import accumulate_hessian, gptq_quantize_kn
 
@@ -389,6 +411,15 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         return {}
     e = cfg.num_experts
     n = cfg.moe_intermediate_size
+
+    def fq_kn(w, h):
+        parts = []
+        for s in range(0, w.shape[0], expert_chunk):
+            r = gptq_quantize_kn(w[s:s + expert_chunk],
+                                 h[s:s + expert_chunk], qcfg).w_fq
+            parts.append(r if out_dtype is None else r.astype(out_dtype))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
     gate_up = lp["expert_gate_up"]
     wg, wu = gate_up[..., :n], gate_up[..., n:]
     wd = lp["expert_down"]
@@ -403,9 +434,9 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
     h_in = accumulate_hessian(xs, disp.group_sizes, e)
     h_mid = accumulate_hessian(h_fp, disp.group_sizes, e)
     out = {
-        "gate": gptq_quantize_kn(wg, h_in, qcfg).w_fq,
-        "up": gptq_quantize_kn(wu, h_in, qcfg).w_fq,
-        "down": gptq_quantize_kn(wd, h_mid, qcfg).w_fq,
+        "gate": fq_kn(wg, h_in),
+        "up": fq_kn(wu, h_in),
+        "down": fq_kn(wd, h_mid),
     }
     if cfg.shared_expert_intermediate_size > 0 and "shared_gate_up" in lp:
         ns = cfg.shared_expert_intermediate_size
@@ -414,9 +445,9 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         sh = jax.nn.silu(x2d @ swg) * (x2d @ swu)
         h_x = accumulate_hessian(x2d)[None]
         h_s = accumulate_hessian(sh)[None]
-        out["shared_gate"] = gptq_quantize_kn(swg[None], h_x, qcfg).w_fq[0]
-        out["shared_up"] = gptq_quantize_kn(swu[None], h_x, qcfg).w_fq[0]
-        out["shared_down"] = gptq_quantize_kn(swd[None], h_s, qcfg).w_fq[0]
+        out["shared_gate"] = fq_kn(swg[None], h_x)[0]
+        out["shared_up"] = fq_kn(swu[None], h_x)[0]
+        out["shared_down"] = fq_kn(swd[None], h_s)[0]
     return out
 
 
@@ -483,10 +514,6 @@ def _main():
         save_dir=args.save_dir, model_id=args.model, method=args.method,
         resume=True, stage_host=stage,
     )
-
-
-if __name__ == "__main__":
-    _main()
 
 
 # ---------------------------------------------------------------------------
@@ -583,3 +610,8 @@ def load_resumable(save_dir: str, model_id: str, method: str,
             with open(path) as f:
                 out[name] = json.load(f)
     return out
+
+
+if __name__ == "__main__":
+    _main()      # AFTER all defs: the CLI calls load_resumable, which is
+                 # defined below _main in source order

@@ -1,9 +1,10 @@
 #!/bin/bash
 # Full-pipeline runbook at REAL topology (round-3 task 4): random-init
-# 24-layer qwen2_moe (60+4 experts) and 27-layer ds2, CPU backend
-# (tools/cpurun.py -> never touches the single-tenant TPU), 8-device
-# virtual mesh for the serve stage. Logs per-stage wall time + peak RSS
-# to out/runbook_scale/times.tsv for REPRO.md.
+# 24-layer qwen2_moe (60+4 experts) and 27-layer ds2. All stages run on
+# the CPU backend (tools/cpurun.py; 8-device virtual mesh for serve)
+# EXCEPT calibrate, which stages layer-by-layer onto the TPU when one is
+# free (MXMOE_RUNBOOK_CPU=1 forces CPU there too). Logs per-stage wall
+# time + peak RSS to out/runbook_scale/times.tsv for REPRO.md.
 #
 #   bash tools/runbook_scale.sh [qwen2_moe|ds2|all]
 set -u
@@ -44,7 +45,13 @@ run_model () {
     stage $M trace python tools/cpurun.py -n 1 mxmoe_tpu.trace.gate \
         --model $M --ckpt $CK --nsamples 2 --seqlen 512 --out $G || return 1
 
-    stage $M calibrate python tools/cpurun.py -n 1 mxmoe_tpu.quant.calibrate \
+    # calibrate runs HOST-STAGED ON THE TPU by default (one layer to the
+    # chip at a time, calibrate.py stage_host; CPU execution of the
+    # L x E x 3 GPTQ hot loop is ~40 min/layer = ~16 h at 24L).
+    # MXMOE_RUNBOOK_CPU=1 forces the CPU backend (e.g. TPU busy).
+    local CAL="python -m"
+    [ -n "${MXMOE_RUNBOOK_CPU:-}" ] && CAL="python tools/cpurun.py -n 1"
+    stage $M calibrate $CAL mxmoe_tpu.quant.calibrate \
         --model $M --ckpt $CK --method gptq-had \
         --qcfg w4a4_g-1_sym w8a8_g-1_sym \
         --nsamples 2 --seqlen 256 --save_dir $OUT/$M/calib || return 1
