@@ -36,22 +36,79 @@ import jax.numpy as jnp
 from .configs import MoEConfig
 
 
-def _stack(arrs) -> np.ndarray:
-    return np.stack([np.asarray(a) for a in arrs])
+class _Stacker:
+    """Write-in-place stacked staging: one preallocated ``[L, ...]`` numpy
+    buffer per key, filled layer by layer.
+
+    Replaces list-append + ``np.stack`` (which held TWO full copies of the
+    biggest key at the conversion crossover; the 24-layer runbook load
+    peaked 95-116 GB host RSS that way). Peak is now one stacked copy plus
+    at most one jnp conversion copy of a single key."""
+
+    def __init__(self, num_layers: int):
+        self.L = num_layers
+        self.buf: dict[str, np.ndarray] = {}
+
+    def put(self, key: str, i: int, arr: np.ndarray) -> None:
+        if key not in self.buf:
+            self.buf[key] = np.empty((self.L,) + arr.shape, arr.dtype)
+        self.buf[key][i] = arr
+
+    def put_halves(self, key: str, i: int,
+                   g: np.ndarray, u: np.ndarray) -> None:
+        """Fused gate|up staging: write the two halves straight into the
+        [L, H, 2N] buffer (no intermediate concatenate copy)."""
+        h, n = g.shape
+        if key not in self.buf:
+            self.buf[key] = np.empty((self.L, h, 2 * n), g.dtype)
+        self.buf[key][i, :, :n] = g
+        self.buf[key][i, :, n:] = u
+
+    def put_expert_halves(self, key: str, i: int, e: int, num_experts: int,
+                          g: np.ndarray, u: np.ndarray) -> None:
+        h, n = g.shape
+        if key not in self.buf:
+            self.buf[key] = np.empty((self.L, num_experts, h, 2 * n), g.dtype)
+        self.buf[key][i, e, :, :n] = g
+        self.buf[key][i, e, :, n:] = u
+
+    def put_expert(self, key: str, i: int, e: int, num_experts: int,
+                   arr: np.ndarray) -> None:
+        if key not in self.buf:
+            self.buf[key] = np.empty((self.L, num_experts) + arr.shape, arr.dtype)
+        self.buf[key][i, e] = arr
+
+    def finish(self, dtype, as_numpy: bool) -> dict:
+        """Convert biggest keys first, freeing each staged buffer as it
+        converts (bounds the crossover at staged + one converted key)."""
+        if as_numpy:
+            npdt = np.dtype(dtype)
+            return {k: (v if v.dtype == npdt else v.astype(npdt))
+                    for k, v in self.buf.items()}
+        out: dict = {}
+        for k in sorted(self.buf, key=lambda k: -self.buf[k].nbytes):
+            out[k] = jnp.asarray(self.buf[k], dtype)
+            self.buf[k] = None
+        return out
 
 
 def params_from_state_dict(
     sd: Mapping[str, np.ndarray],
     cfg: MoEConfig,
     dtype=jnp.float32,
+    as_numpy: bool = False,
 ) -> dict:
     """Convert an HF state-dict (numpy values, HF [out, in] layout) into the
-    stacked [in, out] pytree used by :mod:`mxmoe_tpu.models.model`."""
+    stacked [in, out] pytree used by :mod:`mxmoe_tpu.models.model`.
+
+    ``as_numpy=True`` returns numpy leaves (no jnp conversion copy) — the
+    input format for the host-staged CLIs (trace, calibrate) that stream
+    one layer to the device at a time."""
 
     get = lambda name: np.asarray(sd[name])
 
     if cfg.model_type == "deepseek_v2":
-        return _ds2_params_from_state_dict(sd, cfg, dtype)
+        return _ds2_params_from_state_dict(sd, cfg, dtype, as_numpy)
 
     if cfg.model_type == "mixtral":
         moe_prefix = "block_sparse_moe"
@@ -61,73 +118,57 @@ def params_from_state_dict(
         expert_names = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
 
     L, E = cfg.num_layers, cfg.num_experts
-    layers: dict[str, list] = {k: [] for k in (
-        "wq", "wk", "wv", "wo", "input_norm", "post_attn_norm",
-        "router", "expert_gate_up", "expert_down",
-    )}
-    if cfg.attention_bias:
-        layers.update({"bq": [], "bk": [], "bv": []})
-    if cfg.shared_expert_intermediate_size > 0:
-        layers.update({"shared_gate_up": [], "shared_down": []})
-        if cfg.has_shared_expert_gate:
-            layers["shared_gate"] = []
+    st = _Stacker(L)
 
     for i in range(L):
         p = f"model.layers.{i}"
-        layers["wq"].append(get(f"{p}.self_attn.q_proj.weight").T)
-        layers["wk"].append(get(f"{p}.self_attn.k_proj.weight").T)
-        layers["wv"].append(get(f"{p}.self_attn.v_proj.weight").T)
-        layers["wo"].append(get(f"{p}.self_attn.o_proj.weight").T)
+        st.put("wq", i, get(f"{p}.self_attn.q_proj.weight").T)
+        st.put("wk", i, get(f"{p}.self_attn.k_proj.weight").T)
+        st.put("wv", i, get(f"{p}.self_attn.v_proj.weight").T)
+        st.put("wo", i, get(f"{p}.self_attn.o_proj.weight").T)
         if cfg.attention_bias:
-            layers["bq"].append(get(f"{p}.self_attn.q_proj.bias"))
-            layers["bk"].append(get(f"{p}.self_attn.k_proj.bias"))
-            layers["bv"].append(get(f"{p}.self_attn.v_proj.bias"))
-        layers["input_norm"].append(get(f"{p}.input_layernorm.weight"))
-        layers["post_attn_norm"].append(get(f"{p}.post_attention_layernorm.weight"))
-        layers["router"].append(get(f"{p}.{moe_prefix}.gate.weight").T)
+            st.put("bq", i, get(f"{p}.self_attn.q_proj.bias"))
+            st.put("bk", i, get(f"{p}.self_attn.k_proj.bias"))
+            st.put("bv", i, get(f"{p}.self_attn.v_proj.bias"))
+        st.put("input_norm", i, get(f"{p}.input_layernorm.weight"))
+        st.put("post_attn_norm", i, get(f"{p}.post_attention_layernorm.weight"))
+        st.put("router", i, get(f"{p}.{moe_prefix}.gate.weight").T)
 
-        gate_up = []
-        down = []
         for e in range(E):
             ep = f"{p}.{moe_prefix}.experts.{e}"
-            g = get(f"{ep}.{expert_names['gate']}.weight").T  # [H, N]
-            u = get(f"{ep}.{expert_names['up']}.weight").T
-            gate_up.append(np.concatenate([g, u], axis=1))    # [H, 2N]
-            down.append(get(f"{ep}.{expert_names['down']}.weight").T)  # [N, H]
-        layers["expert_gate_up"].append(_stack(gate_up))
-        layers["expert_down"].append(_stack(down))
+            st.put_expert_halves(
+                "expert_gate_up", i, e, E,
+                get(f"{ep}.{expert_names['gate']}.weight").T,   # [H, N]
+                get(f"{ep}.{expert_names['up']}.weight").T,
+            )
+            st.put_expert("expert_down", i, e, E,
+                          get(f"{ep}.{expert_names['down']}.weight").T)  # [N, H]
 
         if cfg.shared_expert_intermediate_size > 0:
             sp = f"{p}.mlp.shared_expert"
-            g = get(f"{sp}.gate_proj.weight").T
-            u = get(f"{sp}.up_proj.weight").T
-            layers["shared_gate_up"].append(np.concatenate([g, u], axis=1))
-            layers["shared_down"].append(get(f"{sp}.down_proj.weight").T)
+            st.put_halves("shared_gate_up", i,
+                          get(f"{sp}.gate_proj.weight").T,
+                          get(f"{sp}.up_proj.weight").T)
+            st.put("shared_down", i, get(f"{sp}.down_proj.weight").T)
             if cfg.has_shared_expert_gate:
-                layers["shared_gate"].append(get(f"{p}.mlp.shared_expert_gate.weight").T)
+                st.put("shared_gate", i, get(f"{p}.mlp.shared_expert_gate.weight").T)
 
+    conv = ((lambda a: np.asarray(a).astype(np.dtype(dtype), copy=False))
+            if as_numpy else (lambda a: jnp.asarray(a, dtype)))
     params = {
-        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
-        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+        "embed": conv(get("model.embed_tokens.weight")),
+        "final_norm": conv(get("model.norm.weight")),
     }
-    # convert biggest keys first and FREE each staging list as it goes:
-    # keeping every np staging list alive while the jnp copies accumulate
-    # peaked ~95 GB on the 24-layer runbook (trace stage hit 116 GB);
-    # this bounds the crossover at ~(staged + converted) instead
-    out_layers: dict = {}
-    for k in sorted(layers, key=lambda k: -sum(a.nbytes
-                                               for a in layers[k])):
-        out_layers[k] = jnp.asarray(_stack(layers[k]), dtype)
-        layers[k] = None
-    params["layers"] = out_layers
+    params["layers"] = st.finish(dtype, as_numpy)
     if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = params["embed"].T
     else:
-        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+        params["lm_head"] = conv(get("lm_head.weight").T)
     return params
 
 
-def _ds2_params_from_state_dict(sd, cfg: MoEConfig, dtype) -> dict:
+def _ds2_params_from_state_dict(sd, cfg: MoEConfig, dtype,
+                                as_numpy: bool = False) -> dict:
     """DeepSeek-V2(-Lite) name schema (HF ``modeling_deepseek_v2``):
     self_attn.{q_proj,kv_a_proj_with_mqa,kv_a_layernorm,kv_b_proj,o_proj};
     layer<first_k_dense: mlp.{gate,up,down}_proj (dense);
@@ -135,69 +176,56 @@ def _ds2_params_from_state_dict(sd, cfg: MoEConfig, dtype) -> dict:
     get = lambda name: np.asarray(sd[name])
     L, E, D = cfg.num_layers, cfg.num_experts, cfg.first_dense_layers
 
-    def attn(i):
+    def put_common(st, j, i):
         p = f"model.layers.{i}.self_attn"
-        return {
-            "wq": get(f"{p}.q_proj.weight").T,
-            "kv_a": get(f"{p}.kv_a_proj_with_mqa.weight").T,
-            "kv_a_norm": get(f"{p}.kv_a_layernorm.weight"),
-            "kv_b": get(f"{p}.kv_b_proj.weight").T,
-            "wo": get(f"{p}.o_proj.weight").T,
-        }
+        st.put("wq", j, get(f"{p}.q_proj.weight").T)
+        st.put("kv_a", j, get(f"{p}.kv_a_proj_with_mqa.weight").T)
+        st.put("kv_a_norm", j, get(f"{p}.kv_a_layernorm.weight"))
+        st.put("kv_b", j, get(f"{p}.kv_b_proj.weight").T)
+        st.put("wo", j, get(f"{p}.o_proj.weight").T)
+        q = f"model.layers.{i}"
+        st.put("input_norm", j, get(f"{q}.input_layernorm.weight"))
+        st.put("post_attn_norm", j, get(f"{q}.post_attention_layernorm.weight"))
 
-    def norms(i):
-        p = f"model.layers.{i}"
-        return {
-            "input_norm": get(f"{p}.input_layernorm.weight"),
-            "post_attn_norm": get(f"{p}.post_attention_layernorm.weight"),
-        }
-
-    dense = {k: [] for k in ("wq", "kv_a", "kv_a_norm", "kv_b", "wo",
-                             "input_norm", "post_attn_norm", "mlp_gate_up", "mlp_down")}
+    dense_st = _Stacker(D)
     for i in range(D):
-        row = {**attn(i), **norms(i)}
+        put_common(dense_st, i, i)
         p = f"model.layers.{i}.mlp"
-        g = get(f"{p}.gate_proj.weight").T
-        u = get(f"{p}.up_proj.weight").T
-        row["mlp_gate_up"] = np.concatenate([g, u], axis=1)
-        row["mlp_down"] = get(f"{p}.down_proj.weight").T
-        for k in dense:
-            dense[k].append(row[k])
+        dense_st.put_halves("mlp_gate_up", i,
+                            get(f"{p}.gate_proj.weight").T,
+                            get(f"{p}.up_proj.weight").T)
+        dense_st.put("mlp_down", i, get(f"{p}.down_proj.weight").T)
 
-    moe = {k: [] for k in ("wq", "kv_a", "kv_a_norm", "kv_b", "wo",
-                           "input_norm", "post_attn_norm", "router",
-                           "expert_gate_up", "expert_down",
-                           "shared_gate_up", "shared_down")}
+    moe_st = _Stacker(L - D)
     for i in range(D, L):
-        row = {**attn(i), **norms(i)}
+        j = i - D
+        put_common(moe_st, j, i)
         p = f"model.layers.{i}.mlp"
-        row["router"] = get(f"{p}.gate.weight").T
-        gate_up, down = [], []
+        moe_st.put("router", j, get(f"{p}.gate.weight").T)
         for e in range(E):
             ep = f"{p}.experts.{e}"
-            g = get(f"{ep}.gate_proj.weight").T
-            u = get(f"{ep}.up_proj.weight").T
-            gate_up.append(np.concatenate([g, u], axis=1))
-            down.append(get(f"{ep}.down_proj.weight").T)
-        row["expert_gate_up"] = _stack(gate_up)
-        row["expert_down"] = _stack(down)
-        sg = get(f"{p}.shared_experts.gate_proj.weight").T
-        su = get(f"{p}.shared_experts.up_proj.weight").T
-        row["shared_gate_up"] = np.concatenate([sg, su], axis=1)
-        row["shared_down"] = get(f"{p}.shared_experts.down_proj.weight").T
-        for k in moe:
-            moe[k].append(row[k])
+            moe_st.put_expert_halves("expert_gate_up", j, e, E,
+                                     get(f"{ep}.gate_proj.weight").T,
+                                     get(f"{ep}.up_proj.weight").T)
+            moe_st.put_expert("expert_down", j, e, E,
+                              get(f"{ep}.down_proj.weight").T)
+        moe_st.put_halves("shared_gate_up", j,
+                          get(f"{p}.shared_experts.gate_proj.weight").T,
+                          get(f"{p}.shared_experts.up_proj.weight").T)
+        moe_st.put("shared_down", j, get(f"{p}.shared_experts.down_proj.weight").T)
 
+    conv = ((lambda a: np.asarray(a).astype(np.dtype(dtype), copy=False))
+            if as_numpy else (lambda a: jnp.asarray(a, dtype)))
     params = {
-        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
-        "layers": {k: jnp.asarray(_stack(v), dtype) for k, v in moe.items()},
-        "dense_layers": {k: jnp.asarray(_stack(v), dtype) for k, v in dense.items()},
-        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+        "embed": conv(get("model.embed_tokens.weight")),
+        "layers": moe_st.finish(dtype, as_numpy),
+        "dense_layers": dense_st.finish(dtype, as_numpy),
+        "final_norm": conv(get("model.norm.weight")),
     }
     if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = params["embed"].T
     else:
-        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+        params["lm_head"] = conv(get("lm_head.weight").T)
     return params
 
 
@@ -207,15 +235,14 @@ def params_from_torch_model(torch_model, cfg: MoEConfig, dtype=jnp.float32) -> d
     return params_from_state_dict(sd, cfg, dtype)
 
 
-def params_from_safetensors(ckpt_dir: str, cfg: MoEConfig, dtype=jnp.bfloat16) -> dict:
+def params_from_safetensors(ckpt_dir: str, cfg: MoEConfig, dtype=jnp.bfloat16,
+                            as_numpy: bool = False) -> dict:
     """Load from a directory of ``*.safetensors`` shards."""
     from safetensors import safe_open  # lazy; available via transformers dep
 
     files = sorted(glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no safetensors shards under {ckpt_dir}")
-    sd: dict[str, np.ndarray] = {}
-
     class _LazySD(Mapping):
         def __init__(self, files):
             self.index = {}
@@ -238,4 +265,4 @@ def params_from_safetensors(ckpt_dir: str, cfg: MoEConfig, dtype=jnp.bfloat16) -
         def __contains__(self, k):
             return k in self.index
 
-    return params_from_state_dict(_LazySD(files), cfg, dtype)
+    return params_from_state_dict(_LazySD(files), cfg, dtype, as_numpy)

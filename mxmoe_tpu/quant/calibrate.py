@@ -251,34 +251,55 @@ def calibrate_model(
     """
     if stage_host is None:
         stage_host = jax.default_backend() != "cpu"
-    if method.endswith("-had"):
-        # rotate once up front (reference: ModelRotator at quantizer init,
-        # quant.py:262-279) — the calibration then measures rotated blocks
-        from .rotation import rotate_model_hadamard
-
-        if stage_host:
-            # the rotation touches EVERY weight: run it on the host CPU
-            # backend, then hold the rotated pytree as numpy for staging
-            with jax.default_device(jax.devices("cpu")[0]):
-                params = rotate_model_hadamard(params, cfg)
-        else:
-            params = rotate_model_hadamard(params, cfg)
-        base_method = method[:-4]
-    else:
-        base_method = method
-    assert base_method in ("rtn", "gptq")
     if stage_host:
-        host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        # numpy-ify FIRST (no-op view when the loader already returned
+        # numpy via as_numpy=True), so the rotation below can run streamed
+        # and in place instead of materializing a full jax f32 copy
+        def host(t):
+            def w(a):
+                a = np.asarray(a)
+                return a if a.flags.writeable else np.array(a)
+            return jax.tree_util.tree_map(w, t)
+
         params = dict(params)
         params["layers"] = host(params["layers"])
         if "dense_layers" in params:
             params["dense_layers"] = host(params["dense_layers"])
+    rotate_stage = None
+    if method.endswith("-had"):
+        # reference: ModelRotator rotates the whole model at quantizer
+        # init (quant.py:262-279) — the calibration measures rotated
+        # blocks. Unstaged, do the same up front. Staged, the rotation
+        # RIDES THE STAGING TRANSFER instead: fuse+R1 is layer-local, so
+        # each layer is rotated on device right after its host->device
+        # copy, and x enters rotated coordinates via one [T, H] @ Q after
+        # the embed gather (Q acts on the hidden axis; take() picks rows,
+        # so gather-then-rotate == rotate-then-gather). This avoids any
+        # full rotated copy of the model on the host.
+        base_method = method[:-4]
+        if stage_host:
+            from .hadamard import random_hadamard_matrix
+            from .rotation import _fuse_rotate_one_layer
+
+            q_rot = random_hadamard_matrix(
+                cfg.hidden_size, jax.random.PRNGKey(0), dtype=jnp.float32)
+            rotate_stage = jax.jit(_fuse_rotate_one_layer)
+        else:
+            from .rotation import rotate_model_hadamard
+
+            params = rotate_model_hadamard(params, cfg)
+    else:
+        base_method = method
+    assert base_method in ("rtn", "gptq")
+    if stage_host:
         params["embed"] = jnp.asarray(np.asarray(params["embed"]))
 
     b, s = tokens.shape
     positions = jnp.arange(s)
     cos, sin = make_rope_tables(cfg, positions)
     x = jnp.take(params["embed"], tokens, axis=0, mode="clip")
+    if rotate_stage is not None:
+        x = (x.astype(jnp.float32) @ q_rot).astype(x.dtype)
     if stage_host:
         # the embedding table ([V, H] ~620 MB at qwen2_moe widths) is only
         # needed for this one gather; drop it from device HBM (the buffer
@@ -304,6 +325,10 @@ def calibrate_model(
         }
         for dl in range(params["dense_layers"]["input_norm"].shape[0]):
             dlp = jax.tree_util.tree_map(lambda a: a[dl], params["dense_layers"])
+            if stage_host:
+                dlp = jax.device_put(dlp)
+                if rotate_stage is not None:
+                    dlp = rotate_stage(dlp, q_rot)
             x, dx2d = dense_fwd(x, dlp)
             for name, qc in schemes.items():
                 fqw = None
@@ -348,6 +373,8 @@ def calibrate_model(
             # ONE host->device transfer per layer (reference layer.to(cuda),
             # quant.py:551); every jitted call below then reuses it
             lp = jax.device_put(lp)
+            if rotate_stage is not None:
+                lp = rotate_stage(lp, q_rot)
         x_next, x2d = fwd(x, lp, cos=cos, sin=sin)
         if resume and all(str(l) in losses[name] for name in schemes):
             x = x_next  # already calibrated (crash-resume); propagate only
@@ -494,7 +521,9 @@ def _main():
         if args.ckpt:
             from ..models.hf_loader import params_from_safetensors
 
-            params = params_from_safetensors(args.ckpt, cfg)
+            # numpy leaves when staging: calibrate_model streams one layer
+            # to the device at a time; a jax copy would double host RSS
+            params = params_from_safetensors(args.ckpt, cfg, as_numpy=stage)
         else:
             params = model_mod.init_params(cfg, jax.random.PRNGKey(0),
                                            dtype=jnp.float32)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.configs import MoEConfig
 from .hadamard import random_hadamard_matrix, matmul_hadU
@@ -120,6 +121,58 @@ def rotate_model_hadamard(
     fused = fuse_layer_norms(params)
     q = random_hadamard_matrix(cfg.hidden_size, key, dtype=jnp.float32)
     return rotate_model(fused, q)
+
+
+def _fuse_rotate_one_layer(lp: dict, q: jax.Array) -> dict:
+    """fuse_layer_norms + Q rotation of ONE (unstacked) layer, computed in
+    f32 via the stack transforms on a length-1 stack; each leaf is cast
+    back to its input dtype (the reference rotates in fp64 and stores
+    back into the model dtype, rotation.py:100-130)."""
+    lp1 = {k: v[None].astype(jnp.float32) for k, v in lp.items()}
+    rot = _rotate_layer_stack(_fuse_layer_stack(lp1), q)
+    return {k: rot[k][0].astype(lp[k].dtype) for k in lp}
+
+
+def rotate_model_hadamard_host(
+    params: dict, cfg: MoEConfig, key: jax.Array | None = None
+) -> dict:
+    """Host-staged fuse+R1 rotation for NUMPY pytrees, one layer at a time.
+
+    Same math as :func:`rotate_model_hadamard`, but peak memory is the
+    pytree plus ONE f32 layer of temporaries instead of a full f32 copy of
+    the model (~58 GB at 24-layer qwen2_moe widths — the staged-calibration
+    host path). Layer-stack leaves are overwritten IN PLACE (numpy,
+    writable); embed/lm_head/final_norm are replaced. All compute runs on
+    the host CPU backend regardless of the default backend.
+    """
+    for k, v in params["layers"].items():
+        assert isinstance(v, np.ndarray), f"host rotation needs numpy leaves ({k})"
+    out = dict(params)
+    with jax.default_device(jax.devices("cpu")[0]):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        q = random_hadamard_matrix(cfg.hidden_size, key, dtype=jnp.float32)
+        step = jax.jit(_fuse_rotate_one_layer)
+        for sub in ("layers", "dense_layers"):
+            if sub not in params:
+                continue
+            stack = params[sub]
+            num = stack["input_norm"].shape[0]
+            for l in range(num):
+                new = step({k: v[l] for k, v in stack.items()}, q)
+                for k, v in new.items():
+                    stack[k][l] = np.asarray(v)
+        # lm_head first: it may be a transposed view of embed
+        lm = np.asarray(params["lm_head"])
+        fn = np.asarray(params["final_norm"])
+        new_lm = jnp.einsum(
+            "hk,hv->kv", q,
+            jnp.asarray(lm, jnp.float32) * jnp.asarray(fn, jnp.float32)[:, None])
+        out["lm_head"] = np.asarray(new_lm.astype(lm.dtype))
+        emb = np.asarray(params["embed"])
+        out["embed"] = np.asarray(
+            (jnp.asarray(emb, jnp.float32) @ q).astype(emb.dtype))
+        out["final_norm"] = np.ones_like(fn)
+    return out
 
 
 def online_hadamard_down(h: jax.Array) -> jax.Array:

@@ -187,7 +187,10 @@ def _main():
     if args.ckpt:
         from ..models.hf_loader import params_from_safetensors
 
-        params = params_from_safetensors(args.ckpt, cfg)
+        # numpy leaves: the trace loop streams one layer per jit call, so
+        # there is no need for a second full jax copy of the checkpoint
+        # (the 24-layer runbook trace peaked 116 GB host RSS without this)
+        params = params_from_safetensors(args.ckpt, cfg, as_numpy=True)
     else:
         params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
 

@@ -195,3 +195,18 @@ def test_artifact_serves_through_engine(tmp_path, monkeypatch):
     eng.run_to_completion()
     out = eng.result(rid)
     assert len(out) == 6 and all(0 <= t < cfg.vocab_size for t in out)
+
+def test_loader_as_numpy_matches_jax(tmp_path):
+    """as_numpy=True must produce the identical pytree as the jax path
+    (numpy leaves, same values/dtypes)."""
+    from mxmoe_tpu.models.hf_loader import params_from_safetensors
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    _write_fake_hf_ckpt(tmp_path, cfg)
+    pj = params_from_safetensors(str(tmp_path / "hf"), cfg, dtype=jnp.float32)
+    pn = params_from_safetensors(str(tmp_path / "hf"), cfg, dtype=jnp.float32,
+                                 as_numpy=True)
+    ref = dict(jax.tree_util.tree_leaves_with_path(pj))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(pn):
+        assert isinstance(leaf, np.ndarray), path
+        np.testing.assert_array_equal(np.asarray(ref[path]), leaf, err_msg=str(path))

@@ -141,3 +141,36 @@ def test_rotation_preserves_function_ds2_mla_dense():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
     d = np.abs(np.asarray(rotated["layers"]["kv_a"] - params["layers"]["kv_a"])).max()
     assert d > 1e-3
+
+
+def test_host_streamed_rotation_matches_full():
+    """rotate_model_hadamard_host (numpy, in-place, layer-streamed) must
+    equal rotate_model_hadamard on f32 leaves, for GQA and MLA+dense."""
+    from mxmoe_tpu.quant.rotation import rotate_model_hadamard_host
+
+    for mk, seed in ((configs.tiny_qwen2_moe, 3), (configs.tiny_ds2, 4)):
+        cfg = mk(num_experts=4, num_layers=3)
+        params = model.init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
+        ref = rotate_model_hadamard(params, cfg, jax.random.PRNGKey(7))
+        host = jax.tree_util.tree_map(lambda a: np.array(a), params)
+        got = rotate_model_hadamard_host(host, cfg, jax.random.PRNGKey(7))
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+        for path, leaf in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat_got[path], np.float32),
+                np.asarray(leaf, np.float32),
+                rtol=2e-5, atol=2e-5, err_msg=str(path))
+
+
+def test_host_streamed_rotation_keeps_storage_dtype():
+    from mxmoe_tpu.quant.rotation import rotate_model_hadamard_host
+    import ml_dtypes
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    host = jax.tree_util.tree_map(
+        lambda a: np.array(a).astype(ml_dtypes.bfloat16), params)
+    got = rotate_model_hadamard_host(host, cfg)
+    for leaf in jax.tree_util.tree_leaves(got):
+        assert leaf.dtype == ml_dtypes.bfloat16, leaf.dtype
