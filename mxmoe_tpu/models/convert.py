@@ -55,7 +55,11 @@ def convert(
     cfg = config_for(model_id)
     if layers:
         cfg = dataclasses.replace(cfg, num_layers=layers)
-    params = params_from_safetensors(ckpt_dir, cfg, dtype=dtype)
+    # numpy leaves: the quantizers stage one layer of device work at a
+    # time over the host stack, and orbax saves numpy directly — a full
+    # jax copy of a 24-layer checkpoint would double host RSS (~29 GB)
+    params = params_from_safetensors(ckpt_dir, cfg, dtype=dtype,
+                                     as_numpy=True)
 
     meta = {"model": model_id, "dtype": str(dtype), "quant": quant,
             "pack_int4": bool(pack_int4), "qconfig": qconfig,

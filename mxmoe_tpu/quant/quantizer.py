@@ -407,7 +407,15 @@ def quantize_model_experts_mixed_gptq(
         "GPTQ real-quant does not handle dense-first pseudo-layers yet; "
         "use the RTN real quantizer or fake-quant eval for ds2")
     if hadamard:
-        params = rotate_model_hadamard(params, cfg, rotation_key)
+        if isinstance(params["layers"]["router"], np.ndarray):
+            # numpy pytree (convert's as_numpy load at real depths):
+            # layer-streamed in-place rotation, peak = pytree + one f32
+            # layer instead of a full f32 model copy
+            from .rotation import rotate_model_hadamard_host
+
+            params = rotate_model_hadamard_host(params, cfg, rotation_key)
+        else:
+            params = rotate_model_hadamard(params, cfg, rotation_key)
 
     e = cfg.num_experts
     b, s = calib_tokens.shape
