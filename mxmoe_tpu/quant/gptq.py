@@ -120,6 +120,14 @@ def gptq_quantize(
     # block boundaries align with group boundaries so group scales can be
     # computed from current (error-compensated) weights at block entry
     blocksize = min(blocksize, k) if cfg.w_gsize == -1 else gsize
+    if k % blocksize != 0:
+        # non-dividing K (e.g. ds2's 10944-wide dense MLP): shrink to the
+        # largest common divisor. Blocksize is a scheduling detail of the
+        # same sequential column sweep (reference uses remainder blocks,
+        # gptq.py:180-184); the math is identical at any block size.
+        import math
+
+        blocksize = math.gcd(k, blocksize)
     assert k % blocksize == 0
 
     wf = w.astype(jnp.float32)

@@ -175,3 +175,28 @@ def test_gptq_real_flex_packed_roundtrip():
     ref = model.forward_logits(qp8, toks, cfg, impl)
     got = model.forward_logits(qpp, toks, cfg, impl)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_gptq_non_dividing_k():
+    """K not a multiple of the 128 blocksize (ds2's 10944-wide dense MLP)
+    auto-shrinks the block; GPTQ must still beat RTN on correlated data."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mxmoe_tpu.quant.gptq import accumulate_hessian, gptq_quantize_kn
+    from mxmoe_tpu.quant.rtn import fake_quant_weight
+    from mxmoe_tpu.quant.schemes import parse_scheme
+
+    k, n, m = 192, 64, 256       # 192 % 128 != 0 -> gcd block 64
+    key = jax.random.PRNGKey(0)
+    base = jax.random.normal(key, (m, k // 2), jnp.float32)
+    x = jnp.concatenate([base, base * 0.5 +
+                         0.1 * jax.random.normal(key, (m, k // 2))], -1)
+    w = jax.random.normal(jax.random.PRNGKey(1), (1, k, n), jnp.float32)
+    h = accumulate_hessian(x)[None]
+    qc = parse_scheme("w4a16_g-1_sym")
+    res = gptq_quantize_kn(w, h, qc)
+    err_gptq = float(jnp.sum((x @ res.w_fq[0] - x @ w[0]) ** 2))
+    err_rtn = float(jnp.sum((x @ fake_quant_weight(w, qc)[0] - x @ w[0]) ** 2))
+    assert np.isfinite(err_gptq)
+    assert err_gptq <= err_rtn * 1.05, (err_gptq, err_rtn)
