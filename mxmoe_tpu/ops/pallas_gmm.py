@@ -1999,3 +1999,197 @@ def gmm_w4a8_packed_ws(
                           static_sizes, bm=bm, bn=bn, out_dtype=out_dtype,
                           interpret=interpret, packed=True,
                           tag="gmm_w4a8_packed_ws")
+
+
+# ---------------------------------------------------------------------------
+# Fused expert FFN: gate_up GMM -> SwiGLU -> in-kernel act requant -> down
+# GMM in ONE launch (decode-oriented)
+# ---------------------------------------------------------------------------
+
+def _pick_bn_div(total: int, cap: int) -> int:
+    """Largest lane-aligned (x128) divisor of ``total`` not above ``cap``."""
+    for d in range((min(cap, total) // 128) * 128, 127, -128):
+        if total % d == 0:
+            return d
+    return total
+
+
+def _gmm_ffn_kernel(gids, mtids, goffs, abits, nlog,
+                    lhs_ref, asc_ref, wgu_ref, gusc_ref, wd_ref, dsc_ref,
+                    out_ref, gu_ref, hq_ref, hsc_ref,
+                    *, bm, bn1, bn2, ng1, n_half):
+    """One m-tile's whole expert FFN across the phase axis j:
+
+      j < ng1   gate_up int8 dot for columns [j*bn1, (j+1)*bn1); the
+                bf16 result tile lands in the gu scratch (exactly the
+                bf16 epilogue the 2-launch path writes to HBM)
+      j == ng1  SwiGLU over the full gu scratch + per-row symmetric
+                requant at this group's down a_bits (same math as
+                qparams.quantize_act_per_row_bits) -> hq/hsc scratches
+      j >= ng1  int8 down dot for columns [(j-ng1)*bn2, ...) with the
+                s_h*s_w epilogue and the row mask
+
+    The m-tile axis t is OUTER, so each group's weights stream exactly
+    once when every group owns at most one m-tile (the aligned decode
+    layout) — the fusion removes one launch + the h HBM round-trip +
+    the separate act-quant pass per layer. Reference intent: the
+    persistent-CTA fused FFN pipelines of ``hz_fused.cuh`` keep B
+    fragments resident across the gate/up/down stages; here the hidden
+    intermediate stays in VMEM instead.
+    """
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    live = t < nlog[0]
+
+    @pl.when(live & (j < ng1))
+    def _gateup():
+        acc = jnp.dot(lhs_ref[...], wgu_ref[0],
+                      preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * asc_ref[...] * gusc_ref[0]
+        gu_ref[:, pl.ds(j * bn1, bn1)] = res.astype(gu_ref.dtype)
+
+    @pl.when(live & (j == ng1))
+    def _swiglu_quant():
+        g = gids[t]
+        gate = gu_ref[:, :n_half].astype(jnp.float32)
+        up = gu_ref[:, n_half:].astype(jnp.float32)
+        # SwiGLU in f32 end-to-end: the 2-launch path rounds the gate_up
+        # GMM output AND the SwiGLU product to bf16 on their way through
+        # HBM; keeping h in VMEM removes both roundings, so requant
+        # decisions can differ from the 2-launch path by one code on
+        # knife-edge values (strictly more accurate, tests bound it)
+        hf = jax.nn.silu(gate) * up
+        upper = jnp.exp2(jnp.minimum(abits[g].astype(jnp.float32), 8.0)
+                         - 1.0) - 1.0
+        amax = jnp.max(jnp.abs(hf), axis=1)
+        scale = jnp.maximum(amax, 1e-8) / upper
+        hq_ref[...] = jnp.round(hf / scale[:, None]).astype(jnp.int8)
+        hsc_ref[...] = scale[:, None]
+
+    @pl.when(live & (j >= ng1))
+    def _down():
+        g = gids[t]
+        m_tile = mtids[t]
+        acc = jnp.dot(hq_ref[...], wd_ref[0],
+                      preferred_element_type=jnp.int32)
+        res = acc.astype(jnp.float32) * hsc_ref[...] * dsc_ref[0]
+        mask = _row_mask(m_tile, goffs[g], goffs[g + 1], bm, bn2)
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                 out_ref[...])
+
+
+def gmm_ffn_w8a8(
+    lhs_q: jax.Array,         # [M, K] int8 codes (per-row quantized x)
+    lhs_scale: jax.Array,     # [M, 1] f32
+    gateup_q: jax.Array,      # [E, K, 2N] int8 (sym per-channel)
+    gateup_scale: jax.Array,  # [E, 1, 2N] f32
+    down_q: jax.Array,        # [E, N, H] int8
+    down_scale: jax.Array,    # [E, 1, H] f32
+    group_sizes: jax.Array,
+    act_bits_down: jax.Array | None = None,   # [E(total)] int32; None = 8
+    bm: int = 32,
+    bn1: int | None = None,
+    bn2: int | None = None,
+    out_dtype=jnp.bfloat16,
+    h_dtype=jnp.float32,
+    interpret: bool = False,
+    static_sizes=None,
+    group_base=None,
+    num_total_groups: int | None = None,
+) -> jax.Array:
+    """Whole expert FFN (gate_up -> SwiGLU -> requant -> down) in ONE
+    grouped launch. Symmetric per-channel int8 weights, per-row act
+    scales, per-expert down a_bits as data (the one-launch mixed domain
+    minus packing/grouping/asym — those stay on the 2-launch paths).
+
+    Numerics vs the 2-launch pipeline (gmm_w8a8 -> silu_mul ->
+    quantize_act_per_row_bits -> gmm_w8a8): int8 dots and scale algebra
+    are identical, but h stays in VMEM at f32 — the 2-launch path rounds
+    the gate_up output and the SwiGLU product to bf16 through HBM — so
+    requant decisions can flip by one code on knife-edge values
+    (strictly tighter numerics; tests bound the output drift).
+
+    Decode rationale (PERF.md round-4 decomposition): at serving decode
+    the routed GMMs ran 3.64 ms vs a ~2.2 ms weight-traffic bound — the
+    excess is per-launch ramps and the h round-trip this fusion removes.
+    """
+    m, k = lhs_q.shape
+    e, _, n2 = gateup_q.shape
+    n_half = n2 // 2
+    h_out = down_q.shape[-1]
+    assert down_q.shape[-2] == n_half, (down_q.shape, n_half)
+    bm = min(bm, m)
+    bn1 = bn1 or _pick_bn_div(n2, 1536)
+    bn2 = bn2 or _pick_bn_div(h_out, 1024)
+    assert n2 % bn1 == 0 and h_out % bn2 == 0, (n2, bn1, h_out, bn2)
+    assert n_half % 128 == 0, n_half
+    ng1, ng2 = n2 // bn1, h_out // bn2
+
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm,
+                                     bn2, bn2)
+    num_tiles = grid2[1]
+    if group_base is not None:
+        assert num_total_groups == e, (num_total_groups, e)
+        meta = _globalize_meta(meta, group_base, num_total_groups)
+    if act_bits_down is None:
+        act_bits_down = jnp.full((num_total_groups or e,), 8, jnp.int32)
+
+    _check_vmem(
+        "gmm_ffn_w8a8",
+        (bm * k, True), (bm * 4, True),                  # lhs, asc
+        (k * bn1, True), (4 * bn1, True),                # wgu, gusc
+        (n_half * bn2, True), (4 * bn2, True),           # wd, dsc
+        (bm * bn2 * jnp.dtype(out_dtype).itemsize, True),
+        (bm * n2 * jnp.dtype(h_dtype).itemsize, False),  # gu scratch
+        (bm * n_half, False), (bm * 4, False),           # hq, hsc
+    )
+    kernel = functools.partial(_gmm_ffn_kernel, bm=bm, bn1=bn1, bn2=bn2,
+                               ng1=ng1, n_half=n_half)
+    grid = (num_tiles, ng1 + ng2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda t, j, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, 1), lambda t, j, *s: (s[1][t], 0)),
+                pl.BlockSpec(
+                    (1, k, bn1),
+                    lambda t, j, *s: (s[0][t], 0,
+                                      jnp.minimum(j, ng1 - 1))),
+                pl.BlockSpec(
+                    (1, 1, bn1),
+                    lambda t, j, *s: (s[0][t], 0,
+                                      jnp.minimum(j, ng1 - 1))),
+                pl.BlockSpec(
+                    (1, n_half, bn2),
+                    lambda t, j, *s: (s[0][t], 0,
+                                      jnp.maximum(j - ng1, 0))),
+                pl.BlockSpec(
+                    (1, 1, bn2),
+                    lambda t, j, *s: (s[0][t], 0,
+                                      jnp.maximum(j - ng1, 0))),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn2), lambda t, j, *s: (s[1][t],
+                                             jnp.maximum(j - ng1, 0))),
+            scratch_shapes=[
+                pltpu.VMEM((bm, n2), jnp.dtype(h_dtype)),
+                pltpu.VMEM((bm, n_half), jnp.int8),
+                pltpu.VMEM((bm, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, h_out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * (k * n2 + n_half * h_out) // max(e, 1),
+            bytes_accessed=m * k + e * (k * n2 + n_half * h_out),
+            transcendentals=m * n_half,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      jnp.asarray(act_bits_down, jnp.int32), meta.num_logical.reshape(1),
+      lhs_q, lhs_scale, gateup_q, gateup_scale, down_q, down_scale)

@@ -750,3 +750,103 @@ def test_layer_stacked_mixed_packed_matches_per_layer():
             interpret=True, group_base=jnp.int32(l * E),
             num_total_groups=L * E)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def _qact_rows(x, bits_rows):
+    from mxmoe_tpu.quant.qparams import quantize_act_per_row_bits
+    return quantize_act_per_row_bits(x, bits_rows)
+
+
+def test_gmm_ffn_matches_two_launch():
+    """gmm_ffn_w8a8 (one launch: gate_up -> SwiGLU -> requant -> down)
+    vs the 2-launch pipeline it fuses. The fused kernel keeps h in f32
+    (the 2-launch path rounds it to bf16 through HBM), so codes may flip
+    by one step on knife-edge values — tolerance = a few quant steps."""
+    from mxmoe_tpu.models.layers import silu_mul
+
+    e, k, nh, hout, bm = 5, 256, 256, 256, 32
+    m = 192
+    gs = jnp.array([64, 0, 32, 64, 32], jnp.int32)  # bm-aligned
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (m, k), jnp.float32)
+    wgu = jax.random.normal(k2, (e, k, 2 * nh), jnp.float32) * 0.05
+    wd = jax.random.normal(k3, (e, nh, hout), jnp.float32) * 0.05
+
+    def qw(w):
+        sc = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+        return jnp.round(w / sc).astype(jnp.int8), sc
+
+    wgu_q, wgu_sc = qw(wgu)
+    wd_q, wd_sc = qw(wd)
+    bits_down = jnp.array([4, 8, 8, 4, 6], jnp.int32)
+    row_expert = jnp.repeat(jnp.arange(e), gs, total_repeat_length=m)
+
+    aq, asc = _qact_rows(x, jnp.full((m,), 8.0))
+
+    # 2-launch reference
+    h1 = pallas_gmm.gmm_w8a8(aq, asc, wgu_q, wgu_sc, gs, bm=bm, bn=128,
+                             out_dtype=jnp.bfloat16, interpret=INTERPRET)
+    h = silu_mul(h1)
+    hq, hsc = _qact_rows(h, jnp.take(bits_down, row_expert).astype(jnp.float32))
+    ref = pallas_gmm.gmm_w8a8(hq, hsc, wd_q, wd_sc, gs, bm=bm, bn=128,
+                              out_dtype=jnp.float32, interpret=INTERPRET)
+
+    out = pallas_gmm.gmm_ffn_w8a8(
+        aq, asc, wgu_q, wgu_sc, wd_q, wd_sc, gs,
+        act_bits_down=bits_down, bm=bm,
+        out_dtype=jnp.float32, interpret=INTERPRET)
+    # EXACT oracle of the fused semantics: same int dots and scale
+    # algebra with h held in f32 (no bf16 HBM round-trip)
+    from mxmoe_tpu.ops.gmm import gmm_dense_reference
+    gu_f = gmm_dense_reference(aq.astype(jnp.float32) * asc,
+                               wgu_q.astype(jnp.float32) * wgu_sc, gs)
+    h_f = jax.nn.silu(gu_f[:, :nh]) * gu_f[:, nh:]
+    hq2, hsc2 = _qact_rows(h_f, jnp.take(bits_down, row_expert).astype(jnp.float32))
+    oracle = gmm_dense_reference(hq2.astype(jnp.float32) * hsc2,
+                                 wd_q.astype(jnp.float32) * wd_sc, gs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-4, atol=2e-4)
+    # vs the 2-launch path: identical up to one-code flips where the
+    # bf16 h round-trip falls on a quantization knife edge
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.mean() < 1e-2, d.mean()
+    assert np.quantile(d, 0.99) < 8e-2, np.quantile(d, 0.99)
+    assert d.max() < 0.3, d.max()
+
+
+def test_gmm_ffn_stacked_metadata():
+    """Layer-stacked operands (group_base/num_total_groups) select the
+    right layer's experts — mirrors the decode loop's globalized path."""
+    from mxmoe_tpu.models.layers import silu_mul
+
+    L, e, k, nh, hout, bm = 3, 4, 128, 128, 128, 32
+    m = 128
+    gs = jnp.array([32, 32, 0, 64], jnp.int32)
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    wgu = jax.random.normal(k2, (L * e, k, 2 * nh), jnp.float32) * 0.05
+    wd = jax.random.normal(k3, (L * e, nh, hout), jnp.float32) * 0.05
+    x = jax.random.normal(k1, (m, k), jnp.float32)
+
+    def qw(w):
+        sc = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+        return jnp.round(w / sc).astype(jnp.int8), sc
+
+    wgu_q, wgu_sc = qw(wgu)
+    wd_q, wd_sc = qw(wd)
+    aq, asc = _qact_rows(x, jnp.full((m,), 8.0))
+    bits = jnp.full((L * e,), 8, jnp.int32)
+
+    for layer in (0, 2):
+        sl = slice(layer * e, (layer + 1) * e)
+        ref = pallas_gmm.gmm_ffn_w8a8(
+            aq, asc, wgu_q[sl], wgu_sc[sl], wd_q[sl], wd_sc[sl], gs,
+            act_bits_down=bits[sl], bm=bm,
+            out_dtype=jnp.float32, interpret=INTERPRET)
+        out = pallas_gmm.gmm_ffn_w8a8(
+            aq, asc, wgu_q, wgu_sc, wd_q, wd_sc, gs,
+            act_bits_down=bits, bm=bm, out_dtype=jnp.float32,
+            interpret=INTERPRET, group_base=jnp.asarray(layer * e),
+            num_total_groups=L * e)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
