@@ -142,6 +142,14 @@ class MoEImpl:
                                      # gmm_mixed_wo_wxa (measured faster
                                      # than bucketed at every M —
                                      # bench/fused_ab.py, PERF.md)
+    fused_ffn: bool = False          # whole expert FFN (gate_up -> SwiGLU
+                                     # -> requant -> down) in ONE Pallas
+                                     # launch (gmm_ffn_w8a8). Decode-
+                                     # oriented: requires dispatch_align
+                                     # (each m-tile owned by one expert)
+                                     # and the sym per-channel int8-stored
+                                     # domain; other schemes fall through
+                                     # to the 2-launch paths
     pallas_quant: bool = True        # single-pass Pallas act quant
                                      # (ops/act_quant.py): XLA's lowering
                                      # reads activations twice; measured
@@ -304,6 +312,10 @@ def split_expert_stack(layers: dict) -> tuple[dict, dict]:
             if bits_key in layers:
                 stack[fk] = (layers[bits_key] >= 16).astype(
                     jnp.int32).reshape(-1)
+        if "act_bits_down" in layers:
+            # fused-FFN in-kernel requant bits at GLOBAL group ids
+            stack["abits8_down"] = jnp.minimum(
+                layers["act_bits_down"], 8).astype(jnp.int32).reshape(-1)
         stack["_num_layers"] = next(iter(layers.values())).shape[0]
     return xs, stack
 
@@ -379,6 +391,33 @@ def moe_ffn_ragged_quant(
             jnp.arange(cfg.num_experts, dtype=jnp.int32), disp.group_sizes,
             total_repeat_length=xs.shape[0],
         )
+
+    if (impl.fused_ffn and impl.dispatch_align and not impl.online_had
+            and not impl.mixed_weight_only
+            and _has("expert_gate_up_q") and _has("expert_down_q")
+            and "act_gsize_gateup" not in layer_params
+            and (mixed or (qcfg is not None and not isinstance(qcfg, str)
+                           and qcfg.a_bits <= 8
+                           and qcfg.w_sym and qcfg.w_gsize == -1))):
+        # ONE launch for the whole expert FFN (gmm_ffn_w8a8): the aligned
+        # dispatch guarantees every m-tile is owned by one expert, which
+        # the kernel's m-tile-outer schedule requires
+        if mixed:
+            row_bits = jnp.take(layer_params["act_bits_gateup"], row_expert)
+            aq, asc = _aquant_rows(xs, row_bits)
+            abits = (stack["abits8_down"] if "abits8_down" in stack else
+                     jnp.minimum(layer_params["act_bits_down"],
+                                 8).astype(jnp.int32))
+        else:
+            aq, asc = _aquant_uniform(xs)
+            abits = jnp.full((_w("expert_down_q").shape[0],),
+                             min(int(qcfg.a_bits), 8), jnp.int32)
+        out = pallas_gmm.gmm_ffn_w8a8(
+            aq, asc, _w("expert_gate_up_q"), _w("expert_gate_up_sc"),
+            _w("expert_down_q"), _w("expert_down_sc"), disp.group_sizes,
+            act_bits_down=abits, bm=impl.dispatch_align,
+            out_dtype=x2d.dtype, interpret=impl.interpret, **gkw)
+        return combine_tokens(out, disp, x2d.shape[0])
 
     def qgemm(acts, prefix):
         sc = _w(f"{prefix}_sc")
