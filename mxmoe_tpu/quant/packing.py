@@ -178,21 +178,27 @@ def shard_ragged_mixed(qcat: jax.Array, blk, pf, k: int, ep: int):
 
     ``qcat [R, N]`` (one layer's buffer from :func:`build_ragged_mixed`),
     ``blk``/``pf`` [E]: slice each expert's K/2-unit block(s) out of the
-    global buffer and re-concatenate per shard of ``E/ep`` contiguous
+    global buffer and re-concatenate per shard of ``ceil(E/ep)`` contiguous
     experts, padding every shard to the max shard length so the result
-    stacks to ``[ep, R_l, N]`` (shardable over a mesh axis). Returns
-    (qcat_sharded, blk_local [E]) — blk_local offsets are LOCAL to each
-    shard's buffer, ready for ``gmm_mixed_packed`` per shard.
+    stacks to ``[ep, R_l, N]`` (shardable over a mesh axis). When ``E``
+    does not divide ``ep`` (the flagship's 60 experts on a power-of-two
+    mesh — reference topology table ``bits_solver.py:636-644``) the tail
+    shard(s) get never-routed PHANTOM experts: one zero packed K/2-unit
+    each, pointing into the shard's zero padding. Returns (qcat_sharded,
+    blk_local [E_pad]) — blk_local offsets are LOCAL to each shard's
+    buffer, ready for ``gmm_mixed_packed`` per shard; callers must pad
+    their ``pf`` arrays to E_pad with 1 (packed) to match.
     """
     import numpy as np
 
     blk = np.asarray(blk, np.int64)
     pf = np.asarray(pf, np.int64)
     e = blk.shape[0]
-    assert e % ep == 0, (e, ep)
-    e_local = e // ep
+    e_local = -(-e // ep)
+    e_pad = e_local * ep
     k2 = k // 2
-    units = 2 - pf                                     # [E] K/2-units each
+    units = np.concatenate(
+        [2 - pf, np.ones(e_pad - e, np.int64)])        # [E_pad] K/2-units
     shard_units = units.reshape(ep, e_local).sum(1)
     r_l = int(shard_units.max()) * k2
 
@@ -201,10 +207,13 @@ def shard_ragged_mixed(qcat: jax.Array, blk, pf, k: int, ep: int):
         pieces, off = [], 0
         for ei in range(s * e_local, (s + 1) * e_local):
             blk_local.append(off)
-            rows = int(units[ei]) * k2
-            pieces.append(qcat[int(blk[ei]) * k2: int(blk[ei]) * k2 + rows])
+            if ei < e:
+                rows = int(units[ei]) * k2
+                pieces.append(
+                    qcat[int(blk[ei]) * k2: int(blk[ei]) * k2 + rows])
             off += int(units[ei])
-        buf = jnp.concatenate(pieces, axis=0)
+        buf = (jnp.concatenate(pieces, axis=0) if pieces
+               else jnp.zeros((0, qcat.shape[1]), qcat.dtype))
         shards.append(jnp.pad(buf, ((0, r_l - buf.shape[0]), (0, 0))))
     return jnp.stack(shards), blk_local
 

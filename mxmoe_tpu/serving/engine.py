@@ -101,7 +101,7 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.ep import (EPConfig, capacity_factor_from_freq,
-                                       make_ep_moe_block)
+                                       make_ep_moe_block, pad_expert_arrays)
             from ..parallel.sharded import ep_param_shardings
 
             (axis,) = mesh.axis_names
@@ -141,6 +141,8 @@ class Engine:
                     cats = [jnp.pad(c, ((0, 0), (0, r_max - c.shape[1]),
                                         (0, 0))) for c in cats]
                     new_lp[f"{prefix}_qcat"] = jnp.stack(cats)  # [L,ep,R,N]
+                    # [L, E_pad] local offsets (phantom-padded when E does
+                    # not divide the mesh — shard_ragged_mixed docstring)
                     new_lp[f"{prefix}_blk"] = jnp.asarray(blks, jnp.int32)
                 params = {**params, "layers": new_lp}
                 lp = new_lp
@@ -162,6 +164,14 @@ class Engine:
                         "or re-solve with w×a schemes only.")
             else:
                 quantized = "expert_gate_up_q" in lp
+            # non-divisible expert counts (the flagship's 60 on a power-of-
+            # two mesh): grow never-routed phantom experts so every
+            # expert_* array shards evenly; the EP block's ceil e_local
+            # keeps routing ids consistent with the padded layout
+            padded = pad_expert_arrays(lp, cfg.num_experts, mesh.size)
+            if padded is not lp:
+                params = {**params, "layers": padded}
+                lp = padded
             impl = dataclasses.replace(
                 impl, ep_moe=make_ep_moe_block(cfg, mesh, quantized, ep_cfg))
             params = jax.device_put(
