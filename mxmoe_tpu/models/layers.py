@@ -286,7 +286,7 @@ _EXPERT_STACK_KEYS = tuple(
     for s in ("_qcat", "_q", "_q_packed", "_sc", "_zp"))
 
 
-def split_expert_stack(layers: dict) -> tuple[dict, dict]:
+def split_expert_stack(layers: dict, flatten: bool = True) -> tuple[dict, dict]:
     """Partition stacked layer params into scan-xs (small, per-layer) and
     the expert-weight STACK: flattened ``[L*E, ...]`` (``[L*R, N]`` for the
     ragged packed buffer) views passed as loop CONSTANTS and indexed
@@ -298,13 +298,20 @@ def split_expert_stack(layers: dict) -> tuple[dict, dict]:
     measured +0.52 ms per launch on a 173 MB operand while the kernel
     itself runs at the weight-traffic bound (tools/tpu_scan_slice_ab.py).
     The reshape here is layout-free; only tiny metadata varies per layer.
+
+    ``flatten=False`` keeps stack arrays at their full ``[L, E, ...]``
+    shape (the EP serving path: expert dim 1 must stay a shardable axis —
+    shards flatten locally inside the shard_map, parallel.ep).
     """
     xs, stack = {}, {}
     for k, v in layers.items():
         if k in _EXPERT_STACK_KEYS:
-            stack[k] = v.reshape((-1,) + v.shape[2:])
+            stack[k] = v.reshape((-1,) + v.shape[2:]) if flatten else v
         else:
             xs[k] = v
+    if stack and not flatten:
+        stack["_num_layers"] = next(iter(stack.values())).shape[0]
+        return xs, stack
     if stack:
         # one-launch wo+w×a needs per-group a16 flags at GLOBAL group ids
         for bits_key, fk in (("act_bits_gateup", "flags16_gateup"),
@@ -392,16 +399,22 @@ def moe_ffn_ragged_quant(
             total_repeat_length=xs.shape[0],
         )
 
-    if (impl.fused_ffn and impl.dispatch_align and not impl.online_had
-            and not impl.mixed_weight_only
-            and _has("expert_gate_up_q") and _has("expert_down_q")
-            and "act_gsize_gateup" not in layer_params
-            and (mixed or (qcfg is not None and not isinstance(qcfg, str)
-                           and qcfg.a_bits <= 8
-                           and qcfg.w_sym and qcfg.w_gsize == -1))):
-        # ONE launch for the whole expert FFN (gmm_ffn_w8a8): the aligned
-        # dispatch guarantees every m-tile is owned by one expert, which
-        # the kernel's m-tile-outer schedule requires
+    # fused whole-FFN eligibility: per-channel SYM families only. BOTH
+    # act_gsize keys must be absent (a flex DOWN family alone would slip
+    # a grouped/asym scheme into the per-channel kernel — advisor round-4
+    # medium: its down-scale BlockSpec reads group 0 and drops zp). zp
+    # arrays may exist but are all-zero in this domain (qparams emits
+    # zeros for sym; asym/grouped families always carry act_gsize_*).
+    fused_ok = (
+        impl.fused_ffn and impl.dispatch_align and not impl.online_had
+        and not impl.mixed_weight_only
+        and "act_gsize_gateup" not in layer_params
+        and "act_gsize_down" not in layer_params
+        and (mixed or (qcfg is not None and not isinstance(qcfg, str)
+                       and qcfg.a_bits <= 8
+                       and qcfg.w_sym and qcfg.w_gsize == -1)))
+
+    def _fused_act_quant():
         if mixed:
             row_bits = jnp.take(layer_params["act_bits_gateup"], row_expert)
             aq, asc = _aquant_rows(xs, row_bits)
@@ -412,10 +425,46 @@ def moe_ffn_ragged_quant(
             aq, asc = _aquant_uniform(xs)
             abits = jnp.full((_w("expert_down_q").shape[0],),
                              min(int(qcfg.a_bits), 8), jnp.int32)
+        return aq, asc, abits
+
+    if fused_ok and _has("expert_gate_up_q") and _has("expert_down_q"):
+        # ONE launch for the whole expert FFN (gmm_ffn_w8a8): the aligned
+        # dispatch guarantees every m-tile is owned by one expert, which
+        # the kernel's m-tile-outer schedule requires
+        aq, asc, abits = _fused_act_quant()
         out = pallas_gmm.gmm_ffn_w8a8(
             aq, asc, _w("expert_gate_up_q"), _w("expert_gate_up_sc"),
             _w("expert_down_q"), _w("expert_down_sc"), disp.group_sizes,
             act_bits_down=abits, bm=impl.dispatch_align,
+            out_dtype=x2d.dtype, interpret=impl.interpret, **gkw)
+        return combine_tokens(out, disp, x2d.shape[0])
+
+    if (fused_ok and mixed and _has("expert_gate_up_qcat")
+            and _has("expert_down_qcat")):
+        # fused FFN over the PACKED ragged layout — the storage serving
+        # decode actually uses (convert --pack-int4 artifacts): one launch
+        # for gate_up -> SwiGLU -> requant -> down with w<=4 experts
+        # streaming half their weight bytes (gmm_ffn_mixed_packed)
+        aq, asc, abits = _fused_act_quant()
+        gu_cat, d_cat = _w("expert_gate_up_qcat"), _w("expert_down_qcat")
+
+        def _blkg(prefix, qcat_rows, kdim):
+            blk = layer_params[f"{prefix}_blk"]
+            if stack:
+                units = qcat_rows // n_layers // (kdim // 2)
+                blk = blk + (jnp.asarray(layer_params["_layer_index"],
+                                         jnp.int32) * units)
+            return blk
+
+        out = pallas_gmm.gmm_ffn_mixed_packed(
+            aq, asc,
+            gu_cat, _w("expert_gate_up_sc"),
+            layer_params["expert_gate_up_pf"],
+            _blkg("expert_gate_up", gu_cat.shape[0], xs.shape[-1]),
+            d_cat, _w("expert_down_sc"),
+            layer_params["expert_down_pf"],
+            _blkg("expert_down", d_cat.shape[0], gu_cat.shape[-1] // 2),
+            disp.group_sizes, act_bits_down=abits, bm=impl.dispatch_align,
             out_dtype=x2d.dtype, interpret=impl.interpret, **gkw)
         return combine_tokens(out, disp, x2d.shape[0])
 

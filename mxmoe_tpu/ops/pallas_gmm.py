@@ -2118,6 +2118,11 @@ def gmm_ffn_w8a8(
     n_half = n2 // 2
     h_out = down_q.shape[-1]
     assert down_q.shape[-2] == n_half, (down_q.shape, n_half)
+    # per-channel sym only: a grouped/asym family would silently read
+    # scale group 0 and drop zero points here (advisor round-4 medium) —
+    # backstop behind the layers.py guard
+    assert gateup_scale.shape[-2] == 1, gateup_scale.shape
+    assert down_scale.shape[-2] == 1, down_scale.shape
     bm = min(bm, m)
     bn1 = bn1 or _pick_bn_div(n2, 1536)
     bn2 = bn2 or _pick_bn_div(h_out, 1024)
@@ -2193,3 +2198,261 @@ def gmm_ffn_w8a8(
     )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
       jnp.asarray(act_bits_down, jnp.int32), meta.num_logical.reshape(1),
       lhs_q, lhs_scale, gateup_q, gateup_scale, down_q, down_scale)
+
+
+def _gmm_ffn_packed_kernel(gids, mtids, goffs, gublk_t, gupf_t, dblk_t,
+                           dpf_t, abits, nlog,
+                           lhs_ref, asc_ref, gu_cat_ref, gusc_ref,
+                           d_cat_ref, dsc_ref, out_ref,
+                           gu_ref, hq_ref, hsc_ref, acc1_ref, acc2_ref,
+                           *, bm, bn1, bn2, ng1, ng2, n_half, k2g, k2d):
+    """Fused expert FFN over the PACKED ragged weight layout.
+
+    Phase axis j (t = m-tile outer):
+
+      j in [0, 2*ng1)        gate_up: every phase pair (kt = j%2) owns
+                             one [K/2, bn1] block of the ragged buffer.
+                             Packed experts do the whole column block at
+                             kt=0 (in-VPU nibble unpack, one dot) and
+                             skip kt=1 — the index map re-addresses the
+                             same block, so Mosaic's revisit detection
+                             elides the DMA and the w<=4 traffic win
+                             survives the fusion. int8 experts run two
+                             exact half-K int32 dots (acc1 scratch).
+      j == 2*ng1             SwiGLU over the f32 gu scratch + per-row
+                             requant at this group's down a_bits
+                             (declared before the down dot below, so the
+                             shared iteration orders swiglu -> down).
+      j in [2*ng1, +2*ng2)   down: same packed/int8 phase-pair protocol
+                             against the hq scratch (acc2), s_h*s_w
+                             epilogue, masked out write.
+
+    Same numerics as gmm_ffn_w8a8 on equivalent codes (the packed dot and
+    the half-K pair are exact int32 sums)."""
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    live = t < nlog[0]
+    g = gids[t]
+    in_gu = j < 2 * ng1
+    kt = j % 2
+    jd = j - 2 * ng1
+    ktd = jd % 2
+
+    def _unpack(block):
+        p = block.astype(jnp.int32)
+        lo = ((p & 0xF) ^ 8) - 8
+        hi = (((p >> 4) & 0xF) ^ 8) - 8
+        return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+    def _gu_write(acc):
+        res = acc.astype(jnp.float32) * asc_ref[...] * gusc_ref[0]
+        gu_ref[:, pl.ds((j // 2) * bn1, bn1)] = res.astype(gu_ref.dtype)
+
+    @pl.when(live & in_gu & (gupf_t[t] == 1) & (kt == 0))
+    def _gu_packed():
+        _gu_write(jnp.dot(lhs_ref[...], _unpack(gu_cat_ref[...]),
+                          preferred_element_type=jnp.int32))
+
+    @pl.when(live & in_gu & (gupf_t[t] == 0) & (kt == 0))
+    def _gu_int8_lo():
+        acc1_ref[...] = jnp.dot(lhs_ref[:, :k2g], gu_cat_ref[...],
+                                preferred_element_type=jnp.int32)
+
+    @pl.when(live & in_gu & (gupf_t[t] == 0) & (kt == 1))
+    def _gu_int8_hi():
+        _gu_write(acc1_ref[...] + jnp.dot(lhs_ref[:, k2g:], gu_cat_ref[...],
+                                          preferred_element_type=jnp.int32))
+
+    @pl.when(live & (j == 2 * ng1))
+    def _swiglu_quant():
+        gate = gu_ref[:, :n_half].astype(jnp.float32)
+        up = gu_ref[:, n_half:].astype(jnp.float32)
+        hf = jax.nn.silu(gate) * up
+        upper = jnp.exp2(jnp.minimum(abits[g].astype(jnp.float32), 8.0)
+                         - 1.0) - 1.0
+        amax = jnp.max(jnp.abs(hf), axis=1)
+        scale = jnp.maximum(amax, 1e-8) / upper
+        hq_ref[...] = jnp.round(hf / scale[:, None]).astype(jnp.int8)
+        hsc_ref[...] = scale[:, None]
+
+    def _d_write(acc):
+        res = acc.astype(jnp.float32) * hsc_ref[...] * dsc_ref[0]
+        mask = _row_mask(mtids[t], goffs[g], goffs[g + 1], bm, bn2)
+        out_ref[...] = jnp.where(mask, res.astype(out_ref.dtype),
+                                 out_ref[...])
+
+    @pl.when(live & (jd >= 0) & (dpf_t[t] == 1) & (ktd == 0))
+    def _d_packed():
+        _d_write(jnp.dot(hq_ref[...], _unpack(d_cat_ref[...]),
+                         preferred_element_type=jnp.int32))
+
+    @pl.when(live & (jd >= 0) & (dpf_t[t] == 0) & (ktd == 0))
+    def _d_int8_lo():
+        acc2_ref[...] = jnp.dot(hq_ref[:, :k2d], d_cat_ref[...],
+                                preferred_element_type=jnp.int32)
+
+    @pl.when(live & (jd >= 0) & (dpf_t[t] == 0) & (ktd == 1))
+    def _d_int8_hi():
+        _d_write(acc2_ref[...] + jnp.dot(hq_ref[:, k2d:], d_cat_ref[...],
+                                         preferred_element_type=jnp.int32))
+
+
+def gmm_ffn_mixed_packed(
+    lhs_q: jax.Array,         # [M, K] int8 codes (per-row quantized x)
+    lhs_scale: jax.Array,     # [M, 1] f32
+    gu_cat: jax.Array,        # [R1, 2N] int8 ragged (or [L*R1, 2N] stacked)
+    gu_scale: jax.Array,      # [E(*), 1, 2N] f32
+    gu_pf: jax.Array,         # [E] int32: 1 = expert's gate_up packed
+    gu_blk: jax.Array,        # [E] K/2-unit starts (layer-global if stacked)
+    down_cat: jax.Array,      # [R2, H] int8 ragged
+    down_scale: jax.Array,    # [E(*), 1, H] f32
+    down_pf: jax.Array,       # [E] int32
+    down_blk: jax.Array,      # [E] N/2-unit starts
+    group_sizes: jax.Array,
+    act_bits_down: jax.Array | None = None,   # [E(total)] int32; None = 8
+    bm: int = 32,
+    bn1: int | None = None,
+    bn2: int | None = None,
+    out_dtype=jnp.bfloat16,
+    h_dtype=jnp.float32,
+    interpret: bool = False,
+    static_sizes=None,
+    group_base=None,
+    num_total_groups: int | None = None,
+) -> jax.Array:
+    """Whole expert FFN in ONE launch over PACKED mixed storage — the
+    layout serving decode actually uses (convert --pack-int4 artifacts).
+
+    gmm_ffn_w8a8's fusion (launch + h round-trip + act-quant pass removed)
+    composed with gmm_mixed_packed's storage (w<=4 experts stream half
+    their weight bytes): per-channel sym schemes only; grouped/asym
+    families fall through to the 2-launch flex paths (layers.py guard).
+    Requires the aligned dispatch (each m-tile owned by one expert).
+    Reference intent: silu_mul_then_quant + the packed w4 mainloops in one
+    persistent kernel (``ref_bind.cu:594-757``, ``cta_gemm.cuh:112-286``).
+    """
+    m, k = lhs_q.shape
+    assert k % 2 == 0, k
+    k2g = k // 2
+    _, n2 = gu_cat.shape
+    n_half = n2 // 2
+    assert n_half % 2 == 0, n_half
+    k2d = n_half // 2
+    h_out = down_cat.shape[-1]
+    e = group_sizes.shape[0]
+    assert gu_scale.shape[-2] == 1 and down_scale.shape[-2] == 1, (
+        gu_scale.shape, down_scale.shape)
+    bm = min(bm, m)
+    bn1 = bn1 or _pick_bn_div(n2, 1536)
+    bn2 = bn2 or _pick_bn_div(h_out, 1024)
+
+    def _vmem(bn1_, bn2_):
+        return (2 * bm * k + 2 * k2g * bn1_ + 2 * k * bn1_   # lhs, gu blk+unpack
+                + 2 * k2d * bn2_ + 2 * n_half * bn2_         # d blk + unpack
+                + bm * n2 * jnp.dtype(h_dtype).itemsize      # gu scratch
+                + bm * n_half + bm * 4                       # hq, hsc
+                + 4 * bm * (bn1_ + bn2_)                     # acc1, acc2
+                + 2 * bm * bn2_ * jnp.dtype(out_dtype).itemsize)
+
+    while bn1 > 128 and _vmem(bn1, bn2) > _VMEM_LIMIT:
+        bn1 = _pick_bn_div(n2, bn1 // 2)
+    while bn2 > 128 and _vmem(bn1, bn2) > _VMEM_LIMIT:
+        bn2 = _pick_bn_div(h_out, bn2 // 2)
+    assert n2 % bn1 == 0 and h_out % bn2 == 0, (n2, bn1, h_out, bn2)
+    ng1, ng2 = n2 // bn1, h_out // bn2
+    _check_vmem(
+        "gmm_ffn_mixed_packed",
+        (bm * k, True), (bm * 4, True),
+        (k2g * bn1, True), (k * bn1 * 2, False), (4 * bn1, True),
+        (k2d * bn2, True), (n_half * bn2 * 2, False), (4 * bn2, True),
+        (bm * n2 * jnp.dtype(h_dtype).itemsize, False),
+        (bm * n_half, False), (bm * 4, False),
+        (bm * bn1 * 4, False), (bm * bn2 * 4, False),
+        (bm * bn2 * jnp.dtype(out_dtype).itemsize, True),
+    )
+
+    meta, grid2 = _metadata_and_grid(group_sizes, static_sizes, m, bm,
+                                     bn2, bn2)
+    num_tiles = grid2[1]
+    # per-TILE block starts / pack flags (local group ids, BEFORE the
+    # layer-global shift: pf arrays are per-layer [E], blk arrives
+    # layer-global from the caller)
+    glocal = meta.group_ids
+    gublk_t = jnp.take(jnp.asarray(gu_blk, jnp.int32), glocal)
+    gupf_t = jnp.take(jnp.asarray(gu_pf, jnp.int32), glocal)
+    dblk_t = jnp.take(jnp.asarray(down_blk, jnp.int32), glocal)
+    dpf_t = jnp.take(jnp.asarray(down_pf, jnp.int32), glocal)
+    if group_base is not None:
+        assert num_total_groups is not None
+        meta = _globalize_meta(meta, group_base, num_total_groups)
+    if act_bits_down is None:
+        act_bits_down = jnp.full((num_total_groups or e,), 8, jnp.int32)
+
+    kernel = functools.partial(_gmm_ffn_packed_kernel, bm=bm, bn1=bn1,
+                               bn2=bn2, ng1=ng1, ng2=ng2, n_half=n_half,
+                               k2g=k2g, k2d=k2d)
+    grid = (num_tiles, 2 * ng1 + 2 * ng2)
+    # prefetch order: gids, mtids, goffs, gublk_t, gupf_t, dblk_t, dpf_t,
+    # abits, nlog -> index-map s[0..8]
+    two_ng1 = 2 * ng1
+
+    def _gu_row(t, j, *s):
+        jj = jnp.clip(j, 0, two_ng1 - 1)
+        return s[3][t] + (jj % 2) * (1 - s[4][t])
+
+    def _gu_col(t, j, *s):
+        return jnp.clip(j, 0, two_ng1 - 1) // 2
+
+    def _d_row(t, j, *s):
+        jj = jnp.clip(j - two_ng1, 0, 2 * ng2 - 1)
+        return s[5][t] + (jj % 2) * (1 - s[6][t])
+
+    def _d_col(t, j, *s):
+        return jnp.clip(j - two_ng1, 0, 2 * ng2 - 1) // 2
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda t, j, *s: (s[1][t], 0)),
+                pl.BlockSpec((bm, 1), lambda t, j, *s: (s[1][t], 0)),
+                pl.BlockSpec((k2g, bn1),
+                             lambda t, j, *s: (_gu_row(t, j, *s),
+                                               _gu_col(t, j, *s))),
+                pl.BlockSpec((1, 1, bn1),
+                             lambda t, j, *s: (s[0][t], 0,
+                                               _gu_col(t, j, *s))),
+                pl.BlockSpec((k2d, bn2),
+                             lambda t, j, *s: (_d_row(t, j, *s),
+                                               _d_col(t, j, *s))),
+                pl.BlockSpec((1, 1, bn2),
+                             lambda t, j, *s: (s[0][t], 0,
+                                               _d_col(t, j, *s))),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn2), lambda t, j, *s: (s[1][t], _d_col(t, j, *s))),
+            scratch_shapes=[
+                pltpu.VMEM((bm, n2), jnp.dtype(h_dtype)),
+                pltpu.VMEM((bm, n_half), jnp.int8),
+                pltpu.VMEM((bm, 1), jnp.float32),
+                pltpu.VMEM((bm, bn1), jnp.int32),
+                pltpu.VMEM((bm, bn2), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, h_out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * (k * n2 + n_half * h_out) // max(e, 1),
+            bytes_accessed=m * k + gu_cat.shape[0] * n2
+            + down_cat.shape[0] * h_out,
+            transcendentals=m * n_half,
+        ),
+        interpret=interpret,
+    )(meta.group_ids, meta.m_tile_ids, meta.group_offsets,
+      gublk_t, gupf_t, dblk_t, dpf_t,
+      jnp.asarray(act_bits_down, jnp.int32), meta.num_logical.reshape(1),
+      lhs_q, lhs_scale, gu_cat, gu_scale, down_cat, down_scale)

@@ -850,3 +850,99 @@ def test_gmm_ffn_stacked_metadata():
             interpret=INTERPRET, group_base=jnp.asarray(layer * e),
             num_total_groups=L * e)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_gmm_ffn_mixed_packed_bitwise_vs_int8_ffn():
+    """gmm_ffn_mixed_packed on a packed w4/w8 mix is BITWISE-identical to
+    gmm_ffn_w8a8 on the equivalent int8-stored codes: the nibble dot and
+    the half-K int8 pair are exact int32 sums and both kernels keep h in
+    VMEM f32 with the same requant math."""
+    from mxmoe_tpu.quant import packing
+
+    e, k, nh, hout, bm = 5, 256, 256, 256, 32
+    m = 192
+    gs = jnp.array([64, 0, 32, 64, 32], jnp.int32)
+    pf = np.array([1, 0, 1, 0, 1], np.int64)
+    rng = np.random.default_rng(3)
+
+    def mk_codes(kk, nn):
+        c = rng.integers(-127, 128, (e, kk, nn)).astype(np.int8)
+        for ei in range(e):
+            if pf[ei]:
+                c[ei] = np.clip(c[ei], -8, 7)
+        sc = rng.uniform(0.005, 0.02, (e, 1, nn)).astype(np.float32)
+        return jnp.asarray(c), jnp.asarray(sc)
+
+    wgu_q, wgu_sc = mk_codes(k, 2 * nh)
+    wd_q, wd_sc = mk_codes(nh, hout)
+    gu_cat, gu_blk = packing.build_ragged_mixed(wgu_q, pf)
+    d_cat, d_blk = packing.build_ragged_mixed(wd_q, pf)
+    bits_down = jnp.array([4, 8, 8, 4, 6], jnp.int32)
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (m, k), jnp.float32)
+    aq, asc = _qact_rows(x, jnp.full((m,), 8.0))
+
+    ref = pallas_gmm.gmm_ffn_w8a8(
+        aq, asc, wgu_q, wgu_sc, wd_q, wd_sc, gs,
+        act_bits_down=bits_down, bm=bm, out_dtype=jnp.float32,
+        interpret=INTERPRET)
+    out = pallas_gmm.gmm_ffn_mixed_packed(
+        aq, asc, gu_cat, wgu_sc, jnp.asarray(pf, jnp.int32),
+        jnp.asarray(gu_blk, jnp.int32),
+        d_cat, wd_sc, jnp.asarray(pf, jnp.int32),
+        jnp.asarray(d_blk, jnp.int32),
+        gs, act_bits_down=bits_down, bm=bm, out_dtype=jnp.float32,
+        interpret=INTERPRET)
+    rows = int(gs.sum())
+    np.testing.assert_array_equal(np.asarray(out)[:rows],
+                                  np.asarray(ref)[:rows])
+
+
+def test_gmm_ffn_mixed_packed_stacked_metadata():
+    """Layer-stacked packed ragged buffers (group_base + layer-global blk
+    offsets) select the right layer's experts — the decode-loop layout."""
+    from mxmoe_tpu.quant import packing
+
+    L, e, k, nh, hout, bm = 3, 4, 128, 128, 128, 32
+    m = 128
+    gs = jnp.array([32, 32, 0, 64], jnp.int32)
+    pf = np.array([1, 0, 0, 1], np.int64)
+    rng = np.random.default_rng(9)
+
+    def mk_codes(kk, nn):
+        c = rng.integers(-127, 128, (L, e, kk, nn)).astype(np.int8)
+        for ei in range(e):
+            if pf[ei]:
+                c[:, ei] = np.clip(c[:, ei], -8, 7)
+        sc = rng.uniform(0.005, 0.02, (L, e, 1, nn)).astype(np.float32)
+        return c, jnp.asarray(sc)
+
+    gu_c, gu_sc = mk_codes(k, 2 * nh)
+    d_c, d_sc = mk_codes(nh, hout)
+    gu_cat, gu_blk, _ = packing.pack_ragged_stack(list(gu_c), [pf] * L)
+    d_cat, d_blk, _ = packing.pack_ragged_stack(list(d_c), [pf] * L)
+    gu_units = gu_cat.shape[1] // (k // 2)
+    d_units = d_cat.shape[1] // (nh // 2)
+    gu_flat = gu_cat.reshape(-1, 2 * nh)
+    d_flat = d_cat.reshape(-1, hout)
+    bits = jnp.full((L * e,), 8, jnp.int32)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (m, k), jnp.float32)
+    aq, asc = _qact_rows(x, jnp.full((m,), 8.0))
+    pfd = jnp.asarray(pf, jnp.int32)
+
+    for layer in (0, 2):
+        ref = pallas_gmm.gmm_ffn_mixed_packed(
+            aq, asc, gu_cat[layer], gu_sc[layer], pfd, gu_blk[layer],
+            d_cat[layer], d_sc[layer], pfd, d_blk[layer],
+            gs, act_bits_down=bits[:e], bm=bm, out_dtype=jnp.float32,
+            interpret=INTERPRET)
+        out = pallas_gmm.gmm_ffn_mixed_packed(
+            aq, asc, gu_flat, gu_sc.reshape(L * e, 1, -1), pfd,
+            gu_blk[layer] + layer * gu_units,
+            d_flat, d_sc.reshape(L * e, 1, -1), pfd,
+            d_blk[layer] + layer * d_units,
+            gs, act_bits_down=bits, bm=bm, out_dtype=jnp.float32,
+            interpret=INTERPRET, group_base=jnp.asarray(layer * e),
+            num_total_groups=L * e)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

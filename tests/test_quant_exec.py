@@ -514,3 +514,58 @@ def test_flex_mixed_serving_decode_packed_matches_int8():
         return [eng.result(r) for r in rids]
 
     assert run(qpp) == run(qp8)
+
+
+def test_moe_block_fused_ffn_dispatch_parity():
+    """END-TO-END fused-FFN dispatch (advisor round-4 low: only kernel-
+    level coverage existed): moe_block with MoEImpl(fused_ffn=True,
+    dispatch_align) matches the 2-launch path for uniform w8a8, mixed
+    int8-stored, and mixed PACKED artifacts — and a FLEX-DOWN mix (the
+    advisor's silent-wrong-output hole) must fall back to the flex path
+    bit-identically instead of entering the per-channel fused kernel."""
+    import dataclasses
+
+    from mxmoe_tpu.quant.schemes import (
+        QExpertConfig, QLayerConfig, QModelConfig, parse_scheme)
+
+    cfg = dataclasses.replace(
+        configs.tiny_qwen2_moe(num_experts=4, num_layers=1),
+        moe_intermediate_size=128)
+    params = model.init_params(cfg, jax.random.PRNGKey(31), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(32), (1, 64, cfg.hidden_size),
+                          jnp.float32)
+
+    def run(lp, quant, fused):
+        impl = MoEImpl(kind="ragged", quant=quant, interpret=INTERPRET,
+                       dispatch_align=32, fused_ffn=fused)
+        return np.asarray(moe_block(x, lp, cfg, impl)[0])
+
+    def mixed_lp(schemes, pack):
+        qmodel = QModelConfig(layers={"0": QLayerConfig(experts={
+            str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
+            for e in range(4)})})
+        qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
+                                                  pack_w4=pack)
+        return {k: v[0] for k, v in qp["layers"].items()}
+
+    # uniform w8a8
+    ucfg = QLinearConfig(w_bits=8, w_gsize=-1, w_sym=True, a_bits=8, a_sym=True)
+    ulp = {k: v[0] for k, v in
+           qparams.quantize_model_experts_uniform(params, ucfg)["layers"].items()}
+    np.testing.assert_allclose(run(ulp, ucfg, True), run(ulp, ucfg, False),
+                               rtol=3e-2, atol=3e-2)
+
+    # mixed w4/w8, int8-stored and packed
+    for pack in (False, True):
+        lp = mixed_lp(["w4a4_g-1_sym", "w8a8_g-1_sym"], pack)
+        np.testing.assert_allclose(run(lp, "mixed", True),
+                                   run(lp, "mixed", False),
+                                   rtol=3e-2, atol=3e-2)
+
+    # FLEX down family (grouped asym down, per-channel sym gate): the
+    # fused guard must reject -> identical execution to fused_ffn=False
+    for pack in (False, True):
+        lp = mixed_lp(["w8a8_g-1_sym", "w4a4_g16_asym"], pack)
+        assert "act_gsize_down" in lp or "act_gsize_gateup" in lp
+        np.testing.assert_array_equal(run(lp, "mixed", True),
+                                      run(lp, "mixed", False))
