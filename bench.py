@@ -523,13 +523,19 @@ def main():
         qstep, qstate, qconsts = _w8a8_step_factory(qoperands)
         ro = bench_fn_chained(qstep, qstate, consts=qconsts)
         metric = "qwen2_moe_l10_bs8192_moe_ffn_w8a8_pallas"
-    # Sanity bound: the v5e MXU int8 peak is ~394 TOPS; any slope sample
-    # implying more is the tunnel's documented glitch mode (PERF.md
-    # "timing protocol": 565-"TFLOPS" readings), not a measurement.
-    # Reject those, report the surviving 5-median BAND alongside the
-    # median (round-3 verdict weak #3 / task 6).
+    # Sanity bound: reject glitch samples against the tightest bound we
+    # can defend. For the mixed headline that is the WORKLOAD's own
+    # roofline — 3.73 ms floor = 304 TFLOPS (PERF.md "Roofline": routed +
+    # shared compute at the 394-TOPS MXU peak + act-quant HBM) — with a
+    # 2 % noise margin; a sample above it is the tunnel's documented
+    # glitch mode, not a measurement (round-4 verdict weak #3: a 309.5
+    # sample leaked into the published band under the chip-peak bound).
+    # The uniform-w8a8 mode has no derived workload roofline on record
+    # and keeps the chip peak.
+    WORKLOAD_ROOFLINE_TFLOPS = 304.0
+    bound = (WORKLOAD_ROOFLINE_TFLOPS * 1.02 if mode == "mixed" else 394.0)
     n_raw = len(ro.samples_ms)
-    ro = ro.sane(total_flops, peak_tflops=394.0)
+    ro = ro.sane(total_flops, peak_tflops=bound)
     ours_tflops = ro.tflops(total_flops)
     band = sorted(total_flops / (s * 1e-3) / 1e12 for s in ro.samples_ms)
 
@@ -539,6 +545,8 @@ def main():
         "unit": "TFLOPS",
         "vs_baseline": round(ours_tflops / base_tflops, 4),
         "band": [round(band[0], 1), round(band[-1], 1)],
+        "bound_tflops": round(bound, 1),
+        "bound_kind": "workload_roofline" if mode == "mixed" else "chip_peak",
         "samples_kept": ro.repeats,
         "samples_rejected": n_raw - ro.repeats,
     }))

@@ -310,6 +310,65 @@ def validate_decode(rates):
     return launch_ms, unpack_gops, results, worst
 
 
+def fit_launch(rates):
+    """DIRECT launch-count differential at decode M (round-4 weak #4:
+    ``launch_ms`` was fit to 0.0 while PERF.md blamed part of the decode
+    gap on '2-launch/layer ramps' — one of the two had to be wrong).
+
+    The SAME total GMM work split into j column-slice launches,
+    j in (1, 2, 4, 8): weight bytes and FLOPs are j-invariant; each extra
+    launch re-reads the [M, K] acts + scales (subtracted at the fitted
+    HBM rate), so the residual least-squares slope over j IS the
+    per-launch ramp. Match: the reference keys cost tables by wave count
+    for the same reason (``bits_solver.py:533-537``)."""
+    e, kk, nn, rows = 60, 2048, 1024, 32
+    kw1, kw2 = jax.random.split(jax.random.PRNGKey(3))
+    wq = jax.random.randint(kw1, (e, kk, nn), -127, 128, jnp.int8)
+    wsc = jax.random.uniform(kw2, (e, 1, nn), jnp.float32, 0.01, 0.02)
+    m = e * rows
+    lhs = jax.random.normal(kw1, (m, kk), jnp.bfloat16)
+    bits = jnp.full((m,), 8.0, jnp.float32)
+    gs = tuple([rows] * e)
+    state0 = {"s": jnp.zeros((1,), jnp.float32)}
+
+    meas = []
+    js = (1, 2, 4, 8)
+    for j in js:
+        nj = nn // j
+        consts = [{"lhs": lhs, "bits": bits,
+                   **{f"wq{i}": wq[:, :, i * nj:(i + 1) * nj]
+                      for i in range(j)},
+                   **{f"wsc{i}": wsc[:, :, i * nj:(i + 1) * nj]
+                      for i in range(j)}}]
+
+        def step(state, cc, j=j, nj=nj):
+            aq, asc = quantize_rows(cc[0]["lhs"], cc[0]["bits"],
+                                    gain=1 + 1e-3 * state["s"][0])
+            outs = [pallas_gmm.gmm_w8a8(
+                aq, asc, cc[0][f"wq{i}"], cc[0][f"wsc{i}"],
+                jnp.asarray(gs, jnp.int32), bm=rows, bn=nj,
+                static_sizes=gs, aligned=True) for i in range(j)]
+            return bench._chain_feedback([outs])
+
+        t = float(np.median([bench_step_chained(
+            step, state0, consts=consts, repeats=3,
+            target_s=0.25).median_ms for _ in range(3)]))
+        meas.append(t)
+        print(f"launch-fit j={j}: {t:.3f} ms", flush=True)
+
+    # t(j) = base + j * (launch + act_reread); subtract the known reread
+    xs = np.array(js, np.float64)
+    ys = np.array(meas, np.float64)
+    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
+                  / ((xs - xs.mean()) ** 2).sum())
+    reread_ms = (m * kk + m * 4) / (rates["hbm_gbps_eff"] * 1e9) * 1e3
+    launch_ms = max(slope - reread_ms, 0.0)
+    print(f"launch-fit: slope {slope * 1e3:.1f} us/launch, act reread "
+          f"{reread_ms * 1e3:.1f} us -> launch_ms {launch_ms * 1e3:.1f} us",
+          flush=True)
+    return launch_ms
+
+
 def decode_packed_ab():
     """Decode-regime: packed mixed launch vs int8-stored one-launch."""
     e, kk, nn, rows = 60, 2048, 1408, 32
@@ -355,6 +414,15 @@ def decode_packed_ab():
 
 def main():
     out = os.path.join(REPO, "perf", "onelaunch_model.json")
+    if "--launch-only" in sys.argv:
+        with open(out) as f:
+            rates = json.load(f)
+        launch_ms = fit_launch(rates)
+        rates["launch_ms"] = round(launch_ms, 4)
+        with open(out, "w") as f:
+            json.dump({k: round(v, 4) for k, v in rates.items()}, f, indent=2)
+        print(f"launch_ms -> {out}", flush=True)
+        return
     if "--skip-fit" in sys.argv and os.path.exists(out):
         with open(out) as f:
             rates = json.load(f)
@@ -367,9 +435,9 @@ def main():
     ok = validate(rates) if "--skip-validate" not in sys.argv else None
     dec_ok = None
     if "--skip-decode-val" not in sys.argv:
-        launch_ms, unpack_gops, _, worst = validate_decode(rates)
-        rates["launch_ms"] = round(launch_ms, 4)
+        _, unpack_gops, _, worst = validate_decode(rates)
         rates["unpack_gops"] = round(unpack_gops, 2)
+        rates["launch_ms"] = round(fit_launch(rates), 4)
         dec_ok = worst <= 0.12
         with open(out, "w") as f:
             json.dump({k: round(v, 4) for k, v in rates.items()}, f, indent=2)
