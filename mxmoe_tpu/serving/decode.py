@@ -230,7 +230,7 @@ def _layer_xs_and_stack(params: dict, impl: MoEImpl):
     if impl.quant is None:
         return params["layers"], {}
     if impl.ep_moe is not None:
-        if impl.quant == "mixed":
+        if impl.quant == "mixed" and not impl.mixed_weight_only:
             return split_expert_stack(params["layers"], flatten=False)
         return params["layers"], {}
     return split_expert_stack(params["layers"])

@@ -116,6 +116,16 @@ class Engine:
                 # can't drop tokens even under a uniform trace
                 ep_cfg = EPConfig(axis=axis, capacity_factor=max(cap, 2.0))
             lp = params["layers"]
+            if "expert_gate_up_qcat" in lp and "act_bits_gateup" in lp:
+                mb = max(float(np.asarray(lp["act_bits_gateup"]).max()),
+                         float(np.asarray(lp["act_bits_down"]).max()))
+                if mb > 8:
+                    raise ValueError(
+                        "mesh serving of PACKED a16-containing mixes is "
+                        f"unsupported (max act bits {mb:g}): the packed "
+                        "ragged layout has no weight-only kernel — "
+                        "convert without --pack-int4 (int8-stored codes "
+                        "serve a16 mixes over the mesh via the wo path).")
             if "expert_gate_up_qcat" in lp:
                 # packed mixed artifact: reshard the GLOBAL ragged buffers
                 # into per-shard buffers with local block offsets (once,
@@ -149,19 +159,18 @@ class Engine:
                 quantized = "mixed-packed"
             elif "expert_gate_up_q" in lp and "act_bits_gateup" in lp:
                 quantized = "mixed"     # per-expert schemes over the A2A
-                # a16 weight-only experts need the bf16 fused path, which
-                # the EP mixed block doesn't carry — quantize_rows would
-                # silently clip their act bits to 8 (numeric divergence
-                # from single-chip on exactly the experts kept at a16)
                 max_bits = max(float(np.asarray(lp["act_bits_gateup"]).max()),
                                float(np.asarray(lp["act_bits_down"]).max()))
                 if max_bits > 8:
-                    raise ValueError(
-                        "mesh serving of mixed models requires pure w×a "
-                        f"mixes (all act bits <= 8, got max {max_bits:g}): "
-                        "a16 weight-only experts have no EP weight-only "
-                        "path yet — serve single-chip (mixed_weight_only) "
-                        "or re-solve with w×a schemes only.")
+                    # a16 weight-only experts: ship bf16 rows over the
+                    # A2A and run the fused wo+w×a launch per shard
+                    # (parallel.ep.moe_ffn_ep_wo) — the int8 wire would
+                    # silently clip their act bits. mixed_weight_only is
+                    # forced so the decode path skips the weight stack
+                    # (flags16 are per-layer) and prefill matches.
+                    quantized = "mixed-wo"
+                    ep_cfg = dataclasses.replace(ep_cfg, wo_mix=True)
+                    impl = dataclasses.replace(impl, mixed_weight_only=True)
             else:
                 quantized = "expert_gate_up_q" in lp
             # non-divisible expert counts (the flagship's 60 on a power-of-

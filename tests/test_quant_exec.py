@@ -569,3 +569,52 @@ def test_moe_block_fused_ffn_dispatch_parity():
         assert "act_gsize_down" in lp or "act_gsize_gateup" in lp
         np.testing.assert_array_equal(run(lp, "mixed", True),
                                       run(lp, "mixed", False))
+
+
+def test_shared_expert_grouped_asym_real_storage():
+    """Round-4 missing #5: grouped/asym shared schemes must REAL-quantize
+    (int codes + [G, N] scales + zp) instead of falling back to
+    fake-quantized bf16 weights, and the real forward must match the fake
+    protocol. The flex forward test already runs this path end-to-end;
+    here the STORAGE is pinned so a silent fallback regression fails."""
+    from mxmoe_tpu.quant.quantizer import quantize_model_fake
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=2)
+    params = model.init_params(cfg, jax.random.PRNGKey(51), dtype=jnp.float32)
+    qmodel = _flex_qmodel(2, 4, ["w4a4_g16_asym", "w8a8_g-1_sym"])
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lp = qp["layers"]
+    # shared (index 4) got w4a4_g16_asym -> REAL grouped+asym storage
+    assert "shared_gate_up_q" in lp and "shared_gate_up" not in lp
+    assert lp["shared_gate_up_sc"].shape[-2] == cfg.hidden_size // 16
+    assert "shared_gate_up_zp" in lp
+    assert "shared_wo" not in lp
+    # and per-channel sym shared mixes keep the K-split layout (G == 1)
+    qmodel_pc = _flex_qmodel(2, 4, ["w8a8_g-1_sym"])
+    lp_pc = qparams.quantize_model_experts_mixed(params, cfg,
+                                                 qmodel_pc)["layers"]
+    assert lp_pc["shared_gate_up_sc"].shape[-2] == 1
+    assert "shared_gate_up_zp" not in lp_pc
+
+
+def test_shared_expert_a16_weight_only_real():
+    """a16 shared schemes (weight-only) serve REAL through the E=1
+    weight-only launch (shared_wo marker) and match the fake protocol."""
+    from mxmoe_tpu.models.layers import shared_expert_ffn
+    from mxmoe_tpu.quant.quantizer import quantize_model_fake
+
+    cfg = configs.tiny_qwen2_moe(num_experts=4, num_layers=1)
+    params = model.init_params(cfg, jax.random.PRNGKey(52), dtype=jnp.float32)
+    qmodel = _flex_qmodel(1, 4, ["w4a16_g16_asym"])
+    qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel)
+    lp = {k: v[0] for k, v in qp["layers"].items()}
+    assert "shared_wo" in lp and "shared_gate_up_q" in lp
+
+    fake = quantize_model_fake(params, cfg, qmodel, method="rtn")
+    flp = {k: v[0] for k, v in fake["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(53), (16, cfg.hidden_size),
+                          jnp.float32)
+    ref = shared_expert_ffn(x, flp, cfg, interpret=INTERPRET)
+    got = shared_expert_ffn(x, lp, cfg, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)

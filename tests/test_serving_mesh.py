@@ -113,31 +113,51 @@ def test_mesh_engine_mixed_model_decodes_like_single_device():
     assert got == ref, (got, ref)
 
 
-def test_mesh_engine_rejects_a16_mixed_artifacts():
-    """Loud failure instead of silent mis-execution: a16 weight-only
-    experts have no EP weight-only path (quantize_rows would clip their
-    acts to int8 and diverge from single-chip)."""
+def test_mesh_engine_a16_mixed_decodes_like_single_device():
+    """a16-containing mixes over the mesh (round-4 missing #5, mesh half):
+    bf16 rows ride the A2A and each shard runs the fused wo+w×a launch
+    (parallel.ep.moe_ffn_ep_wo) — greedy decode must match the
+    single-chip mixed_weight_only path exactly. PACKED a16 artifacts
+    still fail loudly (no packed weight-only kernel)."""
     if len(jax.devices()) < 4:
         pytest.skip("needs a multi-device mesh")
     from mxmoe_tpu.quant import qparams
     from mxmoe_tpu.quant.schemes import (QExpertConfig, QLayerConfig,
                                          QModelConfig, parse_scheme)
 
-    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=1)
+    cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
     params = model.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
     mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
-    ecfg = EngineConfig(batch_slots=4, max_len=32)
-    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    ecfg = EngineConfig(batch_slots=4, max_len=32, temperature=0.0)
+    impl = MoEImpl(kind="ragged", quant="mixed", mixed_weight_only=True,
+                   interpret=INTERPRET)
 
     def qm(schemes):
-        return QModelConfig(layers={"0": QLayerConfig(experts={
+        return QModelConfig(layers={str(l): QLayerConfig(experts={
             str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
-            for e in range(8)})})
+            for e in range(8)}) for l in range(2)})
 
     wo = qparams.quantize_model_experts_mixed(
         params, cfg, qm(["w4a16_g-1_sym", "w8a8_g-1_sym"]))
-    with pytest.raises(ValueError, match="act bits"):
-        Engine(wo, cfg, ecfg, impl, mesh=mesh)
+    ep_cfg = EPConfig(axis="expert", capacity_factor=float(cfg.num_experts))
+    prompts = [[3, 14, 15], [6, 5, 35, 8], [9, 7], [31, 4, 1, 5]]
+
+    def run(mesh_arg):
+        eng = Engine(wo, cfg, ecfg, impl, mesh=mesh_arg,
+                     ep_cfg=ep_cfg if mesh_arg is not None else None)
+        rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+        eng.run_to_completion()
+        return [eng.result(r) for r in rids]
+
+    ref = run(None)
+    got = run(mesh)
+    assert got == ref, (got, ref)
+
+    # packed a16 artifacts cannot even be built (quantizer refuses), and
+    # the Engine carries a second loud guard should one ever appear
+    with pytest.raises(AssertionError, match="pack_w4 requires"):
+        qparams.quantize_model_experts_mixed(
+            params, cfg, qm(["w4a16_g-1_sym", "w8a8_g-1_sym"]), pack_w4=True)
 
 
 def test_mesh_engine_packed_mixed_decodes_like_single_device():
@@ -289,9 +309,11 @@ def test_mesh_engine_flex_mixed_decodes_like_single_device(packed):
     cfg = configs.tiny_qwen2_moe(num_experts=8, num_layers=2)
     params = model.init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
     schemes = ["w4a4_g16_asym", "w8a8_g-1_sym"]
+    # index 8 = SHARED expert with a grouped asym scheme: real grouped
+    # shared storage (round-4 missing #5) must also serve over the mesh
     qmodel = QModelConfig(layers={str(l): QLayerConfig(experts={
         str(e): QExpertConfig(*([parse_scheme(schemes[e % 2])] * 3))
-        for e in range(8)
+        for e in range(9)
     }) for l in range(2)})
     qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
                                               pack_w4=packed)
