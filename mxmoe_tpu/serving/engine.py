@@ -223,6 +223,15 @@ class Engine:
         self._next_req = 0
         self._last_tokens = np.zeros((ecfg.batch_slots,), np.int32)
         self._results: dict[int, list[int]] = {}
+        # Host mirror of per-slot cache lengths: under multi-process
+        # serving the slot-sharded lengths are not addressable from one
+        # process, and the device update (min(len + valid, max_len)) is
+        # exactly reproducible on the host. Every process runs identical
+        # bookkeeping, so engine decisions stay consistent cluster-wide.
+        self._host_len = np.zeros((ecfg.batch_slots,), np.int64)
+        self._zero_slots = jax.jit(lambda lens, idx: lens.at[idx].set(0))
+        self._sample_last = jax.jit(lambda lg, key: sample_tokens(
+            lg[:, -1], key, ecfg.temperature, ecfg.top_k))
 
         # donate the cache: without it every step copies the whole
         # stacked KV cache input->output (the copy the in-place scatter
@@ -248,10 +257,12 @@ class Engine:
         p = self.ecfg.prefill_chunk
         prompt = prompt[-(self.ecfg.max_len - max_new_tokens - 1):]
 
-        # zero this slot's length before prefill (fresh sequence)
-        lengths = np.array(self.cache.lengths)
-        lengths[slot] = 0
-        self.cache = type(self.cache)(*self.cache[:-1], jnp.asarray(lengths))
+        # zero this slot's length before prefill (fresh sequence);
+        # in-place on device (multi-process arrays are not host-readable)
+        self.cache = type(self.cache)(
+            *self.cache[:-1],
+            self._zero_slots(self.cache.lengths, self._rep([slot])))
+        self._host_len[slot] = 0
 
         # long prompts stream through fixed-shape batch-1 chunks (compiled
         # once); only this slot's cache rows are touched
@@ -261,11 +272,13 @@ class Engine:
             chunk = np.zeros((1, p), np.int32)
             chunk[0, : len(piece)] = piece
             logits, self.cache = self._prefill(
-                self.params, jnp.asarray(chunk), self.cache,
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray([len(piece)], jnp.int32),
+                self.params, self._rep(chunk), self.cache,
+                self._rep(np.int32(slot)),
+                self._rep(np.asarray([len(piece)], np.int32)),
             )
-            last = np.asarray(logits)[0, len(piece) - 1]
+            last = self._to_np(logits)[0, len(piece) - 1]
+            self._host_len[slot] = min(self._host_len[slot] + len(piece),
+                                       self.ecfg.max_len)
         first_tok = int(np.argmax(last)) if self.ecfg.temperature <= 0 else (
             int(np.asarray(sample_tokens(jnp.asarray(last[None]),
                                          self._split_key(),
@@ -301,9 +314,10 @@ class Engine:
         prompts = [
             pr[-(self.ecfg.max_len - max_new_tokens - 1):] for pr in prompts
         ]
-        lengths = np.array(self.cache.lengths)
-        lengths[assigned] = 0
-        self.cache = type(self.cache)(*self.cache[:-1], jnp.asarray(lengths))
+        self.cache = type(self.cache)(
+            *self.cache[:-1],
+            self._zero_slots(self.cache.lengths, self._rep(assigned)))
+        self._host_len[assigned] = 0
 
         rids = []
         maxlen = max(len(pr) for pr in prompts)
@@ -316,10 +330,14 @@ class Engine:
                 chunk[slot, : len(piece)] = piece
                 valid[slot] = len(piece)
             logits, self.cache = self._batch_prefill(
-                self.params, jnp.asarray(chunk), self.cache,
-                valid_lengths=jnp.asarray(valid),
+                self.params, self._rep(chunk), self.cache,
+                valid_lengths=self._rep(valid),
             )
-            logits = np.asarray(logits)
+            logits = self._to_np(logits)
+            for slot in range(b):
+                self._host_len[slot] = min(
+                    self._host_len[slot] + int(valid[slot]),
+                    self.ecfg.max_len)
             for slot, pr in zip(assigned, prompts):
                 n_new = valid[slot]
                 if n_new > 0:
@@ -345,22 +363,43 @@ class Engine:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _rep(self, a):
+        """Host value -> jit-ready operand. Multi-process meshes require
+        every jit input to be a GLOBAL array; host values are identical
+        on all processes, so a replicated device_put is exact."""
+        if self._mesh is None or jax.process_count() == 1:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        a = np.asarray(a)
+        return jax.device_put(
+            a, NamedSharding(self._mesh, P(*([None] * a.ndim))))
+
+    def _to_np(self, a) -> np.ndarray:
+        """Device -> host; allgathers first when this process cannot
+        address every shard (multi-process mesh serving)."""
+        if getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
     # -- decode loop -------------------------------------------------------
     def step(self) -> int:
         """One decode step for all active slots; returns #active."""
         active = [i for i, s in enumerate(self.slots) if s.active]
         if not active:
             return 0
-        toks = jnp.asarray(self._last_tokens[:, None])
-        valid = jnp.asarray(
-            [1 if s.active else 0 for s in self.slots], jnp.int32
-        )
+        toks = self._rep(self._last_tokens[:, None])
+        valid = self._rep(np.asarray(
+            [1 if s.active else 0 for s in self.slots], np.int32))
         logits, self.cache = self._decode(
             self.params, toks, self.cache, valid_lengths=valid,
         )
-        nxt = sample_tokens(logits[:, -1], self._split_key(),
-                            self.ecfg.temperature, self.ecfg.top_k)
-        nxt = np.asarray(nxt)
+        nxt = self._to_np(self._sample_last(logits,
+                                            self._rep(self._split_key())))
+        for i in active:
+            self._host_len[i] = min(self._host_len[i] + 1, self.ecfg.max_len)
         for i in active:
             tok = int(nxt[i])
             st = self.slots[i]
@@ -369,7 +408,7 @@ class Engine:
             done = (
                 len(st.generated) >= st.max_new
                 or (self.ecfg.eos_token is not None and tok == self.ecfg.eos_token)
-                or int(self.cache.lengths[i]) >= self.ecfg.max_len - 1
+                or int(self._host_len[i]) >= self.ecfg.max_len - 1
             )
             if done:
                 self._results[st.request_id] = st.generated
@@ -394,12 +433,14 @@ class Engine:
                 decode_scan, n_steps=n, cfg=self.cfg, impl=self.impl,
                 temperature=self.ecfg.temperature, top_k=self.ecfg.top_k,
             ), donate_argnums=2)
-        valid = jnp.asarray(
-            [1 if s.active else 0 for s in self.slots], jnp.int32)
+        valid = self._rep(np.asarray(
+            [1 if s.active else 0 for s in self.slots], np.int32))
         toks, self.cache = self._decode_scan[n](
-            self.params, jnp.asarray(self._last_tokens), self.cache,
-            valid=valid, rng=self._split_key())
-        toks = np.asarray(toks)                       # [B, n]
+            self.params, self._rep(self._last_tokens), self.cache,
+            valid=valid, rng=self._rep(self._split_key()))
+        toks = self._to_np(toks)                      # [B, n]
+        for i in active:
+            self._host_len[i] = min(self._host_len[i] + n, self.ecfg.max_len)
         for i in active:
             st = self.slots[i]
             for t in toks[i]:
@@ -412,7 +453,7 @@ class Engine:
                     self._results[st.request_id] = st.generated
                     st.active = False
                     break
-            if st.active and int(self.cache.lengths[i]) >= self.ecfg.max_len - 1:
+            if st.active and int(self._host_len[i]) >= self.ecfg.max_len - 1:
                 self._results[st.request_id] = st.generated
                 st.active = False
         return sum(1 for s in self.slots if s.active)

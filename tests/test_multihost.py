@@ -208,3 +208,37 @@ def test_host_expert_mesh_ep_mixed_packed_matches_single_device():
         got = jax.jit(fn)(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_two_process_distributed_engine_decode():
+    """The ENGINE's prefill + decode loop under real 2-process
+    jax.distributed (north-star "continuous batching across hosts"): the
+    expert axis spans both processes, every cached step crosses the
+    process boundary through the EP all-to-all, and both processes must
+    emit the same greedy tokens as a process-local single-device Engine
+    (per-host slot bookkeeping rides the host length mirror)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_engine_multihost_worker.py")
+    port = "12393"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=root, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "ENGINE-MULTIHOST-OK" in out, out[-3000:]
