@@ -29,10 +29,10 @@ stage () {  # stage <model> <name> <cmd...>
     fi
     echo "== $model/$name: $*"
     local t0=$SECONDS
-    python tools/timed_run.py $OUT/.rss "$@" \
+    python tools/timed_run.py $OUT/.rss-$model-$name "$@" \
         > $OUT/${model}-${name}.log 2>&1
     local rc=$? wall=$((SECONDS - t0))
-    local rss=$(cat $OUT/.rss 2>/dev/null)
+    local rss=$(cat $OUT/.rss-$model-$name 2>/dev/null)
     echo -e "$model\t$name\t$wall\t$rss\t$rc" >> $TSV
     echo "== $model/$name: ${wall}s rss=${rss}GB exit=$rc"
     if [ $rc -ne 0 ]; then
