@@ -105,6 +105,40 @@ def attention(
     return out.reshape(b, s, n_h, hd)
 
 
+_DECODE_ATTN_MODEL = ...   # Ellipsis = not loaded yet (None = no file)
+
+
+def _decode_attn_model():
+    """perf/decode_attn_model.json, loaded once (override path with
+    MXMOE_DECODE_ATTN_MODEL; empty value disables the table)."""
+    global _DECODE_ATTN_MODEL
+    if _DECODE_ATTN_MODEL is ...:
+        import json
+        import os
+
+        path = os.environ.get("MXMOE_DECODE_ATTN_MODEL")
+        if path is None:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                "perf", "decode_attn_model.json")
+        try:
+            with open(path) as f:
+                _DECODE_ATTN_MODEL = json.load(f)
+        except (OSError, ValueError):
+            _DECODE_ATTN_MODEL = None
+    return _DECODE_ATTN_MODEL
+
+
+def _decode_attn_key(cfg: MoEConfig) -> str:
+    """Attention-shape key into the decode-attn cost table (must match
+    tools/tpu_decode_attn_fit.py CONFIGS)."""
+    if cfg.attention_type == "mla":
+        dk = -(-(cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) // 128) * 128
+        return f"mla:nh{cfg.num_heads}:dk{dk}:dv{cfg.v_head_dim}"
+    return f"gqa:nh{cfg.num_heads}:nkv{cfg.num_kv_heads}:hd{cfg.head_dim}"
+
+
 @dataclasses.dataclass(frozen=True)
 class MoEImpl:
     """How the expert FFN is executed.
@@ -168,15 +202,26 @@ class MoEImpl:
                                      # parallel.sharded.
                                      # make_sp_prefill_forward)
 
-    def use_fused_decode(self, s_max: int | None = None) -> bool:
-        """auto: the fused update+attention kernel's cost is ~flat in
-        S_max (~0.25 ms/layer at B=8) while the XLA scatter+einsum path
-        is cheaper at short caches but scales with the PADDED length
-        (~0.08 ms/layer per 1024); measured crossover ≈ 2048
-        (tools/tpu_decode_proto.py, PERF.md)."""
+    def use_fused_decode(self, s_max: int | None = None,
+                         cfg: "MoEConfig | None" = None) -> bool:
+        """auto: pick the MEASURED winner for this family's attention
+        shape at this S_max (perf/decode_attn_model.json — per-config
+        a + b*S_max fits for both paths from tools/tpu_decode_attn_fit.py;
+        round-4 weak #6: the single 2048 constant was measured at one
+        (B, n_kv, head_dim) point and is wrong for MLA / the 57B head
+        layout). Families without a recorded fit keep the original
+        qwen-measured heuristic (crossover ~2048)."""
         if self.decode_attn == "auto":
             on_tpu = self.interpret or jax.default_backend() == "tpu"
-            return on_tpu and (s_max is None or s_max >= 2048)
+            if not on_tpu:
+                return False
+            if cfg is not None and s_max is not None:
+                ent = (_decode_attn_model() or {}).get(_decode_attn_key(cfg))
+                if ent:
+                    t_x = ent["xla"][0] + ent["xla"][1] * s_max
+                    t_f = ent["fused"][0] + ent["fused"][1] * s_max
+                    return t_f <= t_x
+            return s_max is None or s_max >= 2048
         return self.decode_attn == "fused"
 
 

@@ -246,7 +246,8 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
     dims_ok = (supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
                if cfg.attention_type == "mla"
                else supports_manual_decode(cfg.head_dim, cfg.head_dim))
-    fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
+    fused = (s_new == 1 and dims_ok
+             and impl.use_fused_decode(cache.max_len, cfg=cfg))
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -323,7 +324,8 @@ def forward_cached(
     mla = cfg.attention_type == "mla"
     dims_ok = (supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
                if mla else supports_manual_decode(cfg.head_dim, cfg.head_dim))
-    fused = s_new == 1 and dims_ok and impl.use_fused_decode(cache.max_len)
+    fused = (s_new == 1 and dims_ok
+             and impl.use_fused_decode(cache.max_len, cfg=cfg))
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)

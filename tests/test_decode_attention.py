@@ -212,3 +212,54 @@ def test_update_stacked_multihead_block_matches_oracle(quant):
         tol = 2e-2
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref[:, 0]),
                                rtol=tol, atol=tol)
+
+
+def test_decode_attn_auto_uses_measured_model(tmp_path, monkeypatch):
+    """decode_attn='auto' picks the MEASURED winner per attention family
+    (round-4 weak #6): with a fit table recording different crossovers for
+    the qwen GQA, 57B GQA and ds2 MLA shapes, the choice must follow each
+    family's own lines — not one global constant."""
+    import json
+
+    import mxmoe_tpu.models.layers as L
+    from mxmoe_tpu.models import configs
+
+    table = {
+        # crossover 2000: fused wins at >= 2000
+        "gqa:nh16:nkv16:hd128": {"xla": [0.05, 5e-5], "fused": [0.15, 0.0]},
+        # tiny n_kv -> cheap XLA reads: crossover 12000 (xla wins longer)
+        "gqa:nh28:nkv4:hd128": {"xla": [0.03, 1e-5], "fused": [0.15, 0.0]},
+        # MLA per-head cache: expensive XLA reads, crossover 500
+        "mla:nh16:dk256:dv128": {"xla": [0.05, 2e-4], "fused": [0.15, 0.0]},
+    }
+    path = tmp_path / "decode_attn_model.json"
+    path.write_text(json.dumps(table))
+    monkeypatch.setenv("MXMOE_DECODE_ATTN_MODEL", str(path))
+    monkeypatch.setattr(L, "_DECODE_ATTN_MODEL", ...)
+
+    impl = L.MoEImpl(decode_attn="auto", interpret=True)  # interpret => "tpu"
+    qwen = configs.QWEN2_MOE_A2_7B
+    b57 = configs.QWEN2_MOE_57B
+    ds2 = configs.DEEPSEEK_V2_LITE
+
+    assert L._decode_attn_key(qwen) == "gqa:nh16:nkv16:hd128"
+    assert L._decode_attn_key(b57) == "gqa:nh28:nkv4:hd128"
+    assert L._decode_attn_key(ds2) == "mla:nh16:dk256:dv128"
+
+    # qwen: crossover at (0.15-0.05)/5e-5 = 2000
+    assert not impl.use_fused_decode(1024, cfg=qwen)
+    assert impl.use_fused_decode(4096, cfg=qwen)
+    # 57B: crossover 12000 — fused loses even at 8192 (the old global
+    # 2048 constant would have picked fused here)
+    assert not impl.use_fused_decode(8192, cfg=b57)
+    assert impl.use_fused_decode(16384, cfg=b57)
+    # MLA: crossover 500 — fused wins already at 1024 (old constant: xla)
+    assert impl.use_fused_decode(1024, cfg=ds2)
+    assert not impl.use_fused_decode(256, cfg=ds2)
+
+    # no table entry / no cfg -> original heuristic preserved
+    monkeypatch.setattr(L, "_DECODE_ATTN_MODEL", None)
+    assert not impl.use_fused_decode(1024, cfg=qwen)
+    assert impl.use_fused_decode(4096, cfg=qwen)
+
+    monkeypatch.setattr(L, "_DECODE_ATTN_MODEL", ...)
