@@ -176,14 +176,15 @@ class MoEImpl:
                                      # gmm_mixed_wo_wxa (measured faster
                                      # than bucketed at every M —
                                      # bench/fused_ab.py, PERF.md)
-    fused_ffn: bool = False          # whole expert FFN (gate_up -> SwiGLU
+    fused_ffn: object = False        # whole expert FFN (gate_up -> SwiGLU
                                      # -> requant -> down) in ONE Pallas
-                                     # launch (gmm_ffn_w8a8). Decode-
-                                     # oriented: requires dispatch_align
-                                     # (each m-tile owned by one expert)
-                                     # and the sym per-channel int8-stored
-                                     # domain; other schemes fall through
-                                     # to the 2-launch paths
+                                     # launch (gmm_ffn_w8a8 /
+                                     # gmm_ffn_mixed_packed). True forces
+                                     # it; "auto" fuses only in the decode
+                                     # regime (<=2048 routed rows) with an
+                                     # implied 32-row aligned dispatch.
+                                     # Sym per-channel domain; other
+                                     # schemes fall through to 2-launch
     pallas_quant: bool = True        # single-pass Pallas act quant
                                      # (ops/act_quant.py): XLA's lowering
                                      # reads activations twice; measured
@@ -432,7 +433,14 @@ def moe_ffn_ragged_quant(
         return quantize_act_rtn(acts, qcfg)
     logits = x2d @ layer_params["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
-    disp = make_dispatch(routing, cfg.num_experts, align=impl.dispatch_align)
+    # fused_ffn "auto": fuse only in the DECODE regime (few rows) — at
+    # prefill M the 2-launch path's big m-tiles beat the fused kernel's
+    # aligned 32-row tiles, mirroring decode_attn=auto's shape gate
+    rows_est = x2d.shape[0] * cfg.top_k
+    fuse_req = (impl.fused_ffn is True
+                or (impl.fused_ffn == "auto" and rows_est <= 2048))
+    align = impl.dispatch_align or (32 if fuse_req else None)
+    disp = make_dispatch(routing, cfg.num_experts, align=align)
     xs = gather_tokens(x2d, disp)                                   # [T*k, H]
     mixed = "act_bits_gateup" in layer_params and (
         _has("expert_gate_up_q")
@@ -451,7 +459,7 @@ def moe_ffn_ragged_quant(
     # arrays may exist but are all-zero in this domain (qparams emits
     # zeros for sym; asym/grouped families always carry act_gsize_*).
     fused_ok = (
-        impl.fused_ffn and impl.dispatch_align and not impl.online_had
+        fuse_req and align and not impl.online_had
         and not impl.mixed_weight_only
         and "act_gsize_gateup" not in layer_params
         and "act_gsize_down" not in layer_params
@@ -480,7 +488,7 @@ def moe_ffn_ragged_quant(
         out = pallas_gmm.gmm_ffn_w8a8(
             aq, asc, _w("expert_gate_up_q"), _w("expert_gate_up_sc"),
             _w("expert_down_q"), _w("expert_down_sc"), disp.group_sizes,
-            act_bits_down=abits, bm=impl.dispatch_align,
+            act_bits_down=abits, bm=align,
             out_dtype=x2d.dtype, interpret=impl.interpret, **gkw)
         return combine_tokens(out, disp, x2d.shape[0])
 
@@ -509,7 +517,7 @@ def moe_ffn_ragged_quant(
             d_cat, _w("expert_down_sc"),
             layer_params["expert_down_pf"],
             _blkg("expert_down", d_cat.shape[0], gu_cat.shape[-1] // 2),
-            disp.group_sizes, act_bits_down=abits, bm=impl.dispatch_align,
+            disp.group_sizes, act_bits_down=abits, bm=align,
             out_dtype=x2d.dtype, interpret=impl.interpret, **gkw)
         return combine_tokens(out, disp, x2d.shape[0])
 

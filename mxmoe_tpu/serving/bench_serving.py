@@ -49,12 +49,18 @@ def main():
                     choices=["auto", "fused", "xla"],
                     help="cached attention at decode: fused Pallas kernel "
                     "vs XLA einsum (A/B lever)")
+    ap.add_argument("--fused-ffn", default="off",
+                    choices=["off", "auto", "on"],
+                    help="whole expert FFN in one launch (gmm_ffn_*): "
+                    "'auto' fuses in the decode regime only (A/B lever)")
     args = ap.parse_args()
+    fused_ffn = {"off": False, "on": True, "auto": "auto"}[args.fused_ffn]
 
     cfg = dataclasses.replace(configs.config_for(args.model),
                               num_layers=args.layers)
     params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
+    impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn,
+                   fused_ffn=fused_ffn)
     if args.quant == "mixed" or args.quant == "mixed-packed":
         # alternating w4a4/w8a8 per-expert mix (the ILP decides WHICH
         # experts in production; serving cost depends only on the split);
@@ -78,14 +84,15 @@ def main():
         params = quantize_model_experts_mixed(
             params, cfg, qmc, pack_w4=args.quant == "mixed-packed")
         impl = MoEImpl(kind="ragged", quant="mixed",
-                       decode_attn=args.decode_attn)
+                       decode_attn=args.decode_attn, fused_ffn=fused_ffn)
     elif args.quant and args.quant != "none":
         from ..quant.qparams import quantize_model_experts_uniform
         from ..quant.schemes import parse_scheme
 
         qc = parse_scheme(args.quant)
         params = quantize_model_experts_uniform(params, qc)
-        impl = MoEImpl(kind="ragged", quant=qc, decode_attn=args.decode_attn)
+        impl = MoEImpl(kind="ragged", quant=qc,
+                       decode_attn=args.decode_attn, fused_ffn=fused_ffn)
 
     if args.int8_head:
         from ..quant.qparams import quantize_lm_head

@@ -138,6 +138,10 @@ def main():
             caps = [capacity_factor_from_freq(
                         tr[k]["access_freq"], args.mesh)
                     for k in tr if k.startswith("layer-")]
+            if not caps:
+                raise SystemExit(
+                    f"no layer-* entries in {args.gate_trace} — pass "
+                    "--capacity-factor instead")
             cap = max(max(caps), 2.0)
             print(f"capacity factor <- gate trace: {cap:.2f} "
                   f"(worst layer over {len(caps)})")
