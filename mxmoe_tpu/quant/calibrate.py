@@ -302,9 +302,11 @@ def calibrate_model(
         x = (x.astype(jnp.float32) @ q_rot).astype(x.dtype)
     if stage_host:
         # the embedding table ([V, H] ~620 MB at qwen2_moe widths) is only
-        # needed for this one gather; drop it from device HBM (the buffer
-        # outlives the reference until the enqueued gather completes)
-        params["embed"] = None
+        # needed for this one gather; DELETE it so the device buffer frees
+        # once the enqueued gather completes. del (not = None) keeps the
+        # invariant explicit: any later embed access raises KeyError
+        # instead of silently operating on None (advisor round-4 low)
+        del params["embed"]
 
     fwd = jax.jit(partial(layer_forward_fp, cfg=cfg, backend=backend))
     errf = {
