@@ -38,6 +38,11 @@ def make_sharded_forward(
     given (and ``ep_cfg`` is not) the EP capacity factor is derived from
     the measured routing skew (ep.capacity_factor_from_freq) so skewed
     models don't silently drop assignments at the 2.0-constant default.
+
+    Non-divisible expert counts (E % mesh != 0): pad the params first
+    with ``ep.pad_expert_arrays(params["layers"], cfg.num_experts,
+    mesh.size)`` — the EP blocks already use ceil(E/n) local experts
+    (never-routed phantoms); the serving Engine does this automatically.
     """
     if ep_cfg is None:
         from .ep import capacity_factor_from_freq
