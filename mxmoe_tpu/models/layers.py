@@ -204,21 +204,28 @@ class MoEImpl:
                                      # make_sp_prefill_forward)
 
     def use_fused_decode(self, s_max: int | None = None,
-                         cfg: "MoEConfig | None" = None) -> bool:
+                         cfg: "MoEConfig | None" = None,
+                         batch: int | None = None) -> bool:
         """auto: pick the MEASURED winner for this family's attention
-        shape at this S_max (perf/decode_attn_model.json — per-config
-        a + b*S_max fits for both paths from tools/tpu_decode_attn_fit.py;
-        round-4 weak #6: the single 2048 constant was measured at one
-        (B, n_kv, head_dim) point and is wrong for MLA / the 57B head
-        layout). Families without a recorded fit keep the original
-        qwen-measured heuristic (crossover ~2048)."""
+        shape at this (S_max, batch) — perf/decode_attn_model.json holds
+        per-(config, batch) a + b*S_max fits for both paths from
+        tools/tpu_decode_attn_fit.py. Round-4 weak #6: the single 2048
+        constant was measured at one (B, n_kv, head_dim) point; the
+        fused kernel's grid dispatches scale with B, so the crossover is
+        batch-dependent (B=8 crossovers sit at ~650-1300, B=32 much
+        higher). Nearest measured batch wins; families without a fit
+        keep the original heuristic (crossover ~2048)."""
         if self.decode_attn == "auto":
             on_tpu = self.interpret or jax.default_backend() == "tpu"
             if not on_tpu:
                 return False
             if cfg is not None and s_max is not None:
-                ent = (_decode_attn_model() or {}).get(_decode_attn_key(cfg))
-                if ent:
+                grp = (_decode_attn_model() or {}).get(_decode_attn_key(cfg))
+                if grp:
+                    bs = sorted(int(k[1:]) for k in grp)
+                    bsel = (min(bs, key=lambda b: abs(b - batch))
+                            if batch is not None else bs[0])
+                    ent = grp[f"b{bsel}"]
                     t_x = ent["xla"][0] + ent["xla"][1] * s_max
                     t_f = ent["fused"][0] + ent["fused"][1] * s_max
                     return t_f <= t_x

@@ -247,7 +247,7 @@ def _forward_cached_quant(params, tokens, cache, cfg, impl, valid_lengths):
                if cfg.attention_type == "mla"
                else supports_manual_decode(cfg.head_dim, cfg.head_dim))
     fused = (s_new == 1 and dims_ok
-             and impl.use_fused_decode(cache.max_len, cfg=cfg))
+             and impl.use_fused_decode(cache.max_len, cfg=cfg, batch=b))
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if cfg.attention_type == "mla":
         cos, sin = _rope_tables_mla(cfg, positions)
@@ -325,7 +325,7 @@ def forward_cached(
     dims_ok = (supports_manual_decode(mla_cache_k_dim(cfg), cfg.v_head_dim)
                if mla else supports_manual_decode(cfg.head_dim, cfg.head_dim))
     fused = (s_new == 1 and dims_ok
-             and impl.use_fused_decode(cache.max_len, cfg=cfg))
+             and impl.use_fused_decode(cache.max_len, cfg=cfg, batch=b))
     write_ok = valid_lengths > 0    # [B]; scalar per slot under vmap
     if mla:
         cos, sin = _rope_tables_mla(cfg, positions)

@@ -225,12 +225,17 @@ def test_decode_attn_auto_uses_measured_model(tmp_path, monkeypatch):
     from mxmoe_tpu.models import configs
 
     table = {
-        # crossover 2000: fused wins at >= 2000
-        "gqa:nh16:nkv16:hd128": {"xla": [0.05, 5e-5], "fused": [0.15, 0.0]},
+        # crossover 2000 at b8; at b32 the fused kernel is 4x (grid
+        # dispatches scale with B) -> crossover 8000
+        "gqa:nh16:nkv16:hd128": {
+            "b8": {"xla": [0.05, 5e-5], "fused": [0.15, 0.0]},
+            "b32": {"xla": [0.05, 5e-5], "fused": [0.45, 0.0]}},
         # tiny n_kv -> cheap XLA reads: crossover 12000 (xla wins longer)
-        "gqa:nh28:nkv4:hd128": {"xla": [0.03, 1e-5], "fused": [0.15, 0.0]},
+        "gqa:nh28:nkv4:hd128": {
+            "b8": {"xla": [0.03, 1e-5], "fused": [0.15, 0.0]}},
         # MLA per-head cache: expensive XLA reads, crossover 500
-        "mla:nh16:dk256:dv128": {"xla": [0.05, 2e-4], "fused": [0.15, 0.0]},
+        "mla:nh16:dk256:dv128": {
+            "b8": {"xla": [0.05, 2e-4], "fused": [0.15, 0.0]}},
     }
     path = tmp_path / "decode_attn_model.json"
     path.write_text(json.dumps(table))
@@ -246,9 +251,14 @@ def test_decode_attn_auto_uses_measured_model(tmp_path, monkeypatch):
     assert L._decode_attn_key(b57) == "gqa:nh28:nkv4:hd128"
     assert L._decode_attn_key(ds2) == "mla:nh16:dk256:dv128"
 
-    # qwen: crossover at (0.15-0.05)/5e-5 = 2000
+    # qwen: crossover at (0.15-0.05)/5e-5 = 2000 (b8 entry)
     assert not impl.use_fused_decode(1024, cfg=qwen)
     assert impl.use_fused_decode(4096, cfg=qwen)
+    # batch-dependent: the b32 entry's crossover is 8000 — the same
+    # S_max flips with batch (nearest-batch selection)
+    assert not impl.use_fused_decode(4096, cfg=qwen, batch=32)
+    assert impl.use_fused_decode(4096, cfg=qwen, batch=8)
+    assert impl.use_fused_decode(16000, cfg=qwen, batch=32)
     # 57B: crossover 12000 — fused loses even at 8192 (the old global
     # 2048 constant would have picked fused here)
     assert not impl.use_fused_decode(8192, cfg=b57)

@@ -36,8 +36,17 @@ from mxmoe_tpu.serving.decode_attention import decode_attention_update_stacked
 from mxmoe_tpu.serving.kv_cache import attention_with_cache, scatter_layer_cache
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-B, L = 8, 4
-S_GRID = (512, 2048, 8192)
+L = 4
+B_GRID = (8, 32)      # the fused kernel's grid dispatches scale with B
+                      # (and n_kv): the crossover is batch-dependent —
+                      # round-4's B=32 engine showed XLA winning at
+                      # S_max=1024 while B=8 fits say fused; the model
+                      # records both and auto picks the nearest batch
+S_CANDIDATES = (512, 1024, 2048, 4096, 8192)
+CACHE_BUDGET = 3.5e9   # bytes for k+v across L layers: the chained
+                       # carry holds ~2x (in+out), and the chip has
+                       # ~8-16 G usable — B=32 x S=8192 at qwen dims
+                       # (8.6 G) OOMed the first batch-grid attempt
 
 # key format matches models.layers._decode_attn_key
 CONFIGS = {
@@ -50,7 +59,13 @@ CONFIGS = {
 }
 
 
-def measure(c, s_max):
+def s_grid(c, B):
+    bytes_per_s = L * B * c["nkv"] * (c["dk"] + c["dv"]) * 2
+    grid = [s for s in S_CANDIDATES if s * bytes_per_s <= CACHE_BUDGET]
+    return tuple(grid[-4:]) if len(grid) >= 3 else tuple(S_CANDIDATES[:3])
+
+
+def measure(c, s_max, B):
     key = jax.random.PRNGKey(0)
     nh, nkv, dk, dv = c["nh"], c["nkv"], c["dk"], c["dv"]
     ck = jax.random.normal(key, (L, B, nkv, s_max, dk), jnp.bfloat16)
@@ -102,24 +117,27 @@ def measure(c, s_max):
 def main():
     model = {}
     for ckey, c in CONFIGS.items():
-        print(f"== {ckey}", flush=True)
-        rows = {s: measure(c, s) for s in S_GRID}
-        entry = {"batch": B, "s_grid": list(S_GRID),
-                 "measured": {str(s): rows[s] for s in S_GRID}}
-        xs = np.array(S_GRID, np.float64)
-        for name in ("fused", "xla"):
-            ys = np.array([rows[s][name] for s in S_GRID])
-            b_ = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
-                       / ((xs - xs.mean()) ** 2).sum())
-            a_ = float(ys.mean() - b_ * xs.mean())
-            entry[name] = [round(a_, 5), round(b_, 9)]
-        ax, bx = entry["xla"]
-        af, bf = entry["fused"]
-        entry["crossover"] = (round((af - ax) / (bx - bf), 1)
-                              if bx > bf else None)
-        print(f"  fit: xla {entry['xla']}  fused {entry['fused']}  "
-              f"crossover {entry['crossover']}", flush=True)
-        model[ckey] = entry
+        model[ckey] = {}
+        for B in B_GRID:
+            grid = s_grid(c, B)
+            print(f"== {ckey} @ B={B} (S grid {grid})", flush=True)
+            rows = {s: measure(c, s, B) for s in grid}
+            entry = {"s_grid": list(grid),
+                     "measured": {str(s): rows[s] for s in grid}}
+            xs = np.array(grid, np.float64)
+            for name in ("fused", "xla"):
+                ys = np.array([rows[s][name] for s in grid])
+                b_ = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
+                           / ((xs - xs.mean()) ** 2).sum())
+                a_ = float(ys.mean() - b_ * xs.mean())
+                entry[name] = [round(a_, 5), round(b_, 9)]
+            ax, bx = entry["xla"]
+            af, bf = entry["fused"]
+            entry["crossover"] = (round((af - ax) / (bx - bf), 1)
+                                  if bx > bf else None)
+            print(f"  fit: xla {entry['xla']}  fused {entry['fused']}  "
+                  f"crossover {entry['crossover']}", flush=True)
+            model[ckey][f"b{B}"] = entry
     out = os.path.join(REPO, "perf", "decode_attn_model.json")
     with open(out, "w") as f:
         json.dump(model, f, indent=2)
