@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=16,
                     help="decode tokens per device dispatch (decode_scan); "
                          "1 = one host round-trip per token")
+    ap.add_argument("--decode-attn", default="auto",
+                    choices=["auto", "fused", "xla"],
+                    help="cached decode attention backend. NOTE: on the "
+                         "virtual CPU mesh 'auto' (which treats "
+                         "interpret=True as TPU) picks the INTERPRET-mode "
+                         "fused kernel — pass 'xla' there; the runbook "
+                         "serve stages do (the GMM kernels stay interpret: "
+                         "they are the validation target)")
     args = ap.parse_args()
 
     from ..models import configs, model as model_mod
@@ -84,29 +92,31 @@ def main():
             cfg = _dc.replace(cfg, num_layers=art_layers)
         if "act_bits_gateup" in lp and (
                 "expert_gate_up_q" in lp or "expert_gate_up_qcat" in lp):
-            impl = MoEImpl(kind="ragged", quant="mixed", interpret=interp)
+            impl = MoEImpl(kind="ragged", quant="mixed", interpret=interp,
+                           decode_attn=args.decode_attn)
         elif meta.get("quant"):
             from ..quant.schemes import parse_scheme
 
             impl = MoEImpl(kind="ragged", quant=parse_scheme(meta["quant"]),
-                           interpret=interp)
+                           interpret=interp, decode_attn=args.decode_attn)
         else:
-            impl = MoEImpl(kind="ragged")
+            impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
     elif args.ckpt:
         from ..models.hf_loader import params_from_safetensors
 
         params = params_from_safetensors(args.ckpt, cfg)
-        impl = MoEImpl(kind="ragged")
+        impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
     else:
         params = model_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-        impl = MoEImpl(kind="ragged")
+        impl = MoEImpl(kind="ragged", decode_attn=args.decode_attn)
     if args.quant and not args.artifact:
         from ..quant.schemes import parse_scheme
         from ..quant.qparams import quantize_model_experts_uniform
 
         qcfg = parse_scheme(args.quant)
         params = quantize_model_experts_uniform(params, qcfg)
-        impl = MoEImpl(kind="ragged", quant=qcfg, interpret=interp)
+        impl = MoEImpl(kind="ragged", quant=qcfg, interpret=interp,
+                       decode_attn=args.decode_attn)
 
     tok = None
     if args.prompt_text is not None:

@@ -87,10 +87,14 @@ run_model () {
         --model $M --ckpt $CK --out $OUT/$M/ckpt-w5-packed \
         --qconfig $QC --pack-int4 || return 1
 
+    # --decode-attn xla: on the virtual CPU mesh the fused attention
+    # kernel would run in the Pallas INTERPRETER (hours of emulation);
+    # the quantized GMM kernels stay interpret — they are what the
+    # serve stage validates
     stage $M serve python tools/cpurun.py -n 8 mxmoe_tpu.serving.generate \
         --model $M --artifact $OUT/$M/ckpt-w5-packed --mesh 8 \
         --gate-trace $G --prompt "1 2 3 4" --max-new 16 --slots 8 \
-        --max-len 256 || return 1
+        --max-len 256 --decode-attn xla || return 1
 }
 
 RC=0
