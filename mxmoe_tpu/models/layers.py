@@ -196,6 +196,15 @@ class MoEImpl:
                                      # cached decode/forward paths run the
                                      # EP all-to-all inside the step when
                                      # set (serving over a device mesh)
+    stack_weights: object = None     # decode weight-stack layout: None =
+                                     # auto (stack iff NOT interpret: the
+                                     # loop-constant stack removes the
+                                     # per-step slice copy on TPU, but the
+                                     # Pallas INTERPRETER pays O(full
+                                     # operand) per call — a 26-layer
+                                     # stack measured 16.2 s/call vs
+                                     # 0.66 s for one layer on CPU);
+                                     # True/False force it (tests)
     ring_attn: object = None         # shard_map ring-attention callable
                                      # ((q,k,v) -> out) for
                                      # attn_backend="ring" (sequence-

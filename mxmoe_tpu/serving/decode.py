@@ -229,9 +229,14 @@ def _layer_xs_and_stack(params: dict, impl: MoEImpl):
     per-layer layout."""
     if impl.quant is None:
         return params["layers"], {}
+    use_stack = (impl.stack_weights if impl.stack_weights is not None
+                 else not impl.interpret)
     if impl.ep_moe is not None:
-        if impl.quant == "mixed" and not impl.mixed_weight_only:
+        if (impl.quant == "mixed" and not impl.mixed_weight_only
+                and use_stack):
             return split_expert_stack(params["layers"], flatten=False)
+        return params["layers"], {}
+    if not use_stack:
         return params["layers"], {}
     return split_expert_stack(params["layers"])
 

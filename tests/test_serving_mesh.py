@@ -362,7 +362,10 @@ def test_ep_decode_stack_no_per_step_weight_copy():
     }) for l in range(2)})
     qp = qparams.quantize_model_experts_mixed(params, cfg, qmodel,
                                               pack_w4=True)
-    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET)
+    # stack_weights forced on: the auto default skips stacking in
+    # interpret mode (the Pallas interpreter pays O(operand) per call)
+    impl = MoEImpl(kind="ragged", quant="mixed", interpret=INTERPRET,
+                   stack_weights=True)
     mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("expert",))
     eng = Engine(qp, cfg, EngineConfig(batch_slots=4, max_len=32), impl,
                  mesh=mesh, ep_cfg=EPConfig(axis="expert",

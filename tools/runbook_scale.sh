@@ -91,9 +91,12 @@ run_model () {
     # kernel would run in the Pallas INTERPRETER (hours of emulation);
     # the quantized GMM kernels stay interpret — they are what the
     # serve stage validates
+    # --max-new 4: the stage proves artifact -> reshard -> EP decode on
+    # the 8-dev mesh; every interpret-mode kernel call costs ~0.5-1 s of
+    # CPU emulation at real widths, so token count is pure wall time
     stage $M serve python tools/cpurun.py -n 8 mxmoe_tpu.serving.generate \
         --model $M --artifact $OUT/$M/ckpt-w5-packed --mesh 8 \
-        --gate-trace $G --prompt "1 2 3 4" --max-new 16 --slots 8 \
+        --gate-trace $G --prompt "1 2 3 4" --max-new 4 --chunk 4 --slots 8 \
         --max-len 256 --decode-attn xla || return 1
 }
 
