@@ -56,8 +56,11 @@ run_model () {
     stage $M mkckpt python tools/make_synth_ckpt.py --model $M --out $CK \
         $LAYERS || return 1
 
+    # lite models pass --layers everywhere: the loaders otherwise expect
+    # the registry depth and KeyError on the shallow checkpoint
     stage $M trace python tools/cpurun.py -n 1 mxmoe_tpu.trace.gate \
-        --model $M --ckpt $CK --nsamples 2 --seqlen 512 --out $G || return 1
+        --model $M --ckpt $CK --nsamples 2 --seqlen 512 --out $G \
+        $LAYERS || return 1
 
     # calibrate runs HOST-STAGED ON THE TPU by default (one layer to the
     # chip at a time, calibrate.py stage_host; CPU execution of the
@@ -68,7 +71,8 @@ run_model () {
     stage $M calibrate $CAL mxmoe_tpu.quant.calibrate \
         --model $M --ckpt $CK --method gptq-had \
         --qcfg w4a4_g-1_sym w8a8_g-1_sym \
-        --nsamples 2 --seqlen 256 --save_dir $OUT/$M/calib || return 1
+        --nsamples 2 --seqlen 256 --save_dir $OUT/$M/calib \
+        $LAYERS || return 1
 
     local QC=$OUT/$M/qconfigs/$M-w5-r0.5.json
     stage $M solve python tools/cpurun.py -n 1 mxmoe_tpu.solver.bits_solver \
