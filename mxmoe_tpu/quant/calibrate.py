@@ -441,11 +441,18 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
     e = cfg.num_experts
     n = cfg.moe_intermediate_size
 
-    def fq_kn(w, h):
+    def fq_kn(w, rows):
+        # Hessians are computed PER EXPERT CHUNK (accumulate_hessian
+        # expert_slice): the all-expert [E, K, K] f32 at 57B widths is
+        # 3.3 GB and tipped staged calibration over the 15.75 G chip
+        # (same OOM class as the ds2 dense solve, same fix discipline)
         parts = []
         for s in range(0, w.shape[0], expert_chunk):
-            r = gptq_quantize_kn(w[s:s + expert_chunk],
-                                 h[s:s + expert_chunk], qcfg).w_fq
+            hi = min(s + expert_chunk, w.shape[0])
+            h_c = accumulate_hessian(rows, disp.group_sizes, e,
+                                     expert_slice=(s, hi))
+            r = gptq_quantize_kn(w[s:hi], h_c, qcfg).w_fq
+            del h_c
             parts.append(r if out_dtype is None else r.astype(out_dtype))
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
@@ -460,23 +467,27 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
     h_fp = jax.nn.silu(gmm_ops.gmm(xs, wg, disp.group_sizes, backend=backend)) * \
         gmm_ops.gmm(xs, wu, disp.group_sizes, backend=backend)
 
-    h_in = accumulate_hessian(xs, disp.group_sizes, e)
-    h_mid = accumulate_hessian(h_fp, disp.group_sizes, e)
     out = {
-        "gate": fq_kn(wg, h_in),
-        "up": fq_kn(wu, h_in),
-        "down": fq_kn(wd, h_mid),
+        "gate": fq_kn(wg, xs),
+        "up": fq_kn(wu, xs),
+        "down": fq_kn(wd, h_fp),
     }
     if cfg.shared_expert_intermediate_size > 0 and "shared_gate_up" in lp:
         ns = cfg.shared_expert_intermediate_size
         swg, swu = lp["shared_gate_up"][..., :ns], lp["shared_gate_up"][..., ns:]
         swd = lp["shared_down"]
         sh = jax.nn.silu(x2d @ swg) * (x2d @ swu)
+        # shared expert: single dense hessian, no chunking needed
         h_x = accumulate_hessian(x2d)[None]
         h_s = accumulate_hessian(sh)[None]
-        out["shared_gate"] = fq_kn(swg[None], h_x)[0]
-        out["shared_up"] = fq_kn(swu[None], h_x)[0]
-        out["shared_down"] = fq_kn(swd[None], h_s)[0]
+
+        def fq_shared(w, h):
+            r = gptq_quantize_kn(w[None], h, qcfg).w_fq[0]
+            return r if out_dtype is None else r.astype(out_dtype)
+
+        out["shared_gate"] = fq_shared(swg, h_x)
+        out["shared_up"] = fq_shared(swu, h_x)
+        out["shared_down"] = fq_shared(swd, h_s)
     return out
 
 

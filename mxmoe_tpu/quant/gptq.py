@@ -34,12 +34,17 @@ class GPTQResult(NamedTuple):
 
 
 def accumulate_hessian(xs: jax.Array, group_sizes: jax.Array | None = None,
-                       num_experts: int | None = None) -> jax.Array:
+                       num_experts: int | None = None,
+                       expert_slice: tuple[int, int] | None = None) -> jax.Array:
     """H[e] = 2 Σ_{rows of e} x xᵀ  (reference ``add_batch``, gptq.py:165-176).
 
     xs: [M, K] expert-sorted rows (grouped by expert) or, when
     group_sizes is None, a single [M, K] batch -> H [K, K].
-    """
+
+    ``expert_slice=(a, b)``: return only experts [a, b) — the einsum is
+    separable over the expert axis, so chunked calls cost the same total
+    FLOPs while bounding the [E', K, K] output (the all-expert Hessian at
+    57B widths is 3.3 GB f32 and was a third of the calibrate OOM)."""
     if group_sizes is None:
         return 2.0 * (xs.T.astype(jnp.float32) @ xs.astype(jnp.float32))
     e = num_experts or group_sizes.shape[0]
@@ -47,6 +52,8 @@ def accumulate_hessian(xs: jax.Array, group_sizes: jax.Array | None = None,
         jnp.arange(e, dtype=jnp.int32), group_sizes, total_repeat_length=xs.shape[0]
     )
     oh = jax.nn.one_hot(row_expert, e, dtype=jnp.float32)          # [M, E]
+    if expert_slice is not None:
+        oh = oh[:, expert_slice[0]: expert_slice[1]]
     xf = xs.astype(jnp.float32)
     return 2.0 * jnp.einsum("me,mk,ml->ekl", oh, xf, xf)
 
