@@ -383,6 +383,13 @@ def calibrate_model(
             continue
         for name, qc in schemes.items():
             fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
+            if fqw is not None and stage_host:
+                # force completion so GPTQ's working set FREES before the
+                # error pass allocates: async enqueue overlaps both peaks
+                # and OOMed the chip at 57B widths (errf alone compiles to
+                # ~9.6 G; block_until_ready doesn't block through the
+                # tunnel — a one-element readback does)
+                jax.device_get(jax.tree_util.tree_leaves(fqw)[0][0, 0, 0])
             err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw), dtype=np.float64)
             del fqw
             err = np.sqrt(err2)
@@ -453,7 +460,12 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
                                      expert_slice=(s, hi))
             r = gptq_quantize_kn(w[s:hi], h_c, qcfg).w_fq
             del h_c
-            parts.append(r if out_dtype is None else r.astype(out_dtype))
+            r = r if out_dtype is None else r.astype(out_dtype)
+            # serialize chunks on-device: the next chunk's Hessian einsum
+            # otherwise enqueues while this chunk's Cholesky chain still
+            # holds its f32 working set (two peaks live at once)
+            jax.device_get(r[0, 0, 0])
+            parts.append(r)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
     gate_up = lp["expert_gate_up"]
