@@ -452,10 +452,17 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         # Hessians are computed PER EXPERT CHUNK (accumulate_hessian
         # expert_slice): the all-expert [E, K, K] f32 at 57B widths is
         # 3.3 GB and tipped staged calibration over the 15.75 G chip
-        # (same OOM class as the ds2 dense solve, same fix discipline)
+        # (same OOM class as the ds2 dense solve, same fix discipline).
+        # The chunk size itself adapts to the linear's width: the sweep
+        # holds ~6 [E', N, K] f32 copies + 3 [E', K, K] factors, and a
+        # 16-expert chunk at 57B widths is ~6 GB on its own — budget
+        # ~4 GB for the working set (qwen/ds2 widths keep chunk 16).
+        kdim, n_out = w.shape[1], w.shape[2]
+        per_e = n_out * kdim * 4 * 6 + kdim * kdim * 4 * 3
+        chunk = max(1, min(expert_chunk, int(4e9 // per_e)))
         parts = []
-        for s in range(0, w.shape[0], expert_chunk):
-            hi = min(s + expert_chunk, w.shape[0])
+        for s in range(0, w.shape[0], chunk):
+            hi = min(s + chunk, w.shape[0])
             h_c = accumulate_hessian(rows, disp.group_sizes, e,
                                      expert_slice=(s, hi))
             r = gptq_quantize_kn(w[s:hi], h_c, qcfg).w_fq
