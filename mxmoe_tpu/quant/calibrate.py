@@ -448,24 +448,24 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
     e = cfg.num_experts
     n = cfg.moe_intermediate_size
 
-    def fq_kn(w, rows):
-        # Hessians are computed PER EXPERT CHUNK (accumulate_hessian
-        # expert_slice): the all-expert [E, K, K] f32 at 57B widths is
-        # 3.3 GB and tipped staged calibration over the 15.75 G chip
+    def fq_kn(wslice, kdim, n_out, n_e, rows):
+        # Hessians AND weight slices are produced PER EXPERT CHUNK
+        # (accumulate_hessian expert_slice; ``wslice(a, b)`` returns
+        # [b-a, K, n_out]): the all-expert [E, K, K] f32 Hessian at 57B
+        # widths is 3.3 GB, the full-width gate/up slice copies another
+        # 2.35 GB — both tipped staged calibration over the 15.75 G chip
         # (same OOM class as the ds2 dense solve, same fix discipline).
-        # The chunk size itself adapts to the linear's width: the sweep
-        # holds ~6 [E', N, K] f32 copies + 3 [E', K, K] factors, and a
-        # 16-expert chunk at 57B widths is ~6 GB on its own — budget
-        # ~4 GB for the working set (qwen/ds2 widths keep chunk 16).
-        kdim, n_out = w.shape[1], w.shape[2]
+        # The chunk size adapts to the linear's width: the sweep holds
+        # ~6 [E', N, K] f32 copies + 3 [E', K, K] factors (qwen/ds2
+        # widths keep chunk 16; 57B drops to ~6).
         per_e = n_out * kdim * 4 * 6 + kdim * kdim * 4 * 3
-        chunk = max(1, min(expert_chunk, int(4e9 // per_e)))
+        chunk = max(1, min(expert_chunk, int(2.5e9 // per_e)))
         parts = []
-        for s in range(0, w.shape[0], chunk):
-            hi = min(s + chunk, w.shape[0])
+        for s in range(0, n_e, chunk):
+            hi = min(s + chunk, n_e)
             h_c = accumulate_hessian(rows, disp.group_sizes, e,
                                      expert_slice=(s, hi))
-            r = gptq_quantize_kn(w[s:hi], h_c, qcfg).w_fq
+            r = gptq_quantize_kn(wslice(s, hi), h_c, qcfg).w_fq
             del h_c
             r = r if out_dtype is None else r.astype(out_dtype)
             # serialize chunks on-device: the next chunk's Hessian einsum
@@ -476,20 +476,21 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
     gate_up = lp["expert_gate_up"]
-    wg, wu = gate_up[..., :n], gate_up[..., n:]
     wd = lp["expert_down"]
+    h = gate_up.shape[1]
 
     logits = x2d @ lp["router"]
     routing = route_topk(logits, cfg.top_k, cfg.norm_topk_prob, cfg.routed_scaling_factor)
     disp = make_dispatch(routing, e)
     xs = gather_tokens(x2d, disp)
-    h_fp = jax.nn.silu(gmm_ops.gmm(xs, wg, disp.group_sizes, backend=backend)) * \
-        gmm_ops.gmm(xs, wu, disp.group_sizes, backend=backend)
+    h_fp = jax.nn.silu(
+        gmm_ops.gmm(xs, gate_up[..., :n], disp.group_sizes, backend=backend)
+    ) * gmm_ops.gmm(xs, gate_up[..., n:], disp.group_sizes, backend=backend)
 
     out = {
-        "gate": fq_kn(wg, xs),
-        "up": fq_kn(wu, xs),
-        "down": fq_kn(wd, h_fp),
+        "gate": fq_kn(lambda a, b: gate_up[a:b, :, :n], h, n, e, xs),
+        "up": fq_kn(lambda a, b: gate_up[a:b, :, n:], h, n, e, xs),
+        "down": fq_kn(lambda a, b: wd[a:b], n, h, e, h_fp),
     }
     if cfg.shared_expert_intermediate_size > 0 and "shared_gate_up" in lp:
         ns = cfg.shared_expert_intermediate_size
