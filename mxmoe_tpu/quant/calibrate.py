@@ -60,10 +60,15 @@ def moe_calib_errors(
     qcfg: QLinearConfig,
     backend: str = "ragged_dot",
     fq_weights: dict | None = None,
+    only: str | None = None,
 ) -> jax.Array:
     """Squared layer-out error for every (expert, linear) under one scheme.
 
-    Returns err2 [E, 3] (gate, up, down order = LINEAR_NAMES).
+    Returns err2 [E, 3] (gate, up, down order = LINEAR_NAMES); with
+    ``only`` in {"gate", "up", "down"}: [E, 1] for that linear — the
+    staged-TPU path calibrates ONE linear at a time so only one fq weight
+    set is resident (57B widths: FP weights + two fq sets already filled
+    the ~8 G chip before the down sweep started).
     fq_weights optionally supplies pre-quantized weights (GPTQ path):
     keys gate/up/down [E, K, N] (+ shared_gate/shared_up/shared_down);
     absent keys fall back to RTN fake-quant.
@@ -101,21 +106,22 @@ def moe_calib_errors(
         contrib = jnp.sum((w_comb * delta_rows.astype(jnp.float32)) ** 2, axis=-1)
         return jax.ops.segment_sum(contrib, row_expert, num_segments=e)
 
-    # gate quantized: affects h via silu(gate), flows through FP down
-    g_q = run(xs_fq, fq_w(wg, "gate"))
-    dh = jax.nn.silu(g_q) * u_fp - h_fp
-    err_gate = per_expert_sq(run(dh, wd))
+    cols = []
+    if only in (None, "gate"):
+        # gate quantized: affects h via silu(gate), flows through FP down
+        g_q = run(xs_fq, fq_w(wg, "gate"))
+        dh = jax.nn.silu(g_q) * u_fp - h_fp
+        cols.append(per_expert_sq(run(dh, wd)))
+    if only in (None, "up"):
+        u_q = run(xs_fq, fq_w(wu, "up"))
+        dh = jax.nn.silu(g_fp) * u_q - h_fp
+        cols.append(per_expert_sq(run(dh, wd)))
+    if only in (None, "down"):
+        # down quantized: its input is h_fp, act-fake-quantized
+        d_q = run(_fq_act(h_fp, qcfg), fq_w(wd, "down"))
+        cols.append(per_expert_sq(d_q - d_fp))
 
-    # up quantized
-    u_q = run(xs_fq, fq_w(wu, "up"))
-    dh = jax.nn.silu(g_fp) * u_q - h_fp
-    err_up = per_expert_sq(run(dh, wd))
-
-    # down quantized: its input is h_fp, act-fake-quantized
-    d_q = run(_fq_act(h_fp, qcfg), fq_w(wd, "down"))
-    err_down = per_expert_sq(d_q - d_fp)
-
-    errs = jnp.stack([err_gate, err_up, err_down], axis=-1)  # [E, 3]
+    errs = jnp.stack(cols, axis=-1)  # [E, 3] (or [E, 1] with `only`)
 
     # Shared expert (reference treats it as expert index E with its own
     # scheme assignment: ``moe_utils.py:116-123``, ``bits_solver.py:566-575``)
@@ -137,13 +143,17 @@ def moe_calib_errors(
         def tot_sq(delta):
             return jnp.sum((gate_mult * delta.astype(jnp.float32)) ** 2)
 
-        g_q = x_fq2 @ (fqw["shared_gate"] if "shared_gate" in fqw else _fq_weight(swg, qcfg))
-        e_g = tot_sq((jax.nn.silu(g_q) * su - sh) @ swd)
-        u_q = x_fq2 @ (fqw["shared_up"] if "shared_up" in fqw else _fq_weight(swu, qcfg))
-        e_u = tot_sq((jax.nn.silu(sg) * u_q - sh) @ swd)
-        d_qq = _fq_act(sh, qcfg) @ (fqw["shared_down"] if "shared_down" in fqw else _fq_weight(swd, qcfg))
-        e_d = tot_sq(d_qq - sd)
-        errs = jnp.concatenate([errs, jnp.stack([e_g, e_u, e_d])[None]], axis=0)
+        se = []
+        if only in (None, "gate"):
+            g_q = x_fq2 @ (fqw["shared_gate"] if "shared_gate" in fqw else _fq_weight(swg, qcfg))
+            se.append(tot_sq((jax.nn.silu(g_q) * su - sh) @ swd))
+        if only in (None, "up"):
+            u_q = x_fq2 @ (fqw["shared_up"] if "shared_up" in fqw else _fq_weight(swu, qcfg))
+            se.append(tot_sq((jax.nn.silu(sg) * u_q - sh) @ swd))
+        if only in (None, "down"):
+            d_qq = _fq_act(sh, qcfg) @ (fqw["shared_down"] if "shared_down" in fqw else _fq_weight(swd, qcfg))
+            se.append(tot_sq(d_qq - sd))
+        errs = jnp.concatenate([errs, jnp.stack(se)[None]], axis=0)
 
     return errs  # [E(+1 shared), 3]
 
@@ -313,6 +323,11 @@ def calibrate_model(
         name: jax.jit(partial(moe_calib_errors, cfg=cfg, qcfg=qc, backend=backend))
         for name, qc in schemes.items()
     }
+    errf_lin = {
+        (name, lin): jax.jit(partial(moe_calib_errors, cfg=cfg, qcfg=qc,
+                                     backend=backend, only=lin))
+        for name, qc in schemes.items() for lin in ("gate", "up", "down")
+    }
 
     losses: dict[str, dict] = {name: {} for name in schemes}
 
@@ -382,16 +397,27 @@ def calibrate_model(
             x = x_next  # already calibrated (crash-resume); propagate only
             continue
         for name, qc in schemes.items():
-            fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
-            if fqw is not None and stage_host:
-                # force completion so GPTQ's working set FREES before the
-                # error pass allocates: async enqueue overlaps both peaks
-                # and OOMed the chip at 57B widths (errf alone compiles to
-                # ~9.6 G; block_until_ready doesn't block through the
-                # tunnel — a one-element readback does)
-                jax.device_get(jax.tree_util.tree_leaves(fqw)[0][0, 0, 0])
-            err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw), dtype=np.float64)
-            del fqw
+            if gptq_fq is not None and stage_host:
+                # ONE LINEAR AT A TIME on the staged chip: FP weights plus
+                # a single fq set is the whole residency (full-width 57B:
+                # FP + gate + up fq sets already filled the ~8 G chip
+                # before the down sweep started). The sync readbacks keep
+                # async enqueue from overlapping the GPTQ and error-pass
+                # peaks (block_until_ready doesn't block via the tunnel).
+                cols = []
+                for lin in ("gate", "up", "down"):
+                    fqw = gptq_fq(x2d, lp, qcfg=qc, only=lin)
+                    jax.device_get(jax.tree_util.tree_leaves(fqw)[0].ravel()[0])
+                    cols.append(np.asarray(
+                        errf_lin[(name, lin)](x2d, lp, fq_weights=fqw),
+                        dtype=np.float64))
+                    del fqw
+                err2 = np.concatenate(cols, axis=1)
+            else:
+                fqw = gptq_fq(x2d, lp, qcfg=qc) if gptq_fq is not None else None
+                err2 = np.asarray(errf[name](x2d, lp, fq_weights=fqw),
+                                  dtype=np.float64)
+                del fqw
             err = np.sqrt(err2)
             losses[name][str(l)] = {
                 str(e): [float(v) for v in err[e]] for e in range(err.shape[0])
@@ -428,7 +454,7 @@ def _gptq_dense_fq_weights(x2d, dlp, qcfg: QLinearConfig) -> dict:
 def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
                            backend: str = "ragged_dot",
                            expert_chunk: int = 16,
-                           out_dtype=None) -> dict:
+                           out_dtype=None, only: str | None = None) -> dict:
     """GPTQ-quantize every expert linear of one layer for one scheme.
 
     Hessians come from the FP layer pass over the calibration rows
@@ -472,6 +498,13 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
             # otherwise enqueues while this chunk's Cholesky chain still
             # holds its f32 working set (two peaks live at once)
             jax.device_get(r[0, 0, 0])
+            if os.environ.get("MXMOE_CALIB_DEBUG_MEM"):
+                live = jax.live_arrays()
+                tot = sum(a.nbytes for a in live) / 2**30
+                big = sorted(((a.nbytes, a.shape, str(a.dtype))
+                              for a in live), reverse=True)[:8]
+                print(f"[mem] chunk {s}:{hi} live={tot:.2f}G top={big}",
+                      flush=True)
             parts.append(r)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
@@ -487,11 +520,13 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         gmm_ops.gmm(xs, gate_up[..., :n], disp.group_sizes, backend=backend)
     ) * gmm_ops.gmm(xs, gate_up[..., n:], disp.group_sizes, backend=backend)
 
-    out = {
-        "gate": fq_kn(lambda a, b: gate_up[a:b, :, :n], h, n, e, xs),
-        "up": fq_kn(lambda a, b: gate_up[a:b, :, n:], h, n, e, xs),
-        "down": fq_kn(lambda a, b: wd[a:b], n, h, e, h_fp),
-    }
+    out = {}
+    if only in (None, "gate"):
+        out["gate"] = fq_kn(lambda a, b: gate_up[a:b, :, :n], h, n, e, xs)
+    if only in (None, "up"):
+        out["up"] = fq_kn(lambda a, b: gate_up[a:b, :, n:], h, n, e, xs)
+    if only in (None, "down"):
+        out["down"] = fq_kn(lambda a, b: wd[a:b], n, h, e, h_fp)
     if cfg.shared_expert_intermediate_size > 0 and "shared_gate_up" in lp:
         ns = cfg.shared_expert_intermediate_size
         swg, swu = lp["shared_gate_up"][..., :ns], lp["shared_gate_up"][..., ns:]
@@ -505,9 +540,12 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
             r = gptq_quantize_kn(w[None], h, qcfg).w_fq[0]
             return r if out_dtype is None else r.astype(out_dtype)
 
-        out["shared_gate"] = fq_shared(swg, h_x)
-        out["shared_up"] = fq_shared(swu, h_x)
-        out["shared_down"] = fq_shared(swd, h_s)
+        if only in (None, "gate"):
+            out["shared_gate"] = fq_shared(swg, h_x)
+        if only in (None, "up"):
+            out["shared_up"] = fq_shared(swu, h_x)
+        if only in (None, "down"):
+            out["shared_down"] = fq_shared(swd, h_s)
     return out
 
 
