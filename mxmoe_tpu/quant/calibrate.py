@@ -485,7 +485,7 @@ def _gptq_layer_fq_weights(x2d, lp, qcfg: QLinearConfig, cfg: MoEConfig,
         # ~6 [E', N, K] f32 copies + 3 [E', K, K] factors (qwen/ds2
         # widths keep chunk 16; 57B drops to ~6).
         per_e = n_out * kdim * 4 * 6 + kdim * kdim * 4 * 3
-        chunk = max(1, min(expert_chunk, int(2.5e9 // per_e)))
+        chunk = max(1, min(expert_chunk, int(1.5e9 // per_e)))
         parts = []
         for s in range(0, n_e, chunk):
             hi = min(s + chunk, n_e)
